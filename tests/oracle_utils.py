@@ -1,0 +1,79 @@
+"""Local replica of the driver's Spark-vs-DuckDB differential check.
+
+Runs a suite QuerySpec's Spark plan and its DuckDB oracle SQL over the
+same parquet fixtures and asserts the result multisets match
+(order-insensitive, columns sorted by name) — catching any parity
+drift at sf0.001 before the driver's sf0.01 gate does.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from validation_database_spark.sources.registry import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_value(x) for x in v)
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (np.floating, float)):
+        return round(float(v), 9)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _canon_frame(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_value(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def assert_matches_oracle(spark, spec, sf_dir: str, max_report: int = 5) -> None:
+    spark_pdf = spec.spark_fn(spark, sf_dir).toPandas()
+    con = duckdb_conn(sf_dir)
+    duck_pdf = con.execute(spec.oracle).fetchdf()
+    con.close()
+
+    s_cols, s_rows = _canon_frame(spark_pdf)
+    d_cols, d_rows = _canon_frame(duck_pdf)
+    assert s_cols == d_cols, f"{spec.name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{spec.name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
+    )
+    if s_rows != d_rows:
+        mism = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:max_report]
+        raise AssertionError(f"{spec.name}: value mismatch, first diffs: {mism}")

@@ -1,0 +1,118 @@
+"""Report assembly: the ragged side-by-side summary + CSV sinks.
+
+The reference pads three independent lists (missing-in-db1 ids,
+missing-in-db2 ids, differing-value dicts) with ``None`` to equal
+length and writes them as three columns (running_validation.py:262-275
+and the string/date twins). Positional alignment is meaningless — it
+is pure presentation — but the shape is part of the tool's contract,
+so we reproduce it *distributed*: ``row_number() OVER (ORDER BY id)``
+on each list, then two full-outer joins on the row number.
+
+Scale note: a global ``row_number`` without PARTITION BY serializes
+into a single-partition sort — acceptable for a *report* whose row
+count is the number of discrepancies (small by construction in a
+validation workload), not for the raw data path. The engine keeps the
+three result DataFrames as the primary (unbounded, distributed) API;
+``report_summary`` is the compat sink on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .reconcile import ReconcileResult
+
+
+def _numbered(df: DataFrame, out_col: str, order_col: str = "id") -> DataFrame:
+    w = Window.orderBy(order_col)
+    return df.select(
+        F.col(order_col).alias(out_col), F.row_number().over(w).alias("rn")
+    )
+
+
+def report_summary(result: ReconcileResult, render: str = "compact") -> DataFrame:
+    """Side-by-side ragged summary.
+
+    Columns: ``missing_in_{db1}``, ``missing_in_{db2}``,
+    ``differing_values``; row i holds the i-th element of each list (or
+    NULL past that list's end) — the distributed equivalent of the
+    reference's pad-with-None assembly (running_validation.py:262-275).
+
+    ``render`` controls the differing cell:
+    - ``"compact"``: ``id:left|right`` — deterministic across engines
+      (used by the DuckDB oracle cross-check).
+    - ``"dict"``: the reference's ``{'id': …, 'a': …, 'b': …}`` python
+      dict repr (running_validation.py:256-259) for byte-parity with
+      the golden CSV.
+    """
+    c1 = f"{result.check_column}_{result.db1}"
+    c2 = f"{result.check_column}_{result.db2}"
+    if render == "dict":
+        cell = F.concat(
+            F.lit("{'id': '"), F.col("id"),
+            F.lit(f"', '{c1}': "), _py_repr(F.col(c1)),
+            F.lit(f", '{c2}': "), _py_repr(F.col(c2)),
+            F.lit("}"),
+        )
+    else:
+        cell = F.concat_ws(
+            "|",
+            F.concat_ws(":", F.col("id"), F.coalesce(F.col(c1).cast("string"), F.lit("NULL"))),
+            F.coalesce(F.col(c2).cast("string"), F.lit("NULL")),
+        )
+    diff = result.differing.select(F.col("id"), cell.alias("differing_values"))
+
+    m1 = _numbered(result.missing_in_first, f"missing_in_{result.db1}")
+    m2 = _numbered(result.missing_in_second, f"missing_in_{result.db2}")
+    dv = diff.select("differing_values", F.row_number().over(Window.orderBy("id")).alias("rn"))
+
+    out = (
+        m1.join(m2, "rn", "full_outer")
+        .join(dv, "rn", "full_outer")
+        .orderBy("rn")
+        .drop("rn")
+    )
+    return out
+
+
+def _py_repr(col):
+    """Render a string column the way python repr does for the dict
+    cell: quoted if non-null, ``None`` if null (pandas ``to_dict``
+    renders NaN as ``nan``; the compat path targets the common non-null
+    golden rows)."""
+    return F.when(col.isNull(), F.lit("None")).otherwise(
+        F.concat(F.lit("'"), col.cast("string"), F.lit("'"))
+    )
+
+
+def write_reports(
+    result: ReconcileResult,
+    output_prefix: str,
+    *,
+    single_file: bool = False,
+    render: str = "dict",
+) -> None:
+    """CSV sinks mirroring the reference's two files
+    (running_validation.py:283,:288-293): ``<prefix>`` (padded summary)
+    and ``<prefix>_differing_values.csv`` (id-level detail, written
+    only if non-empty — matching :288's emptiness guard).
+
+    ``single_file`` coalesces to one part for small parity outputs;
+    at scale leave it False and get a directory of parts.
+    """
+    summary = report_summary(result, render=render)
+    if single_file:
+        summary = summary.coalesce(1)
+    summary.write.mode("overwrite").option("header", True).csv(output_prefix)
+
+    c1 = f"{result.check_column}_{result.db1}"
+    c2 = f"{result.check_column}_{result.db2}"
+    detail = result.differing.select("id", c1, c2)
+    # head(1) is a cheap emptiness probe (reads at most one partition).
+    if detail.head(1):
+        if single_file:
+            detail = detail.coalesce(1)
+        detail.write.mode("overwrite").option("header", True).csv(
+            f"{output_prefix}_differing_values.csv"
+        )

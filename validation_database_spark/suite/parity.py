@@ -1,0 +1,282 @@
+"""Reference-parity queries (SURVEY.md §2 ops 9-21).
+
+Each query re-expresses one reference operator as an idiomatic Spark
+DataFrame plan over the deterministic derived pair in
+``fixtures.py``, with a matching DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import pair_cte, validation_pair
+from ..operators.compare import coerce_check
+from ..operators.keys import composite_id
+from ..operators.reconcile import join_pairs, missing_ids, reconcile
+from ..operators.report import report_summary
+from ..sources import load_table
+from . import QuerySpec
+
+
+# --- op-9: composite-key canonicalization ------------------------------
+
+def q_composite_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column composite key with a NULL part → '0' substitution
+    (reference running_validation.py:471-476). The NULL part is
+    derived deterministically (custkey % 11 == 0 → NULL)."""
+    orders = load_table(spark, "orders", sf_dir)
+    nullable_cust = F.when(F.col("o_custkey") % 11 == 0, F.lit(None)).otherwise(
+        F.col("o_custkey")
+    )
+    return orders.select(
+        F.col("o_orderkey"),
+        composite_id([F.col("o_orderkey"), nullable_cust]).alias("id"),
+    )
+
+
+ORACLE_COMPOSITE_ID = """
+SELECT o_orderkey,
+       concat(
+         CAST(coalesce(CAST(o_orderkey AS STRING), '0') AS STRING), '_',
+         CAST(coalesce(CAST(CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END
+                            AS STRING), '0') AS STRING)
+       ) AS id
+FROM orders
+"""
+
+
+# --- op-10: projection of id + check (+ formatted date) ----------------
+
+def q_project_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT <id_expr> AS id, <check> , TO_CHAR(date) AS formatted_date
+    (reference running_validation.py:489-524)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        composite_id(["o_orderkey"]).alias("id"),
+        F.col("o_orderpriority").alias("check_col"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted_date"),
+    )
+
+
+ORACLE_PROJECT_CHECK = """
+SELECT CAST(coalesce(CAST(o_orderkey AS STRING), '0') AS STRING) AS id,
+       o_orderpriority AS check_col,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted_date
+FROM orders
+"""
+
+
+# --- op-11: strictly-exclusive date-range filter -----------------------
+
+DATE_START = "1995-01-01"
+DATE_END = "1996-01-01"
+
+
+def q_filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE date > '<start> 00:00:00' AND date < '<end> 00:00:00' —
+    strictly exclusive on both ends, midnight-anchored (reference
+    running_validation.py:495-496). Pushed to the parquet scan by
+    Catalyst (PushedFilters in the physical plan)."""
+    orders = load_table(spark, "orders", sf_dir)
+    lo = F.lit(f"{DATE_START} 00:00:00").cast("timestamp")
+    hi = F.lit(f"{DATE_END} 00:00:00").cast("timestamp")
+    return orders.filter(
+        (F.col("o_orderdate") > lo) & (F.col("o_orderdate") < hi)
+    ).select(
+        composite_id(["o_orderkey"]).alias("id"),
+        F.col("o_orderdate").alias("month_id"),
+    )
+
+
+ORACLE_FILTER_DATE_RANGE = f"""
+SELECT CAST(o_orderkey AS STRING) AS id, o_orderdate AS month_id
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{DATE_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{DATE_END} 00:00:00'
+"""
+
+
+# --- op-12: bidirectional missing-id anti-joins ------------------------
+
+def q_missing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions in one result: (id, missing_in) where
+    missing_in ∈ {'a','b'} — the reference's two ``~isin`` scans
+    (running_validation.py:225-226) as two left_anti joins."""
+    src_a, src_b = validation_pair(spark, sf_dir, "string")
+    m_in_a, m_in_b = missing_ids(src_a, src_b)
+    return m_in_a.select("id", F.lit("a").alias("missing_in")).unionAll(
+        m_in_b.select("id", F.lit("b").alias("missing_in"))
+    )
+
+
+def _oracle_missing_ids(mode: str = "string") -> str:
+    return f"""
+{pair_cte(mode)}
+SELECT id, 'a' AS missing_in FROM src_b b
+WHERE NOT EXISTS (SELECT 1 FROM src_a a WHERE a.id = b.id)
+UNION ALL
+SELECT id, 'b' AS missing_in FROM src_a a
+WHERE NOT EXISTS (SELECT 1 FROM src_b b WHERE b.id = a.id)
+"""
+
+
+# --- op-13: inner equi-join with suffixing -----------------------------
+
+def q_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_a, src_b = validation_pair(spark, sf_dir, "string")
+    return join_pairs(src_a, src_b, "check_col", "db1", "db2")
+
+
+ORACLE_JOIN_PAIRS = f"""
+{pair_cte("string")}
+SELECT a.id, a.check_col AS check_col_db1, b.check_col AS check_col_db2
+FROM src_a a JOIN src_b b ON a.id = b.id
+"""
+
+
+def q_join_pairs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m:n fan-out on duplicated keys — pandas merge and Spark inner
+    join must agree (SURVEY.md §7 "what's hard" #4)."""
+    src_a, src_b = validation_pair(spark, sf_dir, "string", dup_keys=True)
+    return join_pairs(src_a, src_b, "check_col", "db1", "db2")
+
+
+ORACLE_JOIN_PAIRS_DUP = f"""
+{pair_cte("string", dup_keys=True)}
+SELECT a.id, a.check_col AS check_col_db1, b.check_col AS check_col_db2
+FROM src_a a JOIN src_b b ON a.id = b.id
+"""
+
+
+# --- ops 15-17: the three comparison modes -----------------------------
+
+def _diff_query(mode: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        src_a, src_b = validation_pair(spark, sf_dir, mode)
+        res = reconcile(
+            src_a, src_b, check_column="check_col", mode=mode, db1="db1", db2="db2"
+        )
+        out = res.differing
+        if mode in ("integer", "date"):
+            # Emit the *coerced* values so the oracle compares the same
+            # domain (junk → NULL on both engines).
+            out = out.select(
+                "id",
+                coerce_check("check_col_db1", mode).alias("check_a"),
+                coerce_check("check_col_db2", mode).alias("check_b"),
+            )
+        else:
+            out = out.select(
+                "id",
+                F.col("check_col_db1").alias("check_a"),
+                F.col("check_col_db2").alias("check_b"),
+            )
+        return out
+
+    return fn
+
+
+def _oracle_diff(mode: str) -> str:
+    if mode == "integer":
+        ca, cb = "TRY_CAST(a.check_col AS DOUBLE)", "TRY_CAST(b.check_col AS DOUBLE)"
+    elif mode == "date":
+        ca, cb = (
+            "TRY_CAST(a.check_col AS TIMESTAMP)",
+            "TRY_CAST(b.check_col AS TIMESTAMP)",
+        )
+    else:
+        ca, cb = "a.check_col", "b.check_col"
+    return f"""
+{pair_cte(mode)}
+SELECT a.id, {ca} AS check_a, {cb} AS check_b
+FROM src_a a JOIN src_b b ON a.id = b.id
+WHERE {ca} IS DISTINCT FROM {cb}
+"""
+
+
+# --- ops 19-20: ragged side-by-side report -----------------------------
+
+def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_a, src_b = validation_pair(spark, sf_dir, "string")
+    res = reconcile(
+        src_a, src_b, check_column="check_col", mode="string", db1="db1", db2="db2"
+    )
+    return report_summary(res, render="compact")
+
+
+ORACLE_REPORT_SUMMARY = f"""
+{pair_cte("string")},
+m_a AS (SELECT id FROM src_b b WHERE NOT EXISTS (SELECT 1 FROM src_a a WHERE a.id = b.id)),
+m_b AS (SELECT id FROM src_a a WHERE NOT EXISTS (SELECT 1 FROM src_b b WHERE b.id = a.id)),
+diff AS (
+  SELECT a.id, a.check_col AS ca, b.check_col AS cb
+  FROM src_a a JOIN src_b b ON a.id = b.id
+  WHERE a.check_col IS DISTINCT FROM b.check_col
+),
+na AS (SELECT id AS missing_in_db1, row_number() OVER (ORDER BY id) AS rn FROM m_a),
+nb AS (SELECT id AS missing_in_db2, row_number() OVER (ORDER BY id) AS rn FROM m_b),
+nd AS (
+  SELECT concat(id, ':', coalesce(ca, 'NULL'), '|', coalesce(cb, 'NULL')) AS differing_values,
+         row_number() OVER (ORDER BY id) AS rn
+  FROM diff
+)
+SELECT na.missing_in_db1, nb.missing_in_db2, nd.differing_values
+FROM na
+FULL OUTER JOIN nb ON na.rn = nb.rn
+FULL OUTER JOIN nd ON coalesce(na.rn, nb.rn) = nd.rn
+"""
+
+
+# --- flagship: end-to-end validation counts ----------------------------
+
+def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole reference pipeline in one DAG: derive pair →
+    anti-joins → inner join → null-safe compare → counts."""
+    src_a, src_b = validation_pair(spark, sf_dir, "string")
+    res = reconcile(
+        src_a, src_b, check_column="check_col", mode="string", db1="db1", db2="db2"
+    )
+    return (
+        res.missing_in_first.agg(F.count("*").alias("n_missing_in_a"))
+        .crossJoin(res.missing_in_second.agg(F.count("*").alias("n_missing_in_b")))
+        .crossJoin(res.differing.agg(F.count("*").alias("n_differing")))
+    )
+
+
+ORACLE_VALIDATION_COUNTS = f"""
+{pair_cte("string")}
+SELECT
+  (SELECT count(*) FROM src_b b
+    WHERE NOT EXISTS (SELECT 1 FROM src_a a WHERE a.id = b.id)) AS n_missing_in_a,
+  (SELECT count(*) FROM src_a a
+    WHERE NOT EXISTS (SELECT 1 FROM src_b b WHERE b.id = a.id)) AS n_missing_in_b,
+  (SELECT count(*) FROM src_a a JOIN src_b b ON a.id = b.id
+    WHERE a.check_col IS DISTINCT FROM b.check_col) AS n_differing
+"""
+
+
+SPECS = [
+    QuerySpec("composite_id", q_composite_id, ORACLE_COMPOSITE_ID,
+              "op-9 composite-key canonicalization incl. NULL→'0'"),
+    QuerySpec("project_check", q_project_check, ORACLE_PROJECT_CHECK,
+              "op-10 projection id/check/formatted_date"),
+    QuerySpec("filter_date_range", q_filter_date_range, ORACLE_FILTER_DATE_RANGE,
+              "op-11 strictly-exclusive date range, pushed down"),
+    QuerySpec("missing_ids", q_missing_ids, _oracle_missing_ids(),
+              "op-12 bidirectional anti-join"),
+    QuerySpec("join_pairs", q_join_pairs, ORACLE_JOIN_PAIRS,
+              "op-13 inner equi-join with suffixes"),
+    QuerySpec("join_pairs_dup", q_join_pairs_dup, ORACLE_JOIN_PAIRS_DUP,
+              "op-13 duplicate-key m:n semantics"),
+    QuerySpec("diff_integer", _diff_query("integer"), _oracle_diff("integer"),
+              "op-15 numeric-coerced null-safe inequality"),
+    QuerySpec("diff_string_fuzzy", _diff_query("string"), _oracle_diff("string"),
+              "op-16 threshold=1 exact-equality fast path"),
+    QuerySpec("diff_date", _diff_query("date"), _oracle_diff("date"),
+              "op-17 datetime-coerced null-safe inequality"),
+    QuerySpec("report_summary", q_report_summary, ORACLE_REPORT_SUMMARY,
+              "ops 19-20 ragged side-by-side report"),
+    QuerySpec("validation_counts", q_validation_counts, ORACLE_VALIDATION_COUNTS,
+              "flagship end-to-end reconciliation counts"),
+]
