@@ -1,0 +1,177 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the distributed generalization of the reference's pairwise
+fuzzy match (running_validation.py:306-316) to corpus scale.
+
+Everything here is built from JVM-side expressions (md5, arrays,
+higher-order functions) — no Python UDFs — and every hash is derived
+from md5, which exists with identical semantics in DuckDB, so each
+stage is oracle-checkable.
+
+Scale design:
+- Shingling/minhash is a narrow map (no shuffle).
+- The only shuffles are the per-doc signature aggregation and the
+  LSH band self-join; band buckets bound the join fan-out, so the
+  quadratic pair space is never materialized (that's the entire point
+  of LSH — the brute-force path is O(n²) and dies at 100 TB).
+- ``min(md5(seed || shingle))`` is a valid MinHash: each seeded md5
+  is a uniform pseudo-permutation of the shingle universe and the
+  lexicographic min over hex strings picks its minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash/LSH geometry: 16 signatures in 4 bands of 4 rows →
+# candidate-pair threshold ≈ (1/b)^(1/r) = 0.25^0.25 ≈ 0.71 Jaccard.
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_WORDS = 5
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), "\\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda x: x != F.lit(""))
+
+
+def word_shingles(toks: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Overlapping word n-grams as strings; docs shorter than n words
+    collapse to one truncated shingle (concat_ws skips the NULL
+    out-of-range elements — same as DuckDB list indexing)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def exploded_shingles(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the set representation."""
+    return (
+        docs.select(F.col(id_col), F.explode(word_shingles(tokens(text_col))).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """One row per doc with columns s0..s{k-1}: the k min-hashes.
+    Single groupBy pass — k aggregates, one shuffle."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id",
+              num_bands: int = NUM_BANDS,
+              rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """(id, band, band_hash): hash of each band's signature slice."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket.
+    The join key (band, band_hash) bounds fan-out to bucket sizes."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
+                   id_col: str = "doc_id", scale: int = 6) -> DataFrame:
+    """Exact Jaccard for candidate pairs via the inverted index:
+    |A∩B| from a shingle-equijoin, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                scale,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash of the distinct-token set, as a bigint.
+
+    Per token, bit j of md5(token) (j in 0..15, taken from the first
+    four hex chars, MSB-first within each char) votes ±1; the sign of
+    each bit's vote sum sets that output bit. Pure integer/string
+    expressions → portable to the DuckDB oracle.
+    """
+    distinct_toks = F.array_distinct(toks)
+
+    def bit_votes(j: int) -> Column:
+        hex_pos = 1 + j // 4
+        shift = 3 - (j % 4)
+        return F.aggregate(
+            distinct_toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + (
+                F.floor(
+                    F.conv(F.substring(F.md5(t), hex_pos, 1), 16, 10).cast("bigint")
+                    / F.lit(2**shift)
+                )
+                % 2
+            )
+            * 2
+            - 1,
+        )
+
+    out = F.lit(0).cast("bigint")
+    for j in range(16):
+        out = out + F.when(bit_votes(j) > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out

@@ -52,6 +52,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     sf_dir = sf_dir or default_sf_dir()
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects. Read nanos as long and truncate to microseconds
+        # (the DuckDB oracles truncate identically via
+        # make_timestamp(epoch_ns(ts) // 1000)).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(path)
 
 

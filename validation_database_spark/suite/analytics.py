@@ -1,3 +1,359 @@
+"""General relational analytics queries.
+
+The reference has no aggregations/windows/set-ops (SURVEY.md §2.7) —
+these queries demonstrate the engine surface a user migrating off the
+reference onto a real analytics engine needs, built on the TPC-H-ish
+fixture tables.
+
+Float-determinism note: sums of doubles are aggregation-order
+dependent, so Spark and DuckDB can differ in the last ulp. Every
+aggregated money/quantity column is therefore summed in DECIMAL
+(exact, order-independent) and cast back to double — bit-identical on
+both engines. Per-row double arithmetic (no reduction) is IEEE-
+deterministic and needs no such treatment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
 from . import QuerySpec
 
-SPECS: list[QuerySpec] = []
+
+def _dsum(col, scale="decimal(18,2)"):
+    """Exact (decimal) sum of a double column, returned as double."""
+    return F.sum(F.col(col).cast(scale) if isinstance(col, str) else col.cast(scale)).cast(
+        "double"
+    )
+
+
+# --- TPC-H Q1-style pricing summary ------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy group-by: the canonical map-side-combinable
+    aggregation. Partial aggregation happens before the shuffle
+    (HashAggregate → Exchange → HashAggregate), so the shuffle carries
+    only n_groups × n_partitions rows — the plan that survives 100 TB."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            F.round(
+                _dsum("l_quantity") / F.count("*"), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- top-K per group (window) ------------------------------------------
+
+def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer. Deterministic tiebreak
+    on o_orderkey so both engines select identical rows. The window
+    partitions by customer → fully parallel (no global sort)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# --- multi-way join + aggregation (TPC-H Q5-ish) -----------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem ⋈ nation: the big fact-to-fact
+    join shuffles on the join keys; the tiny nation dim is explicitly
+    broadcast (25 rows — never shuffle the fact table for it)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- set operation: EXCEPT ---------------------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers with no orders on/after 1997
+    (every customer has *some* order in the fixtures, so the date
+    restriction keeps the set non-trivial)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return cust.select(F.col("c_custkey").alias("custkey")).subtract(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+# --- semi-join: EXISTS -------------------------------------------------
+
+def q_suppliers_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS) — never duplicates the probe side."""
+    supp = load_table(spark, "supplier", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return supp.join(
+        li, supp.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+ORACLE_SUPPLIERS_WITH_LINEITEMS = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey)
+"""
+
+
+# --- ROLLUP ------------------------------------------------------------
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): hierarchical
+    subtotals + grand total in one pass."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+ORACLE_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --- distinct aggregation ---------------------------------------------
+
+def q_distinct_parts_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_DISTINCT_PARTS = """
+SELECT l_orderkey,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- pivot -------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status × priority. Explicit pivot
+    values keep the plan a single pass (no value-discovery job)."""
+    orders = load_table(spark, "orders", sf_dir)
+    df = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = df.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+        ],
+    )
+    return renamed
+
+
+ORACLE_ORDER_PRIORITY_PIVOT = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- running total (ordered window aggregate) --------------------------
+
+def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running sum over order date. Decimal accumulation
+    keeps the prefix sums bit-identical across engines (window
+    aggregation trees may reduce in different orders)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+ORACLE_RUNNING_ORDER_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+# --- UNION ALL + INTERSECT --------------------------------------------
+
+def q_active_party_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra: nation keys used by BOTH customers and suppliers
+    (INTERSECT), plus each side's distinct count via UNION ALL."""
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    both = (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .select("nationkey", F.lit("both").alias("side"))
+    )
+    only_cust = (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .select("nationkey", F.lit("customer_only").alias("side"))
+    )
+    return both.unionAll(only_cust)
+
+
+ORACLE_ACTIVE_PARTY_KEYS = """
+SELECT nationkey, 'both' AS side FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS side FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
+# --- grouped HAVING ----------------------------------------------------
+
+def q_big_spender_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month + HAVING over an exact decimal sum."""
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            _dsum("o_totalprice").alias("month_total"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    return monthly.filter(F.col("n_orders") > 10)
+
+
+ORACLE_BIG_SPENDER_MONTHS = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1 HAVING COUNT(*) > 10
+"""
+
+
+SPECS = [
+    QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
+              "TPC-H Q1-style scan-heavy group-by", headline=True),
+    QuerySpec("topk_per_group", q_topk_orders_per_cust, ORACLE_TOPK,
+              "window row_number top-K per customer", headline=True),
+    QuerySpec("revenue_by_nation", q_revenue_by_nation, ORACLE_REVENUE_BY_NATION,
+              "multi-way join + agg with broadcast dim", headline=True),
+    QuerySpec("customers_without_orders", q_customers_without_orders,
+              ORACLE_CUSTOMERS_WITHOUT_ORDERS, "EXCEPT distinct"),
+    QuerySpec("suppliers_with_lineitems", q_suppliers_with_lineitems,
+              ORACLE_SUPPLIERS_WITH_LINEITEMS, "left_semi EXISTS"),
+    QuerySpec("rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
+              "GROUP BY ROLLUP subtotals"),
+    QuerySpec("distinct_parts_per_order", q_distinct_parts_per_order,
+              ORACLE_DISTINCT_PARTS, "COUNT DISTINCT per group"),
+    QuerySpec("order_priority_pivot", q_order_priority_pivot,
+              ORACLE_ORDER_PRIORITY_PIVOT, "pivot with explicit values"),
+    QuerySpec("running_order_total", q_running_order_total,
+              ORACLE_RUNNING_ORDER_TOTAL, "ordered window running sum"),
+    QuerySpec("active_party_keys", q_active_party_keys, ORACLE_ACTIVE_PARTY_KEYS,
+              "INTERSECT / EXCEPT / UNION ALL"),
+    QuerySpec("big_spender_months", q_big_spender_months, ORACLE_BIG_SPENDER_MONTHS,
+              "date_trunc + HAVING"),
+]

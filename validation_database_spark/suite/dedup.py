@@ -1,3 +1,295 @@
+"""Deduplication queries over ``documents`` / ``embeddings``
+(north-star extension): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+The fixture corpora contain no literal duplicates, so the exact and
+embedding queries *plant* deterministic duplicates (modular-keyed
+copies, derived identically in Spark and DuckDB) and then find them —
+a self-checking dedup scenario.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.vectors import cosine_sql, cosine_rounded, scale_vector
+from ..sources import load_table
 from . import QuerySpec
 
-SPECS: list[QuerySpec] = []
+# Shared DuckDB shingle CTE (mirrors D.exploded_shingles).
+_SH_CTE = """
+t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+sh0 AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+        FROM t),
+sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
+"""
+
+
+# --- exact dedup -------------------------------------------------------
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return docs.unionAll(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup on normalized content: one shuffle on
+    the 128-bit content key; map-side partial aggregation makes the
+    shuffle O(distinct docs). Canonical id = min(doc_id)."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(D.normalized_text("text")).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_key,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM all_docs GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup (inverted index, no banding) --------------
+
+JACCARD_THRESHOLD = 0.2
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs sharing ≥1 word-5-gram, exact Jaccard ≥ 0.2. The
+    inverted-index self-join only materializes pairs that share a
+    shingle — never the O(n²) pair space."""
+    docs = load_table(spark, "documents", sf_dir)
+    shingles = D.exploded_shingles(docs)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("id_a"), "sh")
+    b = shingles.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes na ON common.id_a = na.doc_id
+JOIN sizes nb ON common.id_b = nb.doc_id
+WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH near-dup -------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → 16 seeded min-hashes →
+    4 bands × 4 rows → bucket-join candidates → exact-Jaccard verify.
+    Candidate generation is O(bucket sizes), not O(n²) — the scale
+    path for corpus-level near-dup at 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    shingles = D.exploded_shingles(docs)
+    sigs = D.minhash_signatures(shingles)
+    bands = D.lsh_bands(sigs)
+    pairs = D.lsh_candidate_pairs(bands)
+    return D.jaccard_verify(pairs, shingles)
+
+
+def _oracle_minhash() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}|' || sh)) AS s{i}" for i in range(D.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"s{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.NUM_BANDS)
+    )
+    return f"""
+WITH {_SH_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes na ON common.id_a = na.doc_id
+JOIN sizes nb ON common.id_b = nb.doc_id
+"""
+
+
+# --- SimHash -----------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash signature (near-dup docs land on nearby
+    signatures; grouping by signature buckets exact-ish dups)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", D.simhash16(D.tokens("text")).alias("simhash")
+    )
+
+
+def _oracle_simhash() -> str:
+    def votes(j: int) -> str:
+        hex_pos = 1 + j // 4
+        shift = 2 ** (3 - (j % 4))
+        return (
+            "coalesce(list_aggregate(list_transform(dt, "
+            f"x -> (((strpos('0123456789abcdef', substr(md5(x), {hex_pos}, 1)) - 1) "
+            f"// {shift}) % 2) * 2 - 1), 'sum'), 0)"
+        )
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN {votes(j)} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dt
+  FROM documents
+)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
+"""
+
+
+# --- embedding-cosine near-dup ----------------------------------------
+
+COSINE_THRESHOLD = 0.98
+
+
+def _vecs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
+    scaled = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        scale_vector(F.col("embedding"), 2.0).alias("embedding"),
+        "label",
+    )
+    perturbed = emb.filter(F.col("vec_id") % 70 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.concat(
+            F.array(
+                (F.element_at("embedding", 1).cast("double") + F.lit(0.5)).cast("float")
+            ),
+            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionAll(scaled).unionAll(perturbed)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within label blocks (blocked
+    candidate generation — the cross join never leaves a block).
+    Planted scaled copies (cos = 1) and one-dim perturbations
+    (cos ≈ 1) are the dups to find."""
+    vecs = _vecs_with_planted_dups(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "label",
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "label",
+    )
+    cos = cosine_rounded(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )
+
+
+_COS_AB = cosine_sql("a.embedding", "b.embedding")
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH all_vecs AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x::DOUBLE * 2.0 AS FLOAT)),
+         label
+  FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_concat([CAST(embedding[1]::DOUBLE + 0.5 AS FLOAT)], embedding[2:]),
+         label
+  FROM embeddings WHERE vec_id % 70 = 0
+)
+SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_COS_AB}, 6) AS cos_sim
+FROM all_vecs a JOIN all_vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_COS_AB}, 6) >= {COSINE_THRESHOLD}
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
+              "exact dedup by normalized-content hash", headline=True),
+    QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
+              "word-5-gram Jaccard via inverted-index join", headline=True),
+    QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _oracle_minhash(),
+              "MinHash(16)+LSH(4×4) candidates + exact verify", headline=True),
+    QuerySpec("dedup_simhash", q_dedup_simhash, _oracle_simhash(),
+              "16-bit SimHash signatures"),
+    QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
+              "blocked embedding-cosine near-dup with planted dups"),
+]

@@ -1,3 +1,162 @@
+"""Event-stream analytics over the ``events`` table — the batch
+semantics of the streaming operators (see
+``validation_database_spark.streaming`` for the Structured Streaming
+versions with watermarks; these batch twins are the oracle-checkable
+surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
 from . import QuerySpec
 
-SPECS: list[QuerySpec] = []
+SESSION_GAP = "30"  # minutes
+
+# DuckDB reads ts at nanosecond precision; truncate to Spark's
+# microseconds so both engines compare the same instants.
+_EV_CTE = (
+    "ev AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per user, a new session starts when the gap
+    from the previous event exceeds 30 minutes. lag + cumulative-sum
+    over a per-user window — no global sort, fully parallel across
+    users."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr(f"INTERVAL {SESSION_GAP} MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return with_sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = f"""
+WITH {_EV_CTE},
+lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM ev
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL {SESSION_GAP} MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sessioned AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessioned GROUP BY user_id, session_idx
+"""
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation per event type (the batch
+    twin of the streaming windowed aggregation)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_EVENTS_WINDOW_AGG = f"""
+WITH {_EV_CTE}
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM ev GROUP BY 1, 2
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: first view → first click → first purchase
+    timestamps (conditional min aggregation) + conversion flags."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    return ev.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+        (
+            first_ts("view").isNotNull()
+            & first_ts("click").isNotNull()
+            & first_ts("purchase").isNotNull()
+        ).alias("full_funnel"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = f"""
+WITH {_EV_CTE}
+SELECT user_id,
+       min(ts) FILTER (event_type = 'view') AS first_view,
+       min(ts) FILTER (event_type = 'click') AS first_click,
+       min(ts) FILTER (event_type = 'purchase') AS first_purchase,
+       (min(ts) FILTER (event_type = 'view') IS NOT NULL
+        AND min(ts) FILTER (event_type = 'click') IS NOT NULL
+        AND min(ts) FILTER (event_type = 'purchase') IS NOT NULL) AS full_funnel
+FROM ev GROUP BY user_id
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the ``props`` string column —
+    get_json_object stays JVM-side (Jackson), no UDF."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+ORACLE_EVENTS_JSON_PROPS = f"""
+WITH {_EV_CTE}
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM ev
+"""
+
+
+SPECS = [
+    QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
+              "gap-based sessionization (lag + cumsum)", headline=True),
+    QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
+              "tumbling 1h window aggregation"),
+    QuerySpec("events_funnel", q_events_funnel, ORACLE_EVENTS_FUNNEL,
+              "conditional-min funnel per user"),
+    QuerySpec("events_json_props", q_events_json_props, ORACLE_EVENTS_JSON_PROPS,
+              "JSON field extraction from props"),
+]

@@ -1,3 +1,188 @@
+"""Similarity search over ``embeddings`` (north-star extension):
+brute-force cosine top-k as the exactness baseline, and an IVF
+(inverted-file) variant as the scale path — assign vectors to coarse
+centroid cells, probe only the nearest cells at query time.
+
+Query/centroid sets are deterministic modular selections of the
+vector ids so both engines derive identical inputs. Cosines are
+rounded to 6 decimals *before* ranking/thresholding, with vec_id as
+the final tiebreak — identical row selection on both engines.
+
+Scale posture: the centroid set is tiny and broadcast; the per-vector
+assignment is a broadcast nested-loop over |centroids| (a narrow map
+at any scale), and query probing touches only nprobe cells — the
+brute-force O(n·q) path exists solely as the verification baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.vectors import cosine_rounded, cosine_sql
+from ..sources import load_table
 from . import QuerySpec
 
-SPECS: list[QuerySpec] = []
+TOP_K = 10
+N_PROBE = 2
+QUERY_MOD = 100   # vec_id % 100 == 0 → query set
+CENTROID_MOD = 50
+CENTROID_OFF = 7  # vec_id % 50 == 7 → centroid set
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+
+
+# --- brute-force top-k -------------------------------------------------
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for each query vector. The query
+    side is tiny → broadcast; ranking is a per-query window (fully
+    parallel across queries)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+_COS_QV = cosine_sql("q.embedding", "v.embedding")
+
+ORACLE_ANN_TOPK = f"""
+SELECT query_id, vec_id, cos_sim, rk FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         ROUND({_COS_QV}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND({_COS_QV}, 6) DESC, v.vec_id) AS rk
+  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+) WHERE rk <= {TOP_K}
+"""
+
+
+# --- IVF (cell-probed) -------------------------------------------------
+
+def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: every vector is assigned to its nearest centroid
+    cell; each query probes its nprobe=2 nearest cells and ranks only
+    the vectors inside them. Results can differ from exact top-k —
+    that is the approximation; the oracle runs the identical IVF."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(
+        F.col("vec_id") % CENTROID_MOD == CENTROID_OFF
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+
+    # vector → nearest centroid (broadcast nested loop, narrow map)
+    a_w = Window.partitionBy("vec_id").orderBy(
+        F.col("a_cos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            cosine_rounded(F.col("embedding"), F.col("c_emb")).alias("a_cos"),
+        )
+        .withColumn("arn", F.row_number().over(a_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+    # query → nprobe nearest centroids
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    p_w = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cent_id",
+            cosine_rounded(F.col("q_emb"), F.col("c_emb")).alias("p_cos"),
+        )
+        .withColumn("prn", F.row_number().over(p_w))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "q_emb", "cent_id")
+    )
+
+    # search only the probed cells
+    scored = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    s_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(s_w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+_COS_VC = cosine_sql("v.embedding", "c.embedding")
+_COS_QC = cosine_sql("q.embedding", "c.embedding")
+
+ORACLE_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT v.vec_id, v.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND({_COS_VC.replace('c.embedding', 'c.embedding')}, 6) DESC, c.cent_id) AS arn
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT query_id, q_emb, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND({_COS_QC}, 6) DESC, c.cent_id) AS prn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id % {QUERY_MOD} = 0
+  ) WHERE prn <= {N_PROBE}
+)
+SELECT query_id, vec_id, cos_sim, rk FROM (
+  SELECT p.query_id, a.vec_id,
+         ROUND({cosine_sql('p.q_emb', 'a.embedding')}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY ROUND({cosine_sql('p.q_emb', 'a.embedding')}, 6) DESC, a.vec_id) AS rk
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE a.vec_id <> p.query_id
+) WHERE rk <= {TOP_K}
+"""
+
+
+SPECS = [
+    QuerySpec("ann_topk_cosine", q_ann_topk_cosine, ORACLE_ANN_TOPK,
+              "brute-force cosine top-10 per query vector", headline=True),
+    QuerySpec("ann_ivf_cosine", q_ann_ivf_cosine, ORACLE_ANN_IVF,
+              "IVF cell-probed approximate top-10", headline=True),
+]

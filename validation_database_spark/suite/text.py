@@ -1,3 +1,240 @@
+"""Text analysis over the ``documents`` table (north-star extension):
+language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and content fingerprinting (exact md5 +
+min-shingle rolling fingerprint).
+
+All of it is built from JVM-side string/array/lambda expressions —
+whole-stage-codegen'd, no Python UDFs — so the per-document cost is a
+tight columnar loop that scales linearly to 100 TB of text. Every
+query has a DuckDB oracle (the expressions are kept to the dialect
+intersection; note DuckDB's ``regexp_replace`` needs the ``'g'`` flag
+where Spark replaces globally by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
 from . import QuerySpec
 
-SPECS: list[QuerySpec] = []
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "les", "des", "et", "une", "est", "que", "pour", "dans", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "nicht"],
+}
+
+_BPE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def _tokens(col):
+    """Non-empty whitespace tokens of the lowercased text."""
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
+
+
+def _tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split(lower({expr}), ' '), x -> x <> '')"
+
+
+# --- token counting ----------------------------------------------------
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (words and
+    punctuation as separate tokens — the standard pre-tokenizer
+    shape)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+
+ORACLE_TEXT_TOKENS = f"""
+SELECT doc_id,
+       len({_tokens_sql('text')}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+"""
+
+
+# --- quality scoring ---------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals with a
+    composite keep/drop flag — the standard pre-training corpus
+    filter."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    en = [F.lit(w) for w in STOPWORDS["en"]]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin([w for w in STOPWORDS["en"]])))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[.,!?;:]", "")
+    )
+    avg_tok_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    stop_ratio = F.round(
+        n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6
+    )
+    punct_ratio = F.round(
+        n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            (n_tok >= 10)
+            & (avg_tok_len >= 2.0)
+            & (avg_tok_len <= 12.0)
+            & (punct_ratio <= 0.2)
+        ).alias("quality_keep"),
+    )
+
+
+_STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_tokens_sql('text')} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS tok_chars,
+         length(text) AS n_chars
+  FROM t
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       ROUND(CAST(coalesce(tok_chars, 0) AS DOUBLE) / greatest(n_tok, 1), 6) AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1), 6) AS stopword_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+       (n_tok >= 10
+        AND ROUND(CAST(coalesce(tok_chars, 0) AS DOUBLE) / greatest(n_tok, 1), 6) >= 2.0
+        AND ROUND(CAST(coalesce(tok_chars, 0) AS DOUBLE) / greatest(n_tok, 1), 6) <= 12.0
+        AND ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) <= 0.2) AS quality_keep
+FROM m
+"""
+
+
+# --- language ID -------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language scores + argmax prediction with fixed
+    precedence (en > es > fr > de > unknown) for deterministic ties."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+
+    def n_hits(ws):
+        # NB: the lambda must be unary — F.filter treats a 2-arg lambda
+        # as (element, index), so a default-arg capture would bind the
+        # index column instead of the wordlist.
+        return F.size(F.filter(toks, lambda x: x.isin(ws))).cast("bigint")
+
+    scores = {lang: n_hits(ws) for lang, ws in STOPWORDS.items()}
+    s = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] > 0),
+            F.lit("en"),
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] > 0), F.lit("fr"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id", *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS]
+    ).select("doc_id", *[f"score_{lang}" for lang in STOPWORDS], pred.alias("lang_pred"))
+
+
+def _score_sql(lang: str) -> str:
+    ws = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return f"len(list_filter(toks, x -> list_contains({ws}, x)))"
+
+
+ORACLE_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         {_score_sql('en')} AS score_en,
+         {_score_sql('es')} AS score_es,
+         {_score_sql('fr')} AS score_fr,
+         {_score_sql('de')} AS score_de
+  FROM t
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       CASE
+         WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de
+              AND score_en > 0 THEN 'en'
+         WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 THEN 'es'
+         WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+         WHEN score_de > 0 THEN 'de'
+         ELSE 'unknown'
+       END AS lang_pred
+FROM s
+"""
+
+
+# --- fingerprinting ----------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two content fingerprints per doc:
+    - ``exact_fp``: md5 of the whitespace-normalized lowercased text
+      (exact-dup key);
+    - ``shingle_fp``: minimum md5 over all character 8-gram shingles —
+      a rolling-hash winnowing fingerprint that is stable under small
+      appends/prepends (near-dup key).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.lower("text"), "\\s+", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
+        lambda i: F.md5(norm.substr(i, F.lit(8))),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("exact_fp"),
+        F.array_min(shingles).alias("shingle_fp"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS exact_fp,
+       list_min(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                               i -> md5(substr(norm, i, 8)))) AS shingle_fp
+FROM t
+"""
+
+
+SPECS = [
+    QuerySpec("text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
+              "whitespace + BPE-ish regex token counts", headline=True),
+    QuerySpec("text_quality", q_text_quality, ORACLE_TEXT_QUALITY,
+              "length/punct/stopword quality scoring + keep flag"),
+    QuerySpec("lang_id", q_lang_id, ORACLE_LANG_ID,
+              "stopword-hit language identification"),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
+              "md5 exact + min-shingle rolling fingerprints"),
+]
