@@ -1,0 +1,116 @@
+"""Config loader / validation-run surface (reference config.yaml
+shape, incl. the exactly-two-sources invariant and manual-query
+mode)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from validation_database_spark.config import load_config, run_validation
+from validation_database_spark.sources import register_views
+
+
+def _base_config(sf_dir, tmp_path):
+    return {
+        "databases": ["dbA", "dbB"],
+        "data_type": "string",
+        "check_column": "o_orderpriority",
+        "unique_key": ["o_orderkey"],
+        "threshold": 1,
+        "dbA_table_name": "orders",
+        "dbB_table_name": "orders",
+        "dbA_source": {"format": "parquet", "path": sf_dir},
+        "dbB_source": {"format": "parquet", "path": sf_dir},
+        "output": str(tmp_path / "report.csv"),
+    }
+
+
+def test_identical_sources_reconcile_clean(spark, sf_dir, tmp_path):
+    run = run_validation(spark, _base_config(sf_dir, tmp_path))
+    assert run.result.missing_in_first.count() == 0
+    assert run.result.missing_in_second.count() == 0
+    assert run.result.differing.count() == 0
+    # summary written (empty but with header), detail suppressed when empty
+    assert glob.glob(os.path.join(str(tmp_path / "report.csv"), "*.csv"))
+    assert not os.path.exists(str(tmp_path / "report.csv") + "_differing_values.csv")
+
+
+def test_exactly_two_sources_enforced(spark, sf_dir, tmp_path):
+    cfg = _base_config(sf_dir, tmp_path)
+    cfg["databases"] = ["a", "b", "c"]
+    with pytest.raises(ValueError, match="exactly two"):
+        run_validation(spark, cfg)
+
+
+def test_date_range_filter_applied(spark, sf_dir, tmp_path):
+    cfg = _base_config(sf_dir, tmp_path)
+    cfg.update(
+        {
+            "dbA_database_date_column": "o_orderdate",
+            # dbB unfiltered → rows outside the range are "missing in A"
+            "start_date": "1995-01-01",
+            "end_date": "1996-01-01",
+            "output": None,
+        }
+    )
+    run = run_validation(spark, cfg)
+    assert run.result.missing_in_first.count() > 0
+    assert run.result.missing_in_second.count() == 0
+
+
+def test_manual_query_mode(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    cfg = {
+        "databases": ["left", "right"],
+        "data_type": "integer",
+        "check_column": "check_col",
+        "is_using_manual_queries": True,
+        "queries": {
+            "first_query": (
+                "SELECT CAST(o_orderkey AS STRING) AS id, "
+                "CAST(o_totalprice AS STRING) AS check_col FROM orders"
+            ),
+            "second_query": (
+                "SELECT CAST(o_orderkey AS STRING) AS id, "
+                "CAST(o_totalprice + CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END "
+                "AS STRING) AS check_col FROM orders WHERE o_orderkey % 97 <> 0"
+            ),
+        },
+    }
+    run = run_validation(spark, cfg)
+    assert run.result.missing_in_first.count() == 0
+    assert run.result.missing_in_second.count() > 0  # %97 rows dropped on the right
+    assert run.result.differing.count() > 0          # %100 rows perturbed
+
+
+def test_fuzzy_threshold_end_to_end(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    cfg = {
+        "databases": ["x", "y"],
+        "data_type": "string",
+        "check_column": "check_col",
+        "threshold": 0.9,
+        "is_using_manual_queries": True,
+        "queries": {
+            "first_query": (
+                "SELECT CAST(o_orderkey AS STRING) AS id, o_orderpriority AS check_col "
+                "FROM orders"
+            ),
+            "second_query": (
+                # %101 rows get one appended char → ratio just under 1,
+                # above 0.9 → NOT reported at threshold 0.9
+                "SELECT CAST(o_orderkey AS STRING) AS id, "
+                "CASE WHEN o_orderkey % 101 = 0 THEN concat(o_orderpriority, 'X') "
+                "WHEN o_orderkey % 103 = 0 THEN 'utterly-different' "
+                "ELSE o_orderpriority END AS check_col FROM orders"
+            ),
+        },
+    }
+    run = run_validation(spark, cfg)
+    reported = {r.id for r in run.result.differing.collect()}
+    # the near-misses (one char appended to 6+-char strings) survive 0.9
+    assert all(int(i) % 103 == 0 for i in reported)
+    assert reported, "the utterly-different rows must be reported"

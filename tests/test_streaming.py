@@ -1,0 +1,88 @@
+"""Structured Streaming operators driven to completion over the
+bounded events fixture, cross-checked against their batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from validation_database_spark.sources import load_table
+from validation_database_spark.streaming import (
+    run_to_completion,
+    stream_events,
+    streaming_missing_ids,
+    streaming_sessionize,
+    streaming_window_counts,
+)
+
+
+def test_streaming_window_counts_match_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    out = run_to_completion(
+        streaming_window_counts(stream), "win_counts", output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+
+    ev = load_table(spark, "events", sf_dir)
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+    )
+    want = {(r.h, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_sessionize_counts_match_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    out = run_to_completion(
+        streaming_sessionize(stream), "sessions", output_mode="complete"
+    )
+    # Session totals must cover every event exactly once.
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, "events", sf_dir).count()
+    assert total == n_events
+    # Session boundaries: no two sessions of one user overlap.
+    by_user: dict[int, list[tuple]] = {}
+    for r in out.collect():
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for user, sessions in by_user.items():
+        sessions.sort()
+        for (s1, e1), (s2, _e2) in zip(sessions, sessions[1:]):
+            assert s2 >= e1, f"user {user}: overlapping sessions {e1} > {s2}"
+
+
+def test_streaming_missing_ids_vs_batch_anti_join(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    left = ev.filter(F.col("event_id") % 97 != 0)   # source A
+    right = ev.filter(F.col("event_id") % 89 != 0)  # source B
+    out = run_to_completion(
+        streaming_missing_ids(left, right), "missing_stream"
+    )
+    emitted = {r.event_id for r in out.collect()}
+
+    batch_ev = load_table(spark, "events", sf_dir)
+    batch_left = batch_ev.filter(F.col("event_id") % 97 != 0)
+    batch_right = batch_ev.filter(F.col("event_id") % 89 != 0)
+    expected_df = batch_left.join(
+        batch_right.select("event_id"), "event_id", "left_anti"
+    ).select("event_id", "ts")
+    expected = {r.event_id for r in expected_df.collect()}
+
+    # No false positives ever.
+    assert emitted <= expected
+    # Everything older than the final watermark horizon must have
+    # been emitted (watermark 1h + tolerance 1h + 1h slack).
+    max_ts = batch_ev.agg(F.max("ts")).collect()[0][0]
+    horizon = {
+        r.event_id
+        for r in expected_df.collect()
+        if (max_ts - r.ts).total_seconds() > 3 * 3600
+    }
+    assert horizon, "fixture should have events past the horizon"
+    assert horizon <= emitted

@@ -1,0 +1,159 @@
+"""Config surface: the reference's ``config.yaml`` shape, loaded and
+executed against Spark.
+
+The reference's CLI (``python config.py config.yaml``, reference
+config.py:13-71) reads a YAML config + per-database JSON credentials
+and runs one validation. This module keeps that UX:
+
+- the same keys: ``databases`` (exactly two, reference
+  running_validation.py:614-615), ``data_type``, ``check_column``,
+  ``unique_key``, ``threshold``, ``start_date``/``end_date``,
+  ``{db}_table_name``, ``{db}_database_date_column``, ``output``;
+- ``is_using_manual_queries`` + ``queries.first_query/second_query``
+  — dead keys in the reference (an older build had the branch, see
+  its logs) — are resurrected here as a ``spark.sql`` passthrough;
+- per-db source config generalizes the four hard-wired connectors: a
+  ``{db}_source`` block selects ``parquet`` (path) or ``jdbc``
+  (url/credentials), replacing reference running_validation.py:568-611.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.keys import composite_id
+from .operators.reconcile import ReconcileResult, reconcile
+from .operators.report import write_reports
+from .sources.registry import JdbcSource, load_table
+
+
+def load_config(path: str) -> dict[str, Any]:
+    with open(path) as f:
+        config = yaml.safe_load(f)
+    if not isinstance(config, dict):
+        raise ValueError(f"config {path} did not parse to a mapping")
+    return config
+
+
+def _validate(config: dict[str, Any]) -> None:
+    databases = config.get("databases")
+    if not isinstance(databases, list) or len(databases) != 2:
+        # reference running_validation.py:614-615
+        raise ValueError("exactly two entries required in 'databases'")
+    if not config.get("is_using_manual_queries"):
+        for key in ("check_column", "unique_key", "data_type"):
+            if not config.get(key):
+                raise ValueError(f"missing required config key {key!r}")
+
+
+def _source_df(spark: SparkSession, config: dict[str, Any], db: str) -> DataFrame:
+    src = config.get(f"{db}_source", {}) or {}
+    fmt = src.get("format", "parquet")
+    table = config.get(f"{db}_table_name")
+    if fmt == "parquet":
+        sf_dir = src.get("path") or config.get("sf_dir")
+        if table is None or sf_dir is None:
+            raise ValueError(f"{db}: parquet source needs {db}_table_name and a path")
+        return load_table(spark, table, sf_dir)
+    if fmt == "jdbc":
+        return JdbcSource(
+            url=src["url"],
+            dbtable=table,
+            user=src.get("user"),
+            password=src.get("password"),
+            fetchsize=int(config.get("batch_size", 10_000)),
+            driver=src.get("driver"),
+        ).load(spark)
+    raise ValueError(f"{db}: unknown source format {fmt!r}")
+
+
+def _project(
+    df: DataFrame, config: dict[str, Any], db: str
+) -> DataFrame:
+    """The generated-SQL projection (reference ops 9-11): composite id
+    + check column, with the optional strictly-exclusive date range."""
+    key_cols = config["unique_key"]
+    check = config["check_column"]
+    out = df.select(
+        composite_id(key_cols).alias("id"), F.col(check).alias(check)
+    )
+    date_col = config.get(f"{db}_database_date_column")
+    start, end = config.get("start_date"), config.get("end_date")
+    if date_col and start and end:
+        lo = F.lit(f"{start} 00:00:00").cast("timestamp")
+        hi = F.lit(f"{end} 00:00:00").cast("timestamp")
+        out = df.filter((F.col(date_col) > lo) & (F.col(date_col) < hi)).select(
+            composite_id(key_cols).alias("id"), F.col(check).alias(check)
+        )
+    return out
+
+
+@dataclass
+class ValidationRun:
+    result: ReconcileResult
+    output: str | None
+
+
+def run_validation(spark: SparkSession, config: dict[str, Any]) -> ValidationRun:
+    """Execute one configured validation (the reference's ``main``,
+    running_validation.py:456-654) and optionally write the two CSV
+    reports."""
+    _validate(config)
+    db1, db2 = config["databases"]
+
+    if config.get("is_using_manual_queries"):
+        queries = config.get("queries", {})
+        first = spark.sql(queries["first_query"])
+        second = spark.sql(queries["second_query"])
+        check = config["check_column"]
+    else:
+        first = _project(_source_df(spark, config, db1), config, db1)
+        second = _project(_source_df(spark, config, db2), config, db2)
+        check = config["check_column"]
+
+    result = reconcile(
+        first,
+        second,
+        check_column=check,
+        mode=config.get("data_type", "string"),
+        db1=db1,
+        db2=db2,
+        threshold=float(config.get("threshold", 1.0)),
+    )
+    output = config.get("output")
+    if output:
+        write_reports(result, output, single_file=bool(config.get("single_file", True)))
+    return ValidationRun(result, output)
+
+
+def main(argv: list[str] | None = None) -> int:
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 1:
+        print("usage: python -m validation_database_spark.config <config.yaml>")
+        return 1
+    from .session import get_spark
+
+    config = load_config(argv[0])
+    spark = get_spark(app_name="validation_database_spark")
+    run = run_validation(spark, config)
+    r = run.result
+    n1 = r.missing_in_first.count()
+    n2 = r.missing_in_second.count()
+    nd = r.differing.count()
+    print(
+        f"missing in {r.db1}: {n1}; missing in {r.db2}: {n2}; differing: {nd}"
+        + (f"; reports under {run.output}" if run.output else "")
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,154 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images / audio / video are carried as opaque ``binary`` payload
+columns plus a typed metadata struct — the layout that scales: the
+payload never passes through Python except inside Arrow-batched
+``mapInPandas`` stages, and metadata-only queries never touch the
+bytes (parquet column pruning skips the payload entirely).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the decode kernels are STUBS: ``decode_image_stub`` raises
+``NotImplementedError`` unless ``deterministic_fake=True``, in which
+case it derives a fake-but-deterministic "decoded" feature block from
+the bytes (so the Spark-side plumbing — schemas, batching, partition
+behavior — is fully real and testable). Swapping in a real codec
+changes only the body of the kernel function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of a multimodal asset row: opaque payload + typed metadata.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),  # image|audio|video
+                    T.StructField("format", T.StringType()),    # png|wav|mp4|…
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = (
+    "asset_id long, n_bytes long, payload_crc long, features array<float>"
+)
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic asset table from ``documents``: the
+    utf-8 bytes of the text become the payload (a stand-in for real
+    image bytes), metadata derived from doc fields."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+            .otherwise(F.lit("video"))
+            .alias("modality"),
+            F.lit("raw").alias("format"),
+            (F.col("doc_id") % 640).cast("int").alias("width"),
+            (F.col("doc_id") % 480).cast("int").alias("height"),
+            (F.length("text") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes, *, deterministic_fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an HxWxC array.
+
+    STUB: real decoding needs an image codec (e.g. PIL), which is not
+    available in this environment. With ``deterministic_fake`` the
+    payload bytes are folded into a fixed-size pseudo-"pixel" block so
+    downstream plumbing can be exercised deterministically.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires an image codec (PIL/opencv); "
+            "not available in this environment — use deterministic_fake "
+            "for plumbing tests"
+        )
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    size = 8 * 8
+    reps = int(np.ceil(size / max(len(buf), 1)))
+    return np.tile(buf, reps)[:size].reshape(8, 8).astype(np.uint8)
+
+
+def extract_features(assets: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column via
+    ``mapInPandas``: per input batch, "decode" each payload (stub) and
+    emit a fixed-dim feature vector + payload stats.
+
+    The iterator-of-batches shape is the real production kernel
+    signature — a GPU/codec implementation would process
+    ``pdf["payload"]`` in vectorized chunks exactly here.
+    """
+
+    feature_dim = FEATURE_DIM
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained on purpose: the kernel must not reference
+        # module-level symbols, so cloudpickle ships it by value and
+        # executor Python workers need no importable copy of this
+        # package (the driver contract is consumed by path, not
+        # installed). Mirrors decode_image_stub(deterministic_fake).
+        def fake_decode(payload: bytes) -> np.ndarray:
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            size = 8 * 8
+            reps = int(np.ceil(size / max(len(buf), 1)))
+            return np.tile(buf, reps)[:size].reshape(8, 8).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                block = fake_decode(data)
+                # Deterministic pooled "features": mean of 4-byte stripes.
+                pooled = block.reshape(-1)[: feature_dim * 4].reshape(feature_dim, 4)
+                feats = (pooled.mean(axis=1) / 255.0).astype(np.float32)
+                crc = int(np.uint32(np.sum(np.frombuffer(data, dtype=np.uint8), dtype=np.uint64) % (2**32)))
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_bytes": len(data),
+                        "payload_crc": crc,
+                        "features": feats.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "n_bytes", "payload_crc", "features"])
+
+    return assets.mapInPandas(kernel, schema=_FEATURES_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video assets: one output row per
+    sampled timestamp (metadata-only — pure JVM explode of a
+    sequence; the per-frame decode would be a second mapInPandas
+    stage over (payload, frame_ts))."""
+    video = assets.filter(F.col("meta.modality") == "video")
+    frame_ts = F.explode(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.greatest(F.col("meta.duration_ms") - 1, F.lit(0).cast("long")),
+            F.lit(every_ms).cast("long"),
+        )
+    )
+    return video.select("asset_id", frame_ts.alias("frame_ms"))

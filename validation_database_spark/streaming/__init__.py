@@ -1,0 +1,15 @@
+from .validation import (
+    stream_events,
+    streaming_window_counts,
+    streaming_sessionize,
+    streaming_missing_ids,
+    run_to_completion,
+)
+
+__all__ = [
+    "stream_events",
+    "streaming_window_counts",
+    "streaming_sessionize",
+    "streaming_missing_ids",
+    "run_to_completion",
+]

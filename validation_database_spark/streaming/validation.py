@@ -1,0 +1,159 @@
+"""Structured Streaming operators (north-star extension; the
+reference has no streaming surface at all, SURVEY.md §2.7).
+
+The reconciliation semantics of the batch engine re-expressed over
+unbounded streams:
+
+- windowed aggregation with watermarks (late data handled by event
+  time, state bounded by the watermark),
+- session windows (the streaming twin of suite/events.py
+  sessionization),
+- **streaming missing-id detection**: the reference's anti-join
+  (running_validation.py:225-226) becomes a watermarked stream-stream
+  LEFT OUTER join with an event-time range constraint — Spark emits
+  the unmatched-left rows once the watermark passes, i.e. "ids
+  missing from the other source" continuously. (Stream-stream
+  left_anti is not supported; left-outer + IS NULL filter is the
+  canonical encoding.)
+
+Tests drive these with the file source over the events fixture and a
+memory sink via ``processAllAvailable`` (deterministic completion);
+production swaps the source for Kafka and the sink for a real table —
+the plans are identical.
+
+State/scale posture: every stateful op carries a watermark, so state
+eviction is bounded; join state is keyed by (id, window bucket) and
+scales horizontally with shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Physical schema of events.parquet (ts is parquet TIMESTAMP(NANOS),
+# read as raw nanos — see sources/registry.py for the batch twin).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture as a (bounded) file-source stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source requires a directory; select just the events
+    # file from the fixture dir via the glob filter.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event type with a watermark —
+    append-mode safe (windows finalize when the watermark passes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (gap-based), the streaming equivalent
+    of suite/events.py::q_events_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_missing_ids(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+    join_tolerance: str = "1 hour",
+) -> DataFrame:
+    """Rows of ``left`` whose event_id never appears in ``right``
+    within the event-time tolerance — the streaming anti-join.
+
+    Encoded as a watermarked stream-stream left-outer join on
+    event_id with a time-range predicate; unmatched left rows are
+    emitted with NULL right columns once the watermark closes the
+    window, and the IS NULL filter keeps exactly those.
+    """
+    l = left.select(
+        F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_id") == F.col("r_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {join_tolerance}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {join_tolerance}"))
+    )
+    joined = l.join(r, cond, "left_outer")
+    return joined.filter(F.col("r_id").isNull()).select(
+        F.col("l_id").alias("event_id"), F.col("l_ts").alias("ts")
+    )
+
+
+def run_to_completion(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a (bounded) streaming DataFrame through a memory sink to
+    completion and return the materialized result as a batch
+    DataFrame. Test/smoke helper — production uses a real sink.
+
+    Note on ``append`` vs ``complete``: append only emits state the
+    watermark has closed, so with a bounded source the final windows
+    (within the watermark of max event time) are never flushed; tests
+    that want the full result of an aggregation use ``complete``.
+    """
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

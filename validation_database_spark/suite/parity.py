@@ -195,6 +195,28 @@ WHERE {ca} IS DISTINCT FROM {cb}
 """
 
 
+def q_diff_string_fuzzy_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-16 general path: threshold < 1 engages the Arrow-batched
+    ``difflib.SequenceMatcher`` pandas UDF over the joined pairs (the
+    reference's fuzzy_match, running_validation.py:306-316). Not
+    SQL-expressible → rows-only driver check; the UDF itself is
+    pinned against stdlib difflib in tests/test_compare_semantics.py.
+
+    At threshold 0.9 the derived pair's one-char-appended mutations
+    (ratio ≈ 0.91) stop being reported; only one-sided NULLs remain.
+    """
+    src_a, src_b = validation_pair(spark, sf_dir, "string")
+    res = reconcile(
+        src_a, src_b, check_column="check_col", mode="string",
+        db1="db1", db2="db2", threshold=0.9,
+    )
+    return res.differing.select(
+        "id",
+        F.col("check_col_db1").alias("check_a"),
+        F.col("check_col_db2").alias("check_b"),
+    )
+
+
 # --- ops 19-20: ragged side-by-side report -----------------------------
 
 def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,6 +295,8 @@ SPECS = [
               "op-15 numeric-coerced null-safe inequality"),
     QuerySpec("diff_string_fuzzy", _diff_query("string"), _oracle_diff("string"),
               "op-16 threshold=1 exact-equality fast path"),
+    QuerySpec("diff_string_fuzzy_approx", q_diff_string_fuzzy_approx, None,
+              "op-16 threshold<1 SequenceMatcher pandas UDF (rows-only)"),
     QuerySpec("diff_date", _diff_query("date"), _oracle_diff("date"),
               "op-17 datetime-coerced null-safe inequality"),
     QuerySpec("report_summary", q_report_summary, ORACLE_REPORT_SUMMARY,
