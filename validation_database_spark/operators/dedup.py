@@ -53,9 +53,17 @@ def word_shingles(toks: Column, n: int = SHINGLE_WORDS) -> Column:
 
 def exploded_shingles(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
-    """(id, shingle) pairs, distinct per doc — the set representation."""
+    """(id, shingle) pairs, distinct per doc — the set representation.
+
+    The source rows are spread across cores first: shingling + the
+    downstream per-shingle md5s are the CPU-heavy part and must not be
+    serialized onto one input partition (see util.spread).
+    """
+    from ..util import spread
+
     return (
-        docs.select(F.col(id_col), F.explode(word_shingles(tokens(text_col))).alias("sh"))
+        spread(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(word_shingles(tokens(text_col))).alias("sh"))
         .distinct()
     )
 

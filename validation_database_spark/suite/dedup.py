@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators.vectors import cosine_sql, cosine_rounded, scale_vector
 from ..sources import load_table
+from ..util import spread
 from . import QuerySpec
 
 # Shared DuckDB shingle CTE (mirrors D.exploded_shingles).
@@ -79,7 +80,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join only materializes pairs that share a
     shingle — never the O(n²) pair space."""
     docs = load_table(spark, "documents", sf_dir)
-    shingles = D.exploded_shingles(docs)
+    # The inverted index feeds three consumers (sizes + both join
+    # sides); Spark has no automatic cross-branch subtree reuse, so
+    # persist it once instead of recomputing the shingle explode 3x.
+    # (At corpus scale this index would be persisted/written anyway.)
+    shingles = D.exploded_shingles(docs).persist()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("id_a"), "sh")
     b = shingles.select(F.col("doc_id").alias("id_b"), "sh")
@@ -129,7 +134,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is O(bucket sizes), not O(n²) — the scale
     path for corpus-level near-dup at 100 TB."""
     docs = load_table(spark, "documents", sf_dir)
-    shingles = D.exploded_shingles(docs)
+    # persist: consumed by the signature pass and (twice) by the
+    # exact-Jaccard verify join.
+    shingles = D.exploded_shingles(docs).persist()
     sigs = D.minhash_signatures(shingles)
     bands = D.lsh_bands(sigs)
     pairs = D.lsh_candidate_pairs(bands)
@@ -180,7 +187,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash signature (near-dup docs land on nearby
     signatures; grouping by signature buckets exact-ish dups)."""
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
+    return spread(docs.select("doc_id", "text")).select(
         "doc_id", D.simhash16(D.tokens("text")).alias("simhash")
     )
 
@@ -214,7 +221,9 @@ COSINE_THRESHOLD = 0.98
 
 
 def _vecs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
+    emb = spread(
+        load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
+    )
     scaled = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         scale_vector(F.col("embedding"), 2.0).alias("embedding"),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.vectors import cosine_rounded, cosine_sql
 from ..sources import load_table
+from ..util import spread
 from . import QuerySpec
 
 TOP_K = 10
@@ -31,7 +32,9 @@ CENTROID_OFF = 7  # vec_id % 50 == 7 → centroid set
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # spread: the scoring joins' probe side must not sit on one scan
+    # partition (single-file fixture); see util.spread.
+    return spread(load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"))
 
 
 # --- brute-force top-k -------------------------------------------------

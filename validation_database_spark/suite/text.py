@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..util import spread
 from . import QuerySpec
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -45,7 +46,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (words and
     punctuation as separate tokens — the standard pre-tokenizer
     shape)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     return docs.select(
         "doc_id",
         F.size(_tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
@@ -71,7 +72,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals with a
     composite keep/drop flag — the standard pre-training corpus
     filter."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     en = [F.lit(w) for w in STOPWORDS["en"]]
@@ -139,7 +140,7 @@ FROM m
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language scores + argmax prediction with fixed
     precedence (en > es > fr > de > unknown) for deterministic ties."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     toks = _tokens(F.col("text"))
 
     def n_hits(ws):
@@ -203,7 +204,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       a rolling-hash winnowing fingerprint that is stable under small
       appends/prepends (near-dup key).
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     norm = F.regexp_replace(F.lower("text"), "\\s+", " ")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
