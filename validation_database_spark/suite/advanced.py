@@ -1,0 +1,193 @@
+"""Advanced relational operators Spark has no single primitive for,
+re-expressed as compositions (SURVEY.md §2.7 gap list + pyspark guide
+"common OLAP patterns"): as-of join, range join via bucketing, exact
+grouped linear regression, interpolated percentiles, global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import pair_cte, validation_pair
+from ..sources import load_table
+from . import QuerySpec
+
+
+# --- as-of join --------------------------------------------------------
+
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join without a cross product: for every
+    purchase event, the same user's most recent view at-or-before it.
+    Encoded as last_value(IGNORE NULLS) over the per-user event-time
+    order — one shuffle on user_id, no range explosion; the idiomatic
+    Spark rewrite of merge_asof."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    with_last = ev.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+    return with_last.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_view_ts"
+    )
+
+
+ORACLE_ASOF = """
+WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+                   user_id, event_type FROM events),
+lasted AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM ev
+)
+SELECT event_id, user_id, ts, last_view_ts
+FROM lasted WHERE event_type = 'purchase'
+"""
+
+
+# --- range join via bucketing -----------------------------------------
+
+N_BANDS = 50
+BAND_WIDTH = 100
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (part price ∈ [lo, hi) band) rewritten as an
+    equi-join on the computed bucket key — the O(n) scale path; the
+    oracle runs the naive BETWEEN theta-join to prove the rewrite is
+    semantics-preserving."""
+    part = load_table(spark, "part", sf_dir)
+    bands = spark.range(N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * BAND_WIDTH).cast("double").alias("band_lo"),
+        ((F.col("id") + 1) * BAND_WIDTH).cast("double").alias("band_hi"),
+    )
+    keyed = part.withColumn(
+        "band_id", F.floor(F.col("p_retailprice") / BAND_WIDTH)
+    )
+    return keyed.join(F.broadcast(bands), "band_id").select(
+        "p_partkey", "band_id", "band_lo", "band_hi", "p_retailprice"
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT p.p_partkey, b.band_id, b.band_lo, b.band_hi, p.p_retailprice
+FROM part p
+JOIN (SELECT i AS band_id, CAST(i * {BAND_WIDTH} AS DOUBLE) AS band_lo,
+             CAST((i + 1) * {BAND_WIDTH} AS DOUBLE) AS band_hi
+      FROM range({N_BANDS}) t(i)) b
+  ON p.p_retailprice >= b.band_lo AND p.p_retailprice < b.band_hi
+"""
+
+
+# --- exact grouped linear regression ----------------------------------
+
+def q_regression_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS slope of order totalprice over order date.
+    All moments are accumulated as exact integers (days, cents) so the
+    slope is bit-deterministic across engines — the closed form
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) evaluated from bigint sums."""
+    orders = load_table(spark, "orders", sf_dir)
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    y = F.round(F.col("o_totalprice") * 100).cast("bigint")  # cents
+    agg = orders.select(F.col("o_custkey"), x.alias("x"), y.alias("y")).groupBy(
+        "o_custkey"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = agg.n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (agg.n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / F.nullif(
+        denom, F.lit(0)
+    ).cast("double")
+    return agg.select(
+        "o_custkey",
+        F.col("n").alias("n_orders"),
+        F.round(slope / 100, 6).alias("slope_per_day"),  # back to currency units
+    )
+
+
+ORACLE_REGRESSION = """
+WITH m AS (
+  SELECT o_custkey,
+         count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM (
+    SELECT o_custkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS y
+    FROM orders
+  ) GROUP BY o_custkey
+)
+SELECT o_custkey, n AS n_orders,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) / 100, 6) AS slope_per_day
+FROM m
+"""
+
+
+# --- interpolated percentiles -----------------------------------------
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order status (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``: both use the
+    (n−1)·q linear-interpolation definition)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- op-14: global sort ------------------------------------------------
+
+def q_sorted_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference sorts both frames by id before reporting
+    (running_validation.py:636-637). Global sort made value-checkable
+    by materializing the rank. Report-sized data only — a global
+    row_number serializes to one partition by construction."""
+    src_a, _ = validation_pair(spark, sf_dir, "string")
+    w = Window.orderBy("id")
+    return src_a.select("id").withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+ORACLE_SORTED_IDS = f"""
+{pair_cte("string")}
+SELECT id, row_number() OVER (ORDER BY id) AS rank FROM src_a
+"""
+
+
+SPECS = [
+    QuerySpec("asof_view_before_purchase", q_asof_view_before_purchase, ORACLE_ASOF,
+              "as-of backward join via last_value IGNORE NULLS"),
+    QuerySpec("range_join_price_bands", q_range_join_price_bands, ORACLE_RANGE_JOIN,
+              "range join rewritten as bucketed equi-join"),
+    QuerySpec("regression_spend_trend", q_regression_spend_trend, ORACLE_REGRESSION,
+              "exact integer-moment OLS slope per customer"),
+    QuerySpec("price_percentiles", q_price_percentiles, ORACLE_PERCENTILES,
+              "interpolated percentiles per group"),
+    QuerySpec("sorted_ids", q_sorted_ids, ORACLE_SORTED_IDS,
+              "op-14 global sort with materialized rank"),
+]
