@@ -86,3 +86,28 @@ def test_streaming_missing_ids_vs_batch_anti_join(spark, sf_dir):
     }
     assert horizon, "fixture should have events past the horizon"
     assert horizon <= emitted
+
+
+def test_streaming_stateful_user_totals(spark, sf_dir):
+    from validation_database_spark.streaming import streaming_user_totals
+
+    stream = stream_events(spark, sf_dir)
+    out = run_to_completion(
+        streaming_user_totals(stream), "user_totals", output_mode="update"
+    )
+    # update mode re-emits per batch; the max n_events row per user is
+    # the final state.
+    latest = {}
+    for r in out.collect():
+        if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_events, r.total_value)
+
+    ev = load_table(spark, "events", sf_dir)
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("t"),
+    )
+    want = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert {u: v[0] for u, v in latest.items()} == {u: v[0] for u, v in want.items()}
+    for u in want:
+        assert abs(latest[u][1] - want[u][1]) < 0.05, (u, latest[u], want[u])

@@ -3,6 +3,7 @@ from .validation import (
     streaming_window_counts,
     streaming_sessionize,
     streaming_missing_ids,
+    streaming_user_totals,
     run_to_completion,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "streaming_window_counts",
     "streaming_sessionize",
     "streaming_missing_ids",
+    "streaming_user_totals",
     "run_to_completion",
 ]

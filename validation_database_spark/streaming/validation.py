@@ -157,3 +157,42 @@ def run_to_completion(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def streaming_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user running (n_events, total_value) maintained in explicit
+    group state and re-emitted on every batch (update semantics).
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations cannot express (reference has no analog; the batch
+    twin is a plain groupBy). State is one small tuple per user —
+    bounded, shuffle-partitioned by the group key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # Self-contained kernel (no module-global references) so
+    # cloudpickle ships it by value to executor workers.
+    def update(key, pdf_iter, state):
+        import pandas as _pd
+
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
