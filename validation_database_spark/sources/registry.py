@@ -56,8 +56,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects. Read nanos as long and truncate to microseconds
         # (the DuckDB oracles truncate identically via
-        # make_timestamp(epoch_ns(ts) // 1000)).
+        # make_timestamp(epoch_ns(ts) // 1000)). timestamp_micros
+        # yields TIMESTAMP_LTZ, whose wall-clock rendering depends on
+        # the session timezone — pin UTC (the engine-wide assumption,
+        # see session.py) so a caller-provided session with another TZ
+        # still gets DuckDB-comparable instants.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(path)
