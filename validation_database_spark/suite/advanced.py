@@ -181,11 +181,11 @@ SELECT id, row_number() OVER (ORDER BY id) AS rank FROM src_a
 
 SPECS = [
     QuerySpec("asof_view_before_purchase", q_asof_view_before_purchase, ORACLE_ASOF,
-              "as-of backward join via last_value IGNORE NULLS"),
+              "as-of backward join via last_value IGNORE NULLS", headline=True),
     QuerySpec("range_join_price_bands", q_range_join_price_bands, ORACLE_RANGE_JOIN,
               "range join rewritten as bucketed equi-join"),
     QuerySpec("regression_spend_trend", q_regression_spend_trend, ORACLE_REGRESSION,
-              "exact integer-moment OLS slope per customer"),
+              "exact integer-moment OLS slope per customer", headline=True),
     QuerySpec("price_percentiles", q_price_percentiles, ORACLE_PERCENTILES,
               "interpolated percentiles per group"),
     QuerySpec("sorted_ids", q_sorted_ids, ORACLE_SORTED_IDS,

@@ -1,0 +1,198 @@
+"""Scalar/collection function coverage: correlated-subquery
+semantics, map construction/extraction, array higher-order functions,
+math functions — the general-purpose expression surface a user
+migrating onto this engine expects (SURVEY.md §2.7 gap list)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import QuerySpec
+
+
+# --- correlated subquery ----------------------------------------------
+
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their customer's average. The correlated
+    scalar subquery decorrelates to a window average over the
+    customer partition — one shuffle, no per-row subquery execution;
+    the oracle states it as the correlated form."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey")
+    avg_exact = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", F.round(avg_exact, 6))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+ORACLE_ORDERS_ABOVE_CUST_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROUND(
+         (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders i WHERE i.o_custkey = o.o_custkey), 6) AS cust_avg
+FROM orders o
+WHERE o_totalprice > ROUND(
+         (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders i WHERE i.o_custkey = o.o_custkey), 6)
+"""
+
+
+# --- map functions -----------------------------------------------------
+
+def q_map_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user map<event_type, count> built with map_from_entries,
+    consumed with element_at/map_keys. The map is internal — outputs
+    are extracted scalars (map serialization order is not portable)."""
+    ev = load_table(spark, "events", sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts")
+    )
+    return as_map.select(
+        "user_id",
+        F.coalesce(F.element_at("counts", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("counts", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.size(F.map_keys(F.col("counts"))).cast("bigint").alias("n_types"),
+    )
+
+
+ORACLE_MAP_EVENT_COUNTS = """
+SELECT user_id,
+       coalesce(count(*) FILTER (event_type = 'click'), 0) AS n_click,
+       coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS n_purchase,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+# --- array higher-order functions -------------------------------------
+
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over embeddings: slice, reverse, sort, min/max,
+    filter/transform/aggregate — all JVM higher-order expressions."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    arr = F.col("embedding")
+    dbl = F.transform(arr, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(arr).cast("bigint").alias("dim"),
+        F.round(F.array_max(dbl), 6).alias("v_max"),
+        F.round(F.array_min(dbl), 6).alias("v_min"),
+        F.round(F.get(F.sort_array(dbl), 0), 6).alias("sorted_first"),
+        F.round(F.get(F.reverse(F.slice(dbl, 1, 4)), 0), 6).alias("fourth"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 6
+        ).alias("l1_norm"),
+    )
+
+
+ORACLE_ARRAY_STATS = """
+WITH t AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS d FROM embeddings)
+SELECT vec_id,
+       len(d) AS dim,
+       ROUND(list_max(d), 6) AS v_max,
+       ROUND(list_min(d), 6) AS v_min,
+       ROUND(list_sort(d)[1], 6) AS sorted_first,
+       ROUND(list_reverse(d[1:4])[1], 6) AS fourth,
+       len(list_filter(d, x -> x > 0)) AS n_positive,
+       ROUND(list_aggregate(list_transform(d, x -> abs(x)), 'sum'), 6) AS l1_norm
+FROM t
+"""
+
+
+# --- math functions ----------------------------------------------------
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math over part prices: sqrt/ln/exp/pow/abs/sign/
+    floor/ceil/mod — rounded to absorb any last-ulp libm divergence
+    between the JVM and DuckDB."""
+    part = load_table(spark, "part", sf_dir)
+    p = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.round(F.sqrt(p), 6).alias("sqrt_price"),
+        F.round(F.log(p), 6).alias("ln_price"),
+        F.round(F.pow(p, F.lit(0.25)), 6).alias("price_4th_root"),
+        F.round(F.exp(p / 1000.0), 6).alias("exp_scaled"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dev"),
+        F.signum(F.col("p_size") - 25).cast("double").alias("size_sign"),
+        F.floor(p).cast("bigint").alias("price_floor"),
+        F.ceil(p).cast("bigint").alias("price_ceil"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("key_mod7"),
+    )
+
+
+ORACLE_MATH_FUNCS = """
+SELECT p_partkey,
+       ROUND(sqrt(p_retailprice), 6) AS sqrt_price,
+       ROUND(ln(p_retailprice), 6) AS ln_price,
+       ROUND(pow(p_retailprice, 0.25), 6) AS price_4th_root,
+       ROUND(exp(p_retailprice / 1000.0), 6) AS exp_scaled,
+       CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+       CAST(sign(p_size - 25) AS DOUBLE) AS size_sign,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       p_partkey % 7 AS key_mod7
+FROM part
+"""
+
+
+# --- string functions --------------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: case, trim/pad, substring, replace, split,
+    position, translate, repeat-free deterministic transforms."""
+    cust = load_table(spark, "customer", sf_dir)
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.length(name).cast("bigint").alias("name_len"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_replace(name, "[0-9]", "#").alias("masked"),
+        F.instr(name, "#").cast("bigint").alias("hash_pos"),
+        F.translate(name, "ACE", "ace").alias("translated"),
+        F.reverse(name).alias("reversed"),
+        F.concat_ws("-", F.lit("cust"), F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       length(c_name) AS name_len,
+       substring(c_name, 1, 8) AS prefix8,
+       lpad(CAST(c_custkey AS STRING), 10, '0') AS padded_key,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+       translate(c_name, 'ACE', 'ace') AS translated,
+       reverse(c_name) AS reversed,
+       concat_ws('-', 'cust', c_mktsegment) AS tagged
+FROM customer
+"""
+
+
+SPECS = [
+    QuerySpec("orders_above_cust_avg", q_orders_above_cust_avg,
+              ORACLE_ORDERS_ABOVE_CUST_AVG,
+              "correlated scalar subquery ≡ window decorrelation"),
+    QuerySpec("map_event_counts", q_map_event_counts, ORACLE_MAP_EVENT_COUNTS,
+              "map_from_entries / element_at / map_keys"),
+    QuerySpec("array_stats", q_array_stats, ORACLE_ARRAY_STATS,
+              "array slice/sort/reverse/filter/aggregate"),
+    QuerySpec("math_funcs", q_math_funcs, ORACLE_MATH_FUNCS,
+              "sqrt/ln/pow/exp/abs/sign/floor/ceil/mod"),
+    QuerySpec("string_funcs", q_string_funcs, ORACLE_STRING_FUNCS,
+              "case/pad/substr/regex/translate/reverse"),
+]

@@ -61,5 +61,5 @@ SPECS = [
     QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
               "per-modality metadata stats, payload-pruning layout"),
     QuerySpec("multimodal_features", q_multimodal_features, None,
-              "Arrow-batched stub-decode feature extraction (rows-only)"),
+              "Arrow-batched stub-decode feature extraction (rows-only)", headline=True),
 ]
