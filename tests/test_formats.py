@@ -1,0 +1,63 @@
+"""Source/sink format coverage: engine results roundtrip through
+csv / json / orc / partitioned parquet without loss."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from validation_database_spark.fixtures import validation_pair
+from validation_database_spark.operators.reconcile import reconcile
+
+
+@pytest.fixture(scope="module")
+def differing(spark, sf_dir):
+    a, b = validation_pair(spark, sf_dir, "string")
+    res = reconcile(a, b, check_column="check_col", mode="string")
+    return res.differing
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_roundtrip(spark, differing, tmp_path):
+    path = str(tmp_path / "diff_csv")
+    differing.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(differing.schema).option("header", True).csv(path)
+    assert _rows(back) == _rows(differing)
+
+
+def test_json_roundtrip(spark, differing, tmp_path):
+    path = str(tmp_path / "diff_json")
+    differing.write.mode("overwrite").json(path)
+    back = spark.read.schema(differing.schema).json(path)
+    assert _rows(back) == _rows(differing)
+
+
+def test_orc_roundtrip(spark, differing, tmp_path):
+    path = str(tmp_path / "diff_orc")
+    differing.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert _rows(back.select(*differing.columns)) == _rows(differing)
+
+
+def test_partitioned_parquet_with_pruning(spark, sf_dir, tmp_path):
+    """partitionBy layout + partition pruning: reading one partition
+    must scan only that directory (pruning visible in the plan's
+    partition count at scale; here we assert correctness + layout)."""
+    a, _ = validation_pair(spark, sf_dir, "string")
+    path = str(tmp_path / "by_check")
+    a.withColumn("bucket", (F.crc32("id") % 4).cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("bucket") == 2)
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(path, "bucket=2", "*.parquet"))
+    expected = a.withColumn("bucket", (F.crc32("id") % 4).cast("int")).filter(
+        F.col("bucket") == 2
+    )
+    assert one.count() == expected.count() > 0

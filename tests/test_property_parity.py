@@ -1,0 +1,131 @@
+"""Property-based parity: Spark comparison predicates vs a pandas
+reference model.
+
+The reference's validators are pandas programs
+(``pd.to_numeric(errors='coerce')`` / ``pd.to_datetime`` /
+``SequenceMatcher`` + the both-NaN exclusion, running_validation.py
+:214-453). These tests re-state that semantics as a small pandas
+model (written from the survey's truth tables, not copied) and
+property-check the Spark predicates against it over generated inputs.
+
+Input domains are curated to the reference's data domain (DB values
+rendered as strings): decimal/scientific numerics, whitespace
+padding, junk words, NULLs, ISO-ish dates. Known representational
+divergences outside that domain (e.g. pandas accepting ``'inf'``,
+pandas' many date formats) are intentionally out of scope — a remote
+DB never emits them through the reference's canonicalizing SQL.
+"""
+
+from __future__ import annotations
+
+import difflib
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from validation_database_spark.operators.compare import differing_predicate
+
+# --- generated domains -------------------------------------------------
+
+_num_str = st.one_of(
+    st.integers(-10**9, 10**9).map(str),
+    st.integers(-10**6, 10**6).map(lambda n: f"{n}.0"),
+    st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+    ).map(lambda f: repr(round(f, 6))),
+    st.integers(-999, 999).map(lambda n: f"{n}e2"),
+    st.sampled_from(["junk", "N/A", "", "  ", "12a", "a12", "-", "+"]),
+    st.integers(-10**6, 10**6).map(lambda n: f"  {n} "),
+    st.none(),
+)
+
+# pandas datetime64[ns] spans 1677-09-21..2262-04-11; outside it
+# pd.to_datetime coerces to NaT while Spark parses fine — a model
+# limitation of the reference, not a semantic we reproduce. Generate
+# within the shared range.
+import datetime as _dt
+
+_date_str = st.one_of(
+    st.dates(_dt.date(1700, 1, 1), _dt.date(2260, 12, 31)).map(lambda d: d.isoformat()),
+    st.datetimes(
+        _dt.datetime(1700, 1, 1), _dt.datetime(2260, 12, 31)
+    ).map(lambda d: d.strftime("%Y-%m-%d %H:%M:%S")),
+    st.sampled_from(["not-a-date", "", "2023-13-45", None]),
+)
+
+_word = st.one_of(
+    st.text(alphabet="abcXYZ -_", min_size=0, max_size=12),
+    st.none(),
+)
+
+
+# --- pandas reference models ------------------------------------------
+
+def _model_integer_kept(pairs: list[tuple]) -> set[int]:
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    a = pd.to_numeric(df["a"], errors="coerce")
+    b = pd.to_numeric(df["b"], errors="coerce")
+    keep = (a != b) & ~(a.isna() & b.isna())
+    return set(df.index[keep])
+
+
+def _model_date_kept(pairs: list[tuple]) -> set[int]:
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    a = pd.to_datetime(df["a"], errors="coerce", format="mixed")
+    b = pd.to_datetime(df["b"], errors="coerce", format="mixed")
+    keep = (a != b) & ~(a.isna() & b.isna())
+    return set(df.index[keep])
+
+
+def _model_string_kept(pairs: list[tuple], threshold: float) -> set[int]:
+    kept = set()
+    for i, (x, y) in enumerate(pairs):
+        x_null, y_null = x is None, y is None
+        if x_null and y_null:
+            ratio = 1.0
+        elif x_null or y_null:
+            ratio = 0.0
+        else:
+            ratio = difflib.SequenceMatcher(None, x, y).ratio()
+        if ratio < threshold:
+            kept.add(i)
+    return kept
+
+
+def _spark_kept(spark, pairs: list[tuple], mode: str, threshold: float = 1.0) -> set[int]:
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "idx int, a string, b string")
+    kept = df.filter(differing_predicate("a", "b", mode, threshold=threshold))
+    return {r.idx for r in kept.collect()}
+
+
+_prop_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_prop_settings
+@given(pairs=st.lists(st.tuples(_num_str, _num_str), min_size=1, max_size=40))
+def test_integer_mode_matches_pandas_model(spark, pairs):
+    assert _spark_kept(spark, pairs, "integer") == _model_integer_kept(pairs)
+
+
+@_prop_settings
+@given(pairs=st.lists(st.tuples(_date_str, _date_str), min_size=1, max_size=40))
+def test_date_mode_matches_pandas_model(spark, pairs):
+    assert _spark_kept(spark, pairs, "date") == _model_date_kept(pairs)
+
+
+@_prop_settings
+@given(
+    pairs=st.lists(st.tuples(_word, _word), min_size=1, max_size=30),
+    threshold=st.sampled_from([1.0, 0.9, 0.5, 0.0]),
+)
+def test_string_mode_matches_reference_model(spark, pairs, threshold):
+    got = _spark_kept(spark, pairs, "string", threshold=threshold)
+    want = _model_string_kept(pairs, threshold)
+    assert got == want
