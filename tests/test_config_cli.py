@@ -114,3 +114,39 @@ def test_fuzzy_threshold_end_to_end(spark, sf_dir, tmp_path):
     # the near-misses (one char appended to 6+-char strings) survive 0.9
     assert all(int(i) % 103 == 0 for i in reported)
     assert reported, "the utterly-different rows must be reported"
+
+
+def test_credentials_dir_merges_into_sources(tmp_path):
+    import json
+
+    from validation_database_spark.config import (
+        load_all_credentials,
+        merge_credentials,
+    )
+
+    creds_dir = tmp_path / "creds"
+    creds_dir.mkdir()
+    (creds_dir / "pg.json").write_text(
+        json.dumps({"format": "jdbc", "url": "jdbc:postgresql://h/db", "user": "u", "password": "p"})
+    )
+    (creds_dir / "ora.json").write_text(
+        json.dumps({"format": "jdbc", "url": "jdbc:oracle:thin:@h", "user": "o"})
+    )
+    creds = load_all_credentials(str(creds_dir))
+    assert set(creds) == {"pg", "ora"}
+
+    cfg = {
+        "databases": ["pg", "ora"],
+        # config-level override wins over the cred file
+        "pg_source": {"user": "override"},
+    }
+    merged = merge_credentials(cfg, creds)
+    assert merged["pg_source"]["user"] == "override"
+    assert merged["pg_source"]["url"] == "jdbc:postgresql://h/db"
+    assert merged["ora_source"]["user"] == "o"
+
+
+def test_missing_creds_dir_is_fine(tmp_path):
+    from validation_database_spark.config import load_all_credentials
+
+    assert load_all_credentials(str(tmp_path / "nope")) == {}

@@ -41,6 +41,37 @@ def load_config(path: str) -> dict[str, Any]:
     return config
 
 
+def load_all_credentials(creds_dir: str) -> dict[str, Any]:
+    """Load every ``<name>.json`` under ``creds_dir`` keyed by file
+    stem — the reference's credential convention (reference
+    config.py:29-54: one JSON per database, merged into the config).
+    Missing directory → empty dict (credentials are optional for
+    parquet sources)."""
+    import json
+
+    creds: dict[str, Any] = {}
+    if not os.path.isdir(creds_dir):
+        return creds
+    for fname in sorted(os.listdir(creds_dir)):
+        if fname.endswith(".json"):
+            with open(os.path.join(creds_dir, fname)) as f:
+                creds[fname[: -len(".json")]] = json.load(f)
+    return creds
+
+
+def merge_credentials(config: dict[str, Any], creds: dict[str, Any]) -> dict[str, Any]:
+    """Fold per-db credentials into the matching ``{db}_source``
+    blocks (jdbc user/password/url come from the cred file unless the
+    config overrides them)."""
+    merged = dict(config)
+    for db in merged.get("databases", []):
+        if db in creds:
+            src = dict(creds[db])
+            src.update(merged.get(f"{db}_source", {}) or {})
+            merged[f"{db}_source"] = src
+    return merged
+
+
 def _validate(config: dict[str, Any]) -> None:
     databases = config.get("databases")
     if not isinstance(databases, list) or len(databases) != 2:
@@ -142,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     config = load_config(argv[0])
+    creds_dir = config.get("creds_dir") or os.path.join(
+        os.path.dirname(os.path.abspath(argv[0])), "creds"
+    )
+    config = merge_credentials(config, load_all_credentials(creds_dir))
     spark = get_spark(app_name="validation_database_spark")
     run = run_validation(spark, config)
     r = run.result

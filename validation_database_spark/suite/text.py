@@ -229,6 +229,56 @@ FROM t
 """
 
 
+
+# --- passage chunking --------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (size 64 tokens, overlap 16) —
+    the standard pre-training/RAG passage op. Pure JVM: sequence of
+    chunk starts + slice + array_join, exploded with the chunk index.
+    Scales as a narrow map over documents (no shuffle)."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    bound = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_STRIDE)
+    )
+    exploded = bound.select(
+        "doc_id", F.size("toks").alias("n_toks"), F.posexplode(starts)
+    )
+    chunk = F.slice(F.col("toks"), F.col("col"), CHUNK_SIZE)
+    return (
+        bound.select("doc_id", "toks")
+        .join(exploded, "doc_id")
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+ORACLE_TEXT_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), {_STRIDE})) AS s,
+         generate_subscripts(generate_series(1, greatest(len(toks), 1), {_STRIDE}), 1) - 1 AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(toks[s:s + {CHUNK_SIZE - 1}], ' ') AS chunk_text,
+       CAST(len(toks[s:s + {CHUNK_SIZE - 1}]) AS BIGINT) AS chunk_tokens
+FROM starts
+""".format(toks=_tokens_sql("text"))
+
+
 SPECS = [
     QuerySpec("text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
               "whitespace + BPE-ish regex token counts", headline=True),
@@ -238,4 +288,6 @@ SPECS = [
               "stopword-hit language identification"),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
               "md5 exact + min-shingle rolling fingerprints"),
+    QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
+              "sliding-window passage chunking (64/16 overlap)"),
 ]
