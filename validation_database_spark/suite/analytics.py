@@ -333,6 +333,45 @@ FROM orders GROUP BY 1 HAVING COUNT(*) > 10
 """
 
 
+
+# --- skew-mitigated join ----------------------------------------------
+
+def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under deliberate skew: ~1/3 of lineitem rows are
+    remapped onto one hot supplier key, then joined to the supplier
+    dim through operators/skew.salted_join (hot key fanned across 8
+    salt sub-keys). The aggregate is salt-invariant, so the oracle is
+    the plain join — proving the mitigation is semantics-preserving."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1)).otherwise(F.col("l_suppkey")),
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("skew_key"), "s_name"
+    )
+    return (
+        salted_join(li.select("skew_key", "l_quantity"), supp, "skew_key", num_salts=8)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_SKEW_SALTED_REVENUE = """
+SELECT s_name, count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS skew_key,
+             l_quantity
+      FROM lineitem) li
+JOIN supplier ON skew_key = s_suppkey
+GROUP BY s_name
+"""
+
+
 SPECS = [
     QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
               "TPC-H Q1-style scan-heavy group-by", headline=True),
@@ -356,4 +395,7 @@ SPECS = [
               "INTERSECT / EXCEPT / UNION ALL"),
     QuerySpec("big_spender_months", q_big_spender_months, ORACLE_BIG_SPENDER_MONTHS,
               "date_trunc + HAVING"),
+    QuerySpec("skew_salted_revenue", q_skew_salted_revenue,
+              ORACLE_SKEW_SALTED_REVENUE,
+              "salted join under deliberate key skew", headline=True),
 ]

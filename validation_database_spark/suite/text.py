@@ -279,6 +279,55 @@ FROM starts
 """.format(toks=_tokens_sql("text"))
 
 
+
+# --- corpus-statistics quality: unigram log-probability ---------------
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality signal: average unigram log-probability
+    per document (low = unusual token mix). Two-pass: corpus unigram
+    model (one groupBy), then a broadcast join back onto the token
+    stream. Per-token logprobs are rounded to 4 then summed in
+    DECIMAL so the per-doc average is cross-engine exact."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    model = vocab.crossJoin(total).select(
+        "tok", F.round(F.log(F.col("c") / F.col("t")), 4).alias("lp")
+    )
+    per_doc = (
+        tok.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("lp").cast("decimal(18,4)")).alias("sum_lp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sum_lp").cast("double") / F.col("n_tokens"), 4).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+ORACLE_TEXT_UNIGRAM_LOGPROB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_tokens_sql('text')}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+model AS (
+  SELECT tok, ROUND(ln(c / (SELECT CAST(sum(c) AS DOUBLE) FROM vocab)), 4) AS lp
+  FROM vocab
+)
+SELECT doc_id, count(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_logprob
+FROM tok JOIN model USING (tok)
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
               "whitespace + BPE-ish regex token counts", headline=True),
@@ -290,4 +339,7 @@ SPECS = [
               "md5 exact + min-shingle rolling fingerprints"),
     QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
               "sliding-window passage chunking (64/16 overlap)"),
+    QuerySpec("text_unigram_logprob", q_text_unigram_logprob,
+              ORACLE_TEXT_UNIGRAM_LOGPROB,
+              "corpus unigram-LM avg log-probability per doc"),
 ]
