@@ -72,15 +72,35 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+SLICES_PER_MD5 = 4  # 32 hex chars → 4 independent 8-hex (32-bit) values
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = NUM_HASHES) -> DataFrame:
     """One row per doc with columns s0..s{k-1}: the k min-hashes.
-    Single groupBy pass — k aggregates, one shuffle."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"s{i}")
-        for i in range(num_hashes)
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    Single groupBy pass — k aggregates, one shuffle.
+
+    Each seeded md5 is sliced into four independent 8-hex (32-bit)
+    values, so k signatures cost k/4 md5 evaluations per shingle —
+    the md5s are materialized once in a projection and the min
+    aggregates see only cheap substrings. (min over an 8-hex slice is
+    still a uniform pseudo-permutation minimum; 32 bits is ample for
+    per-doc shingle counts.)"""
+    n_md5 = (num_hashes + SLICES_PER_MD5 - 1) // SLICES_PER_MD5
+    with_hashes = shingles.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh"))).alias(f"h{seed}")
+            for seed in range(n_md5)
+        ],
+    )
+    aggs = []
+    for i in range(num_hashes):
+        seed, sl = divmod(i, SLICES_PER_MD5)
+        aggs.append(
+            F.min(F.substring(F.col(f"h{seed}"), 1 + 8 * sl, 8)).alias(f"s{i}")
+        )
+    return with_hashes.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sigs: DataFrame, id_col: str = "doc_id",

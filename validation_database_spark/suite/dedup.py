@@ -145,7 +145,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_minhash() -> str:
     sig_cols = ", ".join(
-        f"min(md5('{i}|' || sh)) AS s{i}" for i in range(D.NUM_HASHES)
+        "min(substr(md5('{seed}|' || sh), {start}, 8)) AS s{i}".format(
+            seed=i // D.SLICES_PER_MD5, start=1 + 8 * (i % D.SLICES_PER_MD5), i=i
+        )
+        for i in range(D.NUM_HASHES)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
