@@ -111,3 +111,17 @@ def test_streaming_stateful_user_totals(spark, sf_dir):
     assert {u: v[0] for u, v in latest.items()} == {u: v[0] for u, v in want.items()}
     for u in want:
         assert abs(latest[u][1] - want[u][1]) < 0.05, (u, latest[u], want[u])
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """Exactly-once-style dedup on a stream: duplicate the source
+    stream, dropDuplicatesWithinWatermark must collapse it back."""
+    ev = stream_events(spark, sf_dir).select("event_id", "ts")
+    doubled = ev.unionAll(ev)
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_completion(deduped, "stream_dedup")
+    n = out.count()
+    n_src = load_table(spark, sf_dir=sf_dir, name="events").count()
+    assert n == n_src, (n, n_src)

@@ -293,6 +293,62 @@ WHERE ROUND({_COS_AB}, 6) >= {COSINE_THRESHOLD}
 """
 
 
+
+# --- duplicate clustering (connected components) ----------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: connected components over
+    the ngram-Jaccard pair graph (join-based label propagation, see
+    operators/graph.py). Output: every clustered doc with its
+    component id (= min doc_id of the cluster) and cluster size."""
+    from ..operators.graph import connected_components
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes na ON common.id_a = na.doc_id
+  JOIN sizes nb ON common.id_b = nb.doc_id
+  WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  ) SELECT * FROM r
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+)
+SELECT c.node AS doc_id, c.comp AS cluster_id, s.cluster_size
+FROM comp c
+JOIN (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp) s
+  ON c.comp = s.comp
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
               "exact dedup by normalized-content hash", headline=True),
@@ -304,4 +360,6 @@ SPECS = [
               "16-bit SimHash signatures"),
     QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
               "blocked embedding-cosine near-dup with planted dups"),
+    QuerySpec("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
+              "duplicate clustering: connected components on the pair graph"),
 ]
