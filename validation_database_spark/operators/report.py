@@ -8,12 +8,13 @@ is pure presentation — but the shape is part of the tool's contract,
 so we reproduce it *distributed*: ``row_number() OVER (ORDER BY id)``
 on each list, then two full-outer joins on the row number.
 
-Scale note: a global ``row_number`` without PARTITION BY serializes
-into a single-partition sort — acceptable for a *report* whose row
-count is the number of discrepancies (small by construction in a
-validation workload), not for the raw data path. The engine keeps the
-three result DataFrames as the primary (unbounded, distributed) API;
-``report_summary`` is the compat sink on top.
+Scale note: the naive encoding (``row_number() OVER (ORDER BY id)``)
+serializes into a single-partition sort. ``global_row_number`` below
+avoids that: range-partition by the key, rank locally, add
+per-partition offsets — two distributed passes, no single-task sort,
+so even a pathological discrepancy report (everything differs) stays
+parallel. The three result DataFrames remain the primary (unbounded)
+API; ``report_summary`` is the presentation-compat sink on top.
 """
 
 from __future__ import annotations
@@ -24,10 +25,49 @@ from pyspark.sql import functions as F
 from .reconcile import ReconcileResult
 
 
+def global_row_number(
+    df: DataFrame, order_col: str, rn_col: str = "rn", partitions: int | None = None
+) -> DataFrame:
+    """Global 1-based rank by ``order_col`` WITHOUT a single-partition
+    sort: range-partition on the key, rank locally per partition, then
+    add per-partition offsets (a tiny cumulative sum over partition
+    counts). Two passes, fully distributed — the scalable form of
+    ``row_number() OVER (ORDER BY …)`` for unique keys.
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("__pid").orderBy(order_col)
+    local = ranged.withColumn("__lrn", F.row_number().over(local_w))
+    # one row per partition — offset table is executor-count sized
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__cnt")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rn_col, (F.col("__lrn") + F.col("__offset")).cast("int"))
+        .drop("__pid", "__lrn", "__offset")
+    )
+
+
 def _numbered(df: DataFrame, out_col: str, order_col: str = "id") -> DataFrame:
-    w = Window.orderBy(order_col)
-    return df.select(
-        F.col(order_col).alias(out_col), F.row_number().over(w).alias("rn")
+    return global_row_number(
+        df.select(F.col(order_col).alias(out_col)), out_col
     )
 
 
@@ -65,7 +105,7 @@ def report_summary(result: ReconcileResult, render: str = "compact") -> DataFram
 
     m1 = _numbered(result.missing_in_first, f"missing_in_{result.db1}")
     m2 = _numbered(result.missing_in_second, f"missing_in_{result.db2}")
-    dv = diff.select("differing_values", F.row_number().over(Window.orderBy("id")).alias("rn"))
+    dv = global_row_number(diff, "id").select("differing_values", "rn")
 
     out = (
         m1.join(m2, "rn", "full_outer")

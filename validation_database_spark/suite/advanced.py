@@ -164,12 +164,14 @@ FROM orders GROUP BY o_orderstatus
 def q_sorted_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference sorts both frames by id before reporting
     (running_validation.py:636-637). Global sort made value-checkable
-    by materializing the rank. Report-sized data only — a global
-    row_number serializes to one partition by construction."""
+    by materializing the rank — computed with the scalable two-pass
+    global_row_number (range partition + local rank + offsets), not a
+    single-partition window."""
+    from ..operators.report import global_row_number
+
     src_a, _ = validation_pair(spark, sf_dir, "string")
-    w = Window.orderBy("id")
-    return src_a.select("id").withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
+    return global_row_number(src_a.select("id"), "id", rn_col="rank").withColumn(
+        "rank", F.col("rank").cast("bigint")
     )
 
 
