@@ -1,5 +1,12 @@
 """Scale machinery: salted joins preserve semantics; bucketed tables
-co-locate joins (no shuffle exchange in the plan)."""
+co-locate joins (no shuffle exchange in the plan).
+
+(AQE's OptimizeSkewedJoin is enabled in session.py but not plan-pinned
+here: at fixture scale the shuffle partitions are KB-sized, so AQE
+coalesces them instead of splitting — the skew mitigation that IS
+observable and driver-checked at this scale is operators/skew.py's
+explicit salting, exercised below and by the skew_salted_revenue
+query.)"""
 
 from __future__ import annotations
 

@@ -328,6 +328,47 @@ GROUP BY doc_id
 """
 
 
+
+# --- intra-document repetition ----------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter signal: fraction of duplicated word trigrams
+    inside each document (near-1 ⇒ boilerplate/spam). Distinct vs
+    total trigram counts from one shingle pass."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    bound = docs.select("doc_id", tri.alias("tri"))
+    n_total = F.size("tri")
+    n_distinct = F.size(F.array_distinct("tri"))
+    return bound.select(
+        "doc_id",
+        n_total.cast("bigint").alias("n_trigrams"),
+        F.round(
+            (n_total - n_distinct).cast("double") / F.greatest(n_total, F.lit(1)), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+tri AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                        i -> array_to_string(toks[i:i + 2], ' ')) AS tri
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(tri) AS BIGINT) AS n_trigrams,
+       ROUND(CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+             / greatest(len(tri), 1), 6) AS repetition_ratio
+FROM tri
+"""
+
+
 SPECS = [
     QuerySpec("text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
               "whitespace + BPE-ish regex token counts", headline=True),
@@ -342,4 +383,6 @@ SPECS = [
     QuerySpec("text_unigram_logprob", q_text_unigram_logprob,
               ORACLE_TEXT_UNIGRAM_LOGPROB,
               "corpus unigram-LM avg log-probability per doc"),
+    QuerySpec("text_repetition", q_text_repetition, ORACLE_TEXT_REPETITION,
+              "duplicated-trigram repetition ratio per doc"),
 ]
