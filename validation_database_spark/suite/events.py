@@ -150,6 +150,74 @@ FROM ev
 """
 
 
+
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: per user, a daily
+    grid over the event span, each grid point carrying the last
+    observed value at-or-before it. Encoded as grid ∪ events + one
+    last_value(IGNORE NULLS) window per user — no per-gap joins, one
+    shuffle on user_id."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "ts", "value")
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("t0"),
+        F.date_trunc("day", F.max("ts")).alias("t1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("ts"),
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    tagged = ev.withColumn("is_grid", F.lit(0)).unionByName(grid)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn(
+        "ffill_value", F.last("value", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        F.round(F.coalesce("ffill_value", F.lit(0.0)), 2).alias("ffill_value"),
+    )
+
+
+ORACLE_EVENTS_RESAMPLE = f"""
+WITH {{ev}},
+span AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS t0, date_trunc('day', max(ts)) AS t1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS ts,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+  FROM span
+),
+tagged AS (
+  SELECT user_id, ts, event_id, value, 0 AS is_grid FROM ev
+  UNION ALL SELECT user_id, ts, event_id, value, is_grid FROM grid
+),
+filled AS (
+  SELECT user_id, ts, is_grid,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, is_grid ASC, event_id ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+  FROM tagged
+)
+SELECT user_id, ts AS grid_ts, ROUND(coalesce(ffill_value, 0.0), 2) AS ffill_value
+FROM filled WHERE is_grid = 1
+""".format(ev=_EV_CTE.replace("props FROM events", "props FROM events"))
+
+
 SPECS = [
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
               "gap-based sessionization (lag + cumsum)", headline=True),
@@ -159,4 +227,7 @@ SPECS = [
               "conditional-min funnel per user"),
     QuerySpec("events_json_props", q_events_json_props, ORACLE_EVENTS_JSON_PROPS,
               "JSON field extraction from props"),
+    QuerySpec("events_resample_ffill", q_events_resample_ffill,
+              ORACLE_EVENTS_RESAMPLE,
+              "daily resample + forward fill per user"),
 ]
