@@ -26,10 +26,10 @@ class QuerySpec:
 
 
 def _collect_specs() -> dict[str, QuerySpec]:
-    from . import advanced, analytics, dedup, events, functions, multimodal, parity, pipeline, similarity, streaming_queries, text
+    from . import advanced, analytics, dedup, events, functions, multimodal, parity, pipeline, quality, similarity, streaming_queries, text
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (parity, analytics, text, dedup, similarity, events, multimodal, advanced, functions, streaming_queries, pipeline):
+    for mod in (parity, analytics, text, dedup, similarity, events, multimodal, advanced, functions, streaming_queries, pipeline, quality):
         for spec in mod.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name!r}")

@@ -1,0 +1,99 @@
+"""Data-quality report queries: the declarative rule engine
+(operators/quality.py) run over the fixture tables, oracle-checked
+rule by rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import quality as Q
+from ..sources import load_table
+from . import QuerySpec
+
+
+def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality report for orders (+ a lineitem→orders FK): seven rules
+    in one scan + one anti-join. The fixture data is clean, so passing
+    rules report 0 violations — and two deliberately-too-strict rules
+    prove violations are actually counted."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    rules = [
+        Q.not_null("o_custkey"),
+        Q.unique("o_orderkey"),
+        Q.in_range("o_totalprice", lo=0.0),
+        Q.allowed_values("o_orderstatus", ["O", "F", "P"]),
+        Q.matches_regex("o_orderpriority", "^[1-5]-"),
+        # deliberately strict: prices are well above 1000, statuses
+        # include all three → nonzero violation counts
+        Q.in_range("o_totalprice", lo=100000.0),
+        Q.allowed_values("o_orderstatus", ["O"]),
+    ]
+    report = Q.run_rules(orders, rules)
+    fk = Q.foreign_key(lineitem, "l_orderkey", orders, "o_orderkey")
+    return report.unionByName(fk)
+
+
+ORACLE_DQ_ORDERS = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders),
+nl AS (SELECT count(*) AS n_rows FROM lineitem)
+SELECT 'not_null' AS rule, 'o_custkey' AS column,
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+       n.n_rows, (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0 AS passed
+FROM n
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders),
+       n.n_rows,
+       (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders) = 0
+FROM n
+UNION ALL
+SELECT 'in_range[0.0,None]', 'o_totalprice',
+       (SELECT count(*) FROM orders WHERE o_totalprice < 0.0), n.n_rows,
+       (SELECT count(*) FROM orders WHERE o_totalprice < 0.0) = 0
+FROM n
+UNION ALL
+SELECT 'allowed_values[3]', 'o_orderstatus',
+       (SELECT count(*) FROM orders
+         WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')), n.n_rows,
+       (SELECT count(*) FROM orders
+         WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')) = 0
+FROM n
+UNION ALL
+SELECT 'matches_regex', 'o_orderpriority',
+       (SELECT count(*) FROM orders
+         WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+       n.n_rows,
+       (SELECT count(*) FROM orders
+         WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+FROM n
+UNION ALL
+SELECT 'in_range[100000.0,None]', 'o_totalprice',
+       (SELECT count(*) FROM orders WHERE o_totalprice < 100000.0), n.n_rows,
+       (SELECT count(*) FROM orders WHERE o_totalprice < 100000.0) = 0
+FROM n
+UNION ALL
+SELECT 'allowed_values[1]', 'o_orderstatus',
+       (SELECT count(*) FROM orders
+         WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O')), n.n_rows,
+       (SELECT count(*) FROM orders
+         WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O')) = 0
+FROM n
+UNION ALL
+SELECT 'foreign_key', 'l_orderkey',
+       (SELECT count(*) FROM lineitem l
+         WHERE l_orderkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       nl.n_rows,
+       (SELECT count(*) FROM lineitem l
+         WHERE l_orderkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+FROM nl
+"""
+
+
+SPECS = [
+    QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
+              "declarative data-quality rule report (7 rules + FK)"),
+]
