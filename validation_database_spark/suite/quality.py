@@ -93,7 +93,68 @@ FROM nl
 """
 
 
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in one aggregation pass: null count, exact
+    distinct count, numeric min/max (NULL for string columns) and
+    lexicographic min/max (NULL for numerics) for every orders
+    column — the profiling sibling of the rule report."""
+    orders = load_table(spark, "orders", sf_dir)
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(F.col(c).cast("double")), 6).alias(f"{c}__min_num"),
+            F.round(F.max(F.col(c).cast("double")), 6).alias(f"{c}__max_num"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__min_str"), F.max(c).alias(f"{c}__max_str")]
+    one = orders.agg(*aggs)
+
+    def row(c: str, numeric: bool) -> str:
+        min_num = f"{c}__min_num" if numeric else "CAST(NULL AS DOUBLE)"
+        max_num = f"{c}__max_num" if numeric else "CAST(NULL AS DOUBLE)"
+        min_str = "CAST(NULL AS STRING)" if numeric else f"{c}__min_str"
+        max_str = "CAST(NULL AS STRING)" if numeric else f"{c}__max_str"
+        return f"'{c}', {c}__nulls, {c}__distinct, {min_num}, {max_num}, {min_str}, {max_str}"
+
+    parts = [row(c, True) for c in num_cols] + [row(c, False) for c in str_cols]
+    n = len(parts)
+    return one.selectExpr(
+        f"stack({n}, {', '.join(parts)}) AS "
+        "(column, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+
+
+def _profile_row(c: str, numeric: bool) -> str:
+    min_num = f"ROUND(min(CAST({c} AS DOUBLE)), 6)" if numeric else "CAST(NULL AS DOUBLE)"
+    max_num = f"ROUND(max(CAST({c} AS DOUBLE)), 6)" if numeric else "CAST(NULL AS DOUBLE)"
+    min_str = "CAST(NULL AS STRING)" if numeric else f"min({c})"
+    max_str = "CAST(NULL AS STRING)" if numeric else f"max({c})"
+    return (
+        f"SELECT '{c}' AS column, "
+        f"CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"{min_num} AS min_num, {max_num} AS max_num, "
+        f"{min_str} AS min_str, {max_str} AS max_str FROM orders"
+    )
+
+
+ORACLE_PROFILE_ORDERS = "\nUNION ALL\n".join(
+    [_profile_row(c, True) for c in ("o_orderkey", "o_custkey", "o_totalprice")]
+    + [_profile_row(c, False) for c in ("o_orderstatus", "o_orderpriority")]
+)
+
+
 SPECS = [
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
+    QuerySpec("profile_orders", q_profile_orders, ORACLE_PROFILE_ORDERS,
+              "single-pass column profiling (nulls/distinct/min/max)"),
 ]
