@@ -218,6 +218,70 @@ FROM filled WHERE is_grid = 1
 """.format(ev=_EV_CTE.replace("props FROM events", "props FROM events"))
 
 
+
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection: events whose value deviates > 2.5 sigma from
+    their event-type mean. Moments are accumulated as exact integer
+    cents, so mean/std (population) and the z-scores are
+    bit-deterministic across engines; thresholding on the rounded z
+    keeps row selection identical."""
+    ev = load_table(spark, "events", sf_dir)
+    y = F.round(F.col("value") * 100).cast("bigint")  # cents
+    stats = (
+        ev.select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("sy").cast("double") / F.col("n")).alias("mean_cents"),
+            (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+                / F.col("n")
+            ).alias("std_cents"),
+        )
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            (F.round(F.col("value") * 100).cast("bigint") - F.col("mean_cents"))
+            / F.col("std_cents"),
+            4,
+        ).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) > 2.5)
+
+
+ORACLE_EVENTS_ANOMALIES = f"""
+WITH {{ev}},
+m AS (
+  SELECT event_type, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
+  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y FROM ev)
+  GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         CAST(sy AS DOUBLE) / n AS mean_cents,
+         sqrt(CAST(n * syy - sy * sy AS DOUBLE)) / n AS std_cents
+  FROM m
+)
+SELECT event_id, e.event_type, value,
+       ROUND((CAST(round(value * 100) AS BIGINT) - mean_cents) / std_cents, 4) AS z
+FROM ev e JOIN stats USING (event_type)
+WHERE abs(ROUND((CAST(round(value * 100) AS BIGINT) - mean_cents) / std_cents, 4)) > 2.5
+""".format(ev=_EV_CTE)
+
+
 SPECS = [
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
               "gap-based sessionization (lag + cumsum)", headline=True),
@@ -230,4 +294,6 @@ SPECS = [
     QuerySpec("events_resample_ffill", q_events_resample_ffill,
               ORACLE_EVENTS_RESAMPLE,
               "daily resample + forward fill per user"),
+    QuerySpec("events_anomalies", q_events_anomalies, ORACLE_EVENTS_ANOMALIES,
+              "z-score outliers from exact integer moments"),
 ]
