@@ -217,6 +217,84 @@ def q_diff_string_fuzzy_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_diff_multi_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization of the reference's single-check-column design:
+    reconcile THREE check columns in one pass. The inner join happens
+    once; per-column null-safe comparisons unpivot (stack) into a
+    long-form report (id, column, val_a, val_b) of every cell-level
+    difference. At 100 TB this is one shuffle regardless of how many
+    columns are validated — the reference re-ran its whole pipeline
+    per column."""
+    orders = load_table(spark, "orders", sf_dir)
+    cols = ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+
+    def side(filt: str, mutate: bool):
+        out = orders.filter(filt).select(
+            composite_id(["o_orderkey"]).alias("id"),
+            F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+            F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+            F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        )
+        if mutate:
+            out = out.withColumn(
+                "o_orderstatus",
+                F.when(F.col("id").cast("bigint") % 101 == 0, F.lit("X")).otherwise(
+                    F.col("o_orderstatus")
+                ),
+            ).withColumn(
+                "o_totalprice",
+                F.when(F.col("id").cast("bigint") % 103 == 0, F.lit(None)).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+        return out
+
+    a = side("o_orderkey % 97 <> 0", mutate=False)
+    b = side("o_orderkey % 89 <> 0", mutate=True)
+    joined = a.alias("a").join(b.alias("b"), "id")
+    stack_args = ", ".join(f"'{c}', a.{c}, b.{c}" for c in cols)
+    long = joined.selectExpr(
+        "id", f"stack({len(cols)}, {stack_args}) AS (column, val_a, val_b)"
+    )
+    return long.filter(~F.col("val_a").eqNullSafe(F.col("val_b")))
+
+
+ORACLE_DIFF_MULTI_COLUMN = """
+WITH a AS (
+  SELECT CAST(o_orderkey AS STRING) AS id,
+         CAST(o_orderstatus AS STRING) AS o_orderstatus,
+         CAST(o_orderpriority AS STRING) AS o_orderpriority,
+         CAST(o_totalprice AS STRING) AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+b AS (
+  SELECT id,
+         CASE WHEN CAST(id AS BIGINT) % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_orderpriority,
+         CASE WHEN CAST(id AS BIGINT) % 103 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice
+  FROM (
+    SELECT CAST(o_orderkey AS STRING) AS id,
+           CAST(o_orderstatus AS STRING) AS o_orderstatus,
+           CAST(o_orderpriority AS STRING) AS o_orderpriority,
+           CAST(o_totalprice AS STRING) AS o_totalprice
+    FROM orders WHERE o_orderkey % 89 <> 0
+  )
+),
+long AS (
+  SELECT a.id, u."column", u.val_a, u.val_b
+  FROM a JOIN b ON a.id = b.id,
+  LATERAL (
+    SELECT 'o_orderstatus' AS "column", a.o_orderstatus AS val_a, b.o_orderstatus AS val_b
+    UNION ALL SELECT 'o_orderpriority', a.o_orderpriority, b.o_orderpriority
+    UNION ALL SELECT 'o_totalprice', a.o_totalprice, b.o_totalprice
+  ) u
+)
+SELECT id, "column", val_a, val_b FROM long
+WHERE val_a IS DISTINCT FROM val_b
+"""
+
+
 # --- ops 19-20: ragged side-by-side report -----------------------------
 
 def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +375,8 @@ SPECS = [
               "op-16 threshold=1 exact-equality fast path"),
     QuerySpec("diff_string_fuzzy_approx", q_diff_string_fuzzy_approx, None,
               "op-16 threshold<1 SequenceMatcher pandas UDF (rows-only)"),
+    QuerySpec("diff_multi_column", q_diff_multi_column, ORACLE_DIFF_MULTI_COLUMN,
+              "N-column reconciliation in one pass (long-form diff report)"),
     QuerySpec("diff_date", _diff_query("date"), _oracle_diff("date"),
               "op-17 datetime-coerced null-safe inequality"),
     QuerySpec("report_summary", q_report_summary, ORACLE_REPORT_SUMMARY,
