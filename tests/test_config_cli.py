@@ -150,3 +150,47 @@ def test_missing_creds_dir_is_fine(tmp_path):
     from validation_database_spark.config import load_all_credentials
 
     assert load_all_credentials(str(tmp_path / "nope")) == {}
+
+
+def test_reference_config_yaml_parses(tmp_path):
+    """UX parity: the reference's own shipped config.yaml loads and
+    validates with this engine's loader (its key names, including
+    composite_id_columns, are first-class)."""
+    import os
+
+    import pytest as _pytest
+
+    from validation_database_spark.config import _validate, load_config
+
+    ref = "/root/reference/config.yaml"
+    if not os.path.exists(ref):
+        _pytest.skip("reference snapshot not present")
+    cfg = load_config(ref)
+    assert cfg["databases"] == ["oracle", "postgres"]
+    assert cfg["check_column"] == "MODEL"
+    assert cfg["composite_id_columns"] == ["ID"]
+    assert cfg["data_type"] == "string"
+    assert cfg["threshold"] == 1
+    _validate(cfg)  # must not raise
+
+
+def test_composite_id_columns_alias(spark, sf_dir):
+    from validation_database_spark.config import run_validation
+
+    cfg = {
+        "databases": ["a", "b"],
+        "data_type": "string",
+        "check_column": "o_orderpriority",
+        "composite_id_columns": ["o_orderkey", "o_custkey"],
+        "a_table_name": "orders",
+        "b_table_name": "orders",
+        "a_source": {"format": "parquet", "path": sf_dir},
+        "b_source": {"format": "parquet", "path": sf_dir},
+    }
+    run = run_validation(spark, cfg)
+    assert run.result.differing.count() == 0
+    # composite id actually used: ids contain the '_' separator
+    sample = run.result.missing_in_first.unionByName(
+        run.result.missing_in_second
+    ).count()
+    assert sample == 0

@@ -78,9 +78,20 @@ def _validate(config: dict[str, Any]) -> None:
         # reference running_validation.py:614-615
         raise ValueError("exactly two entries required in 'databases'")
     if not config.get("is_using_manual_queries"):
-        for key in ("check_column", "unique_key", "data_type"):
+        for key in ("check_column", "data_type"):
             if not config.get(key):
                 raise ValueError(f"missing required config key {key!r}")
+        if not _key_columns(config):
+            raise ValueError(
+                "missing required config key 'composite_id_columns' (or 'unique_key')"
+            )
+
+
+def _key_columns(config: dict[str, Any]) -> list[str] | None:
+    """The reference's key name is ``composite_id_columns``
+    (reference config.yaml:19); ``unique_key`` is accepted as an
+    alias."""
+    return config.get("composite_id_columns") or config.get("unique_key")
 
 
 def _source_df(spark: SparkSession, config: dict[str, Any], db: str) -> DataFrame:
@@ -109,7 +120,7 @@ def _project(
 ) -> DataFrame:
     """The generated-SQL projection (reference ops 9-11): composite id
     + check column, with the optional strictly-exclusive date range."""
-    key_cols = config["unique_key"]
+    key_cols = _key_columns(config)
     check = config["check_column"]
     out = df.select(
         composite_id(key_cols).alias("id"), F.col(check).alias(check)
