@@ -109,5 +109,20 @@ def differing_values(
     *,
     threshold: float = 1.0,
 ) -> DataFrame:
-    """Filter joined pairs down to the rows whose check values differ."""
+    """Filter joined pairs down to the rows whose check values differ.
+
+    Fuzzy path (string, threshold < 1): exactly-equal pairs can never
+    be reported (ratio 1 ≥ any threshold), so a JVM null-safe
+    inequality prefilter runs BEFORE the Python UDF — the Arrow stage
+    only ever sees the (typically tiny) differing candidate set, not
+    the full join. Semantics are unchanged: both-null pairs are
+    dropped by the prefilter (ratio would be 1.0 → match) and one-null
+    pairs pass it (ratio 0.0 → kept iff 0 < threshold).
+    """
+    if mode.lower() == "string" and threshold < 1.0:
+        a, b = F.col(c1).cast("string"), F.col(c2).cast("string")
+        candidates = pairs.filter(~a.eqNullSafe(b))
+        return candidates.filter(
+            fuzzy_ratio_udf()(a, b) < F.lit(threshold)
+        )
     return pairs.filter(differing_predicate(c1, c2, mode, threshold=threshold))
