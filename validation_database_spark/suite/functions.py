@@ -183,6 +183,96 @@ FROM customer
 """
 
 
+
+# --- window-function showcase -----------------------------------------
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/analytic window surface in one partitioned
+    window: rank, dense_rank, percent_rank, cume_dist, ntile, lag,
+    lead, first/last value. Total ordering (price, orderkey) makes
+    every function deterministic."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.first("o_orderkey").over(wf).alias("top_key"),
+        F.last("o_orderkey").over(wf).alias("bottom_key"),
+    )
+
+
+ORACLE_WINDOW_FUNCTIONS = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       ntile(4) OVER w AS quartile,
+       lag(o_orderkey, 1) OVER w AS prev_key,
+       lead(o_orderkey, 1) OVER w AS next_key,
+       first_value(o_orderkey) OVER wf AS top_key,
+       last_value(o_orderkey) OVER wf AS bottom_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- datetime-function showcase ---------------------------------------
+
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar surface: extraction, arithmetic, boundaries. Spark's
+    dayofweek is 1=Sunday; the oracle maps DuckDB's 0=Sunday
+    convention to match."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mon"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.dayofweek(d).cast("bigint").alias("dow_sun1"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        # timestamp-typed (not DATE) outputs: pandas/driver
+        # canonicalization of DATE differs between engines
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d.cast("date"), 3).cast("timestamp").alias("plus_3mo"),
+        F.date_add(d.cast("date"), 90).cast("timestamp").alias("plus_90d"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date"))
+        .cast("bigint")
+        .alias("days_to_eoy98"),
+    )
+
+
+ORACLE_DATETIME_FUNCTIONS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+       CAST(CAST(o_orderdate AS DATE) + 90 AS TIMESTAMP) AS plus_90d,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+         AS days_to_eoy98
+FROM orders
+"""
+
+
 SPECS = [
     QuerySpec("orders_above_cust_avg", q_orders_above_cust_avg,
               ORACLE_ORDERS_ABOVE_CUST_AVG,
@@ -195,4 +285,8 @@ SPECS = [
               "sqrt/ln/pow/exp/abs/sign/floor/ceil/mod"),
     QuerySpec("string_funcs", q_string_funcs, ORACLE_STRING_FUNCS,
               "case/pad/substr/regex/translate/reverse"),
+    QuerySpec("window_functions", q_window_functions, ORACLE_WINDOW_FUNCTIONS,
+              "rank/dense/percent/cume/ntile/lag/lead/first/last"),
+    QuerySpec("datetime_functions", q_datetime_functions, ORACLE_DATETIME_FUNCTIONS,
+              "calendar extraction/arithmetic/boundaries"),
 ]
