@@ -369,6 +369,71 @@ FROM tri
 """
 
 
+
+# --- feature-hashed text embeddings -----------------------------------
+
+EMBED_DIM = 64
+
+
+def q_text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words embeddings: each token maps to one
+    of 64 buckets via its md5 prefix; the doc vector is the
+    L2-normalized bucket-count histogram. Deterministic, no ML libs —
+    the portable baseline text-embedding generator feeding the ANN
+    operators (same array<float>-style shape as the embeddings
+    table)."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    bound = docs.select("doc_id", toks.alias("toks"))
+    # bucket(t) = int(md5(t)[:2], 16) % 64
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda b: F.size(
+            F.filter(
+                F.col("toks"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int")
+                % EMBED_DIM
+                == b,
+            )
+        ).cast("double"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("counts"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        bound.select("doc_id", counts.alias("counts"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("counts"),
+                lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)), 6),
+            ).alias("embedding"),
+        )
+    )
+
+
+ORACLE_TEXT_HASH_EMBEDDINGS = f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {EMBED_DIM - 1}),
+           b -> CAST(len(list_filter(toks,
+                  tok -> ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+                        % {EMBED_DIM} = b)) AS DOUBLE)) AS counts
+  FROM t
+),
+n AS (
+  SELECT doc_id, counts,
+         sqrt(list_aggregate(list_transform(counts, x -> x * x), 'sum')) AS nrm
+  FROM c
+)
+SELECT doc_id,
+       list_transform(counts, x -> ROUND(x / greatest(nrm, 1e-12), 6)) AS embedding
+FROM n
+"""
+
+
 SPECS = [
     QuerySpec("text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
               "whitespace + BPE-ish regex token counts", headline=True),
@@ -385,4 +450,7 @@ SPECS = [
               "corpus unigram-LM avg log-probability per doc"),
     QuerySpec("text_repetition", q_text_repetition, ORACLE_TEXT_REPETITION,
               "duplicated-trigram repetition ratio per doc"),
+    QuerySpec("text_hash_embeddings", q_text_hash_embeddings,
+              ORACLE_TEXT_HASH_EMBEDDINGS,
+              "feature-hashed L2-normalized bag-of-words embeddings"),
 ]
