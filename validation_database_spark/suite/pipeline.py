@@ -116,11 +116,48 @@ FROM documents GROUP BY 1
 """
 
 
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (importance) sampling: each document is
+    kept with probability proportional to its length — keep iff
+    u(doc_id) < n_chars / max_chars, where u is the md5-prefix uniform
+    in [0,1). Reproducible, engine-portable, and stable per document
+    (the id's hash never changes)."""
+    docs = load_table(spark, "documents", sf_dir)
+    max_chars = docs.agg(F.max("n_chars").alias("mx"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double")
+        / 65536.0
+    )
+    return (
+        docs.crossJoin(F.broadcast(max_chars))
+        .filter(u < F.col("n_chars").cast("double") / F.col("mx"))
+        .select("doc_id", "n_chars")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = """
+WITH mx AS (SELECT max(n_chars) AS mx FROM documents)
+SELECT doc_id, n_chars
+FROM documents, mx
+WHERE CAST(
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 4, 1)) - 1)
+      AS DOUBLE) / 65536.0
+      < CAST(n_chars AS DOUBLE) / mx
+"""
+
+
 SPECS = [
     QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
               "MERGE INTO emulation: anti-join + union upsert"),
     QuerySpec("sample_hash", q_sample_hash, ORACLE_SAMPLE_HASH,
               "deterministic ~10% md5-prefix sample"),
+    QuerySpec("sample_weighted", q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
+              "deterministic length-weighted importance sample"),
     QuerySpec("train_split", q_train_split, ORACLE_TRAIN_SPLIT,
               "stable 80/10/10 train/val/test assignment"),
 ]

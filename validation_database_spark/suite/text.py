@@ -75,7 +75,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
-    en = [F.lit(w) for w in STOPWORDS["en"]]
     n_stop = F.size(F.filter(toks, lambda x: x.isin([w for w in STOPWORDS["en"]])))
     n_punct = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), "[.,!?;:]", "")
