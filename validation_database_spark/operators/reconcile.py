@@ -92,3 +92,89 @@ def reconcile(
         threshold=threshold,
     )
     return ReconcileResult(m1, m2, diff, db1, db2, check_column)
+
+
+def reconcile_many(
+    sources: dict[str, DataFrame],
+    check_column: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """N-source generalization of the 2-source pipeline (the reference
+    hard-codes exactly two, running_validation.py:614-615): union the
+    tagged sources and aggregate per id — which sources carry the id,
+    how many distinct check values exist, and the majority (consensus)
+    value with deterministic tie-breaking (lexicographically smallest
+    among the most frequent).
+
+    One shuffle regardless of source count. Output:
+    ``id, n_sources, present_in (csv of source names), n_distinct_values,
+    consensus_value, is_consistent``.
+    """
+    tagged = None
+    for name in sorted(sources):
+        part = sources[name].select(
+            F.col(id_col).alias("id"),
+            F.col(check_column).cast("string").alias("val"),
+            F.lit(name).alias("src"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    from pyspark.sql import Window
+
+    per_val = tagged.groupBy("id", "val").agg(F.count("*").alias("n"))
+    ranked = per_val.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(
+                F.col("n").desc(), F.asc_nulls_last("val")
+            )
+        ),
+    )
+    majority = ranked.filter(F.col("rk") == 1).select(
+        "id", F.col("val").alias("consensus_value")
+    )
+    agg = tagged.groupBy("id").agg(
+        F.countDistinct("src").alias("n_sources"),
+        F.concat_ws(",", F.sort_array(F.collect_set("src"))).alias("present_in"),
+        F.countDistinct("val").alias("n_distinct_values"),
+        F.max(F.col("val").isNull().cast("int")).alias("_has_null"),
+    )
+    return (
+        agg.join(majority, "id")
+        .select(
+            "id",
+            "n_sources",
+            "present_in",
+            "n_distinct_values",
+            "consensus_value",
+            (
+                (F.col("n_distinct_values") == 1) & (F.col("_has_null") == 0)
+            ).alias("is_consistent"),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, check_column: str, id_col: str = "id"
+) -> DataFrame:
+    """CDC changelog between two snapshots of one table: full outer
+    join on id → inserted / deleted / updated rows (unchanged rows are
+    dropped). The incremental form of the reconciliation pipeline."""
+    a = old.select(
+        F.col(id_col).alias("id"), F.col(check_column).cast("string").alias("old_val")
+    ).withColumn("_in_old", F.lit(1))
+    b = new.select(
+        F.col(id_col).alias("id"), F.col(check_column).cast("string").alias("new_val")
+    ).withColumn("_in_new", F.lit(1))
+    joined = a.join(b, "id", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), "inserted")
+        .when(F.col("_in_new").isNull(), "deleted")
+        .when(~F.col("old_val").eqNullSafe(F.col("new_val")), "updated")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.withColumn("change", status)
+        .filter(F.col("change") != "unchanged")
+        .select("id", "change", "old_val", "new_val")
+    )

@@ -295,6 +295,87 @@ WHERE val_a IS DISTINCT FROM val_b
 """
 
 
+
+def q_multi_source_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three derived sources reconciled at once (reference caps at
+    two): per id — which sources have it, value agreement, and the
+    deterministic majority value. One shuffle for any source count."""
+    from ..operators.reconcile import reconcile_many
+
+    orders = load_table(spark, "orders", sf_dir)
+
+    def src(drop_mod: int, mutate_mod: int):
+        return orders.filter(f"o_orderkey % {drop_mod} <> 0").selectExpr(
+            "CAST(o_orderkey AS STRING) AS id",
+            f"CASE WHEN o_orderkey % {mutate_mod} = 0 "
+            "THEN concat(o_orderpriority, '!') ELSE o_orderpriority END AS check_col",
+        )
+
+    sources = {"s1": src(97, 9999), "s2": src(89, 101), "s3": src(83, 103)}
+    return reconcile_many(sources, "check_col")
+
+
+ORACLE_MULTI_SOURCE_CONSENSUS = """
+WITH tagged AS (
+  SELECT CAST(o_orderkey AS STRING) AS id, o_orderpriority AS val, 's1' AS src
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT CAST(o_orderkey AS STRING),
+         CASE WHEN o_orderkey % 101 = 0 THEN concat(o_orderpriority, '!')
+              ELSE o_orderpriority END, 's2'
+  FROM orders WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT CAST(o_orderkey AS STRING),
+         CASE WHEN o_orderkey % 103 = 0 THEN concat(o_orderpriority, '!')
+              ELSE o_orderpriority END, 's3'
+  FROM orders WHERE o_orderkey % 83 <> 0
+),
+per_val AS (SELECT id, val, count(*) AS n FROM tagged GROUP BY id, val),
+majority AS (
+  SELECT id, val AS consensus_value FROM (
+    SELECT id, val, row_number() OVER (
+      PARTITION BY id ORDER BY n DESC, val ASC NULLS LAST) AS rk
+    FROM per_val
+  ) WHERE rk = 1
+),
+agg AS (
+  SELECT id,
+         count(DISTINCT src) AS n_sources,
+         array_to_string(list_sort(list(DISTINCT src)), ',') AS present_in,
+         count(DISTINCT val) AS n_distinct_values,
+         max(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS has_null
+  FROM tagged GROUP BY id
+)
+SELECT a.id, a.n_sources, a.present_in, a.n_distinct_values,
+       m.consensus_value,
+       (a.n_distinct_values = 1 AND a.has_null = 0) AS is_consistent
+FROM agg a JOIN majority m ON a.id = m.id
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog between two snapshots: inserted (% 89 keys absent
+    from 'old'), deleted (% 97 keys absent from 'new'), updated
+    (% 101 values mutated)."""
+    from ..operators.reconcile import snapshot_diff
+
+    src_a, src_b = validation_pair(spark, sf_dir, "string")
+    return snapshot_diff(src_a, src_b, "check_col")
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+{pair_cte("string")}
+SELECT coalesce(a.id, b.id) AS id,
+       CASE WHEN a.id IS NULL THEN 'inserted'
+            WHEN b.id IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change,
+       a.check_col AS old_val, b.check_col AS new_val
+FROM src_a a FULL OUTER JOIN src_b b ON a.id = b.id
+WHERE a.id IS NULL OR b.id IS NULL
+   OR a.check_col IS DISTINCT FROM b.check_col
+"""
+
+
 # --- ops 19-20: ragged side-by-side report -----------------------------
 
 def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +458,11 @@ SPECS = [
               "op-16 threshold<1 SequenceMatcher pandas UDF (rows-only)"),
     QuerySpec("diff_multi_column", q_diff_multi_column, ORACLE_DIFF_MULTI_COLUMN,
               "N-column reconciliation in one pass (long-form diff report)"),
+    QuerySpec("multi_source_consensus", q_multi_source_consensus,
+              ORACLE_MULTI_SOURCE_CONSENSUS,
+              "N-source reconciliation with majority consensus"),
+    QuerySpec("snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+              "CDC changelog between two snapshots"),
     QuerySpec("diff_date", _diff_query("date"), _oracle_diff("date"),
               "op-17 datetime-coerced null-safe inequality"),
     QuerySpec("report_summary", q_report_summary, ORACLE_REPORT_SUMMARY,
