@@ -304,14 +304,18 @@ def q_multi_source_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
 
-    def src(drop_mod: int, mutate_mod: int):
+    def src(drop_mod: int, mutate_mod: int | None):
+        check = (
+            "o_orderpriority"
+            if mutate_mod is None
+            else f"CASE WHEN o_orderkey % {mutate_mod} = 0 "
+                 "THEN concat(o_orderpriority, '!') ELSE o_orderpriority END"
+        )
         return orders.filter(f"o_orderkey % {drop_mod} <> 0").selectExpr(
-            "CAST(o_orderkey AS STRING) AS id",
-            f"CASE WHEN o_orderkey % {mutate_mod} = 0 "
-            "THEN concat(o_orderpriority, '!') ELSE o_orderpriority END AS check_col",
+            "CAST(o_orderkey AS STRING) AS id", f"{check} AS check_col"
         )
 
-    sources = {"s1": src(97, 9999), "s2": src(89, 101), "s3": src(83, 103)}
+    sources = {"s1": src(97, None), "s2": src(89, 101), "s3": src(83, 103)}
     return reconcile_many(sources, "check_col")
 
 
