@@ -152,9 +152,60 @@ ORACLE_PROFILE_ORDERS = "\nUNION ALL\n".join(
 )
 
 
+
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screening on order totals: observed leading-digit
+    frequencies vs the log10(1+1/d) expectation — the classic
+    fabricated-data smell test. Deterministic: counts + rounded
+    frequencies only."""
+    orders = load_table(spark, "orders", sf_dir)
+    digit = F.substring(F.floor("o_totalprice").cast("string"), 1, 1).cast("int")
+    per_digit = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = per_digit.agg(F.sum("n").alias("total"))
+    expected = F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 6)
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_freq"),
+            expected.alias("benford_freq"),
+            F.round(
+                F.abs(
+                    F.round(F.col("n").cast("double") / F.col("total"), 6)
+                    - F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 6)
+                ),
+                6,
+            ).alias("abs_deviation"),
+        )
+    )
+
+
+ORACLE_DQ_BENFORD = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+),
+t AS (SELECT sum(n) AS total FROM d)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+       ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS benford_freq,
+       ROUND(abs(ROUND(CAST(n AS DOUBLE) / total, 6)
+                 - ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)), 6)), 6) AS abs_deviation
+FROM d, t
+"""
+
+
 SPECS = [
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
     QuerySpec("profile_orders", q_profile_orders, ORACLE_PROFILE_ORDERS,
               "single-pass column profiling (nulls/distinct/min/max)"),
+    QuerySpec("dq_benford", q_dq_benford, ORACLE_DQ_BENFORD,
+              "Benford leading-digit distribution screening"),
 ]
