@@ -151,6 +151,84 @@ WHERE CAST(
 """
 
 
+
+STRATUM_K = 20
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly K docs per language, chosen by the
+    md5-order of their ids (deterministic, uniform within stratum) —
+    the balanced-subset op for eval-set construction."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_K)
+        .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {STRATUM_K}
+"""
+
+
+HIST_BINS = 20
+HIST_LO, HIST_HI = 0.0, 600000.0
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of order totals — the one-pass distribution
+    profile (bucket 0 = below range, n_bins+1 = above). The bucket
+    arithmetic is spelled out (floor((x-lo)/(hi-lo)*n)+1, clamped)
+    rather than width_bucket so the oracle evaluates the identical
+    expression (DuckDB 1.0 has no width_bucket)."""
+    orders = load_table(spark, "orders", sf_dir)
+    x = F.col("o_totalprice")
+    raw = (
+        F.floor((x - HIST_LO) / (HIST_HI - HIST_LO) * HIST_BINS) + 1
+    )
+    bucket = (
+        F.when(x < HIST_LO, F.lit(0))
+        .when(x >= HIST_HI, F.lit(HIST_BINS + 1))
+        .otherwise(raw)
+    )
+    return (
+        orders.groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "bin_lo",
+            F.round(
+                F.lit(HIST_LO)
+                + (F.col("bucket") - 1) * F.lit((HIST_HI - HIST_LO) / HIST_BINS),
+                2,
+            ),
+        )
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT CAST(CASE WHEN o_totalprice < {HIST_LO} THEN 0
+              WHEN o_totalprice >= {HIST_HI} THEN {HIST_BINS + 1}
+              ELSE floor((o_totalprice - {HIST_LO}) / ({HIST_HI} - {HIST_LO}) * {HIST_BINS}) + 1
+         END AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket, count(*) AS n,
+       ROUND({HIST_LO} + (bucket - 1) * {(HIST_HI - HIST_LO) / HIST_BINS}, 2) AS bin_lo
+FROM b GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
               "MERGE INTO emulation: anti-join + union upsert"),
@@ -158,6 +236,10 @@ SPECS = [
               "deterministic ~10% md5-prefix sample"),
     QuerySpec("sample_weighted", q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
               "deterministic length-weighted importance sample"),
+    QuerySpec("sample_stratified", q_sample_stratified, ORACLE_SAMPLE_STRATIFIED,
+              "K-per-stratum deterministic sample"),
+    QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
+              "fixed-bin width_bucket histogram"),
     QuerySpec("train_split", q_train_split, ORACLE_TRAIN_SPLIT,
               "stable 80/10/10 train/val/test assignment"),
 ]
