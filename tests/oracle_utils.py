@@ -62,11 +62,40 @@ def _canon_frame(pdf: pd.DataFrame):
     return cols, rows
 
 
+def _dtype_kinds(pdf: pd.DataFrame) -> dict:
+    """Column → numpy dtype kind, with the integer-valued-float
+    fingerprint split out: DuckDB renders HUGEINT (e.g. SUM over
+    integers) as float64, which the lenient value canonicalization
+    cannot distinguish from a true int column — but the driver's
+    stricter hash can (``11.0`` vs ``11``). Flag any column where one
+    engine yields ints and the other NaN-free integer-valued floats."""
+    kinds = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        if k == "f" and not pdf[c].isna().any():
+            vals = pdf[c].to_numpy()
+            if len(vals) and np.all(vals == np.floor(vals)):
+                k = "f(int-valued)"
+        kinds[c] = k
+    return kinds
+
+
 def assert_matches_oracle(spark, spec, sf_dir: str, max_report: int = 5) -> None:
     spark_pdf = spec.spark_fn(spark, sf_dir).toPandas()
     con = duckdb_conn(sf_dir)
     duck_pdf = con.execute(spec.oracle).fetchdf()
     con.close()
+
+    s_kinds, d_kinds = _dtype_kinds(spark_pdf), _dtype_kinds(duck_pdf)
+    drift = {
+        c: (s_kinds.get(c), d_kinds.get(c))
+        for c in set(s_kinds) | set(d_kinds)
+        if {s_kinds.get(c), d_kinds.get(c)} in ({"i", "f(int-valued)"}, {"i", "f"})
+    }
+    assert not drift, (
+        f"{spec.name}: int/float dtype drift (HUGEINT-class driver hash "
+        f"mismatch): {drift}"
+    )
 
     s_cols, s_rows = _canon_frame(spark_pdf)
     d_cols, d_rows = _canon_frame(duck_pdf)

@@ -68,7 +68,7 @@ sessioned AS (
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,

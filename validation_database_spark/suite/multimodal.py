@@ -40,7 +40,7 @@ WITH assets AS (
 )
 SELECT modality,
        count(*) AS n_assets,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        max(duration_ms) AS max_duration_ms,
        min(width) AS min_width
 FROM assets GROUP BY modality

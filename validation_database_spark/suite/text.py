@@ -380,7 +380,14 @@ def q_text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2-normalized bucket-count histogram. Deterministic, no ML libs —
     the portable baseline text-embedding generator feeding the ANN
     operators (same array<float>-style shape as the embeddings
-    table)."""
+    table).
+
+    Driver surface: the vector is emitted as a fixed-format CSV string
+    (``%.6f`` per component) — the driver's pandas canonicalization
+    cannot sort/hash list cells (CORRECTNESS_r01 ``unhashable type:
+    'list'``), and a deterministic scalar rendering hash-compares
+    cleanly on both engines. Consumers that want the array shape use
+    ``split(embedding_csv, ',').cast('array<double>')``."""
     docs = spread(load_table(spark, "documents", sf_dir))
     toks = _tokens(F.col("text"))
     bound = docs.select("doc_id", toks.alias("toks"))
@@ -403,10 +410,15 @@ def q_text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.select("doc_id", counts.alias("counts"))
         .select(
             "doc_id",
-            F.transform(
-                F.col("counts"),
-                lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)), 6),
-            ).alias("embedding"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("counts"),
+                    lambda x: F.format_string(
+                        "%.6f", F.round(x / F.greatest(norm, F.lit(1e-12)), 6)
+                    ),
+                ),
+            ).alias("embedding_csv"),
         )
     )
 
@@ -428,7 +440,10 @@ n AS (
   FROM c
 )
 SELECT doc_id,
-       list_transform(counts, x -> ROUND(x / greatest(nrm, 1e-12), 6)) AS embedding
+       array_to_string(
+         list_transform(counts,
+           x -> printf('%.6f', ROUND(x / greatest(nrm, 1e-12), 6))),
+         ',') AS embedding_csv
 FROM n
 """
 
