@@ -30,9 +30,8 @@ HEADLINE = [
     "validation_counts",
     "missing_ids",
     "join_pairs",
-    "diff_integer",
+    "diff_typed",
     "diff_string_fuzzy",
-    "diff_date",
     "report_summary",
 ]
 

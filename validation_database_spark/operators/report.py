@@ -40,23 +40,26 @@ def global_row_number(
         "__pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("__pid").orderBy(order_col)
-    local = ranged.withColumn("__lrn", F.row_number().over(local_w))
-    # one row per partition — offset table is executor-count sized
+    # persist: the ranked subtree feeds BOTH the offsets aggregation
+    # and the final join. RangePartitioner samples boundaries per
+    # evaluation, so without pinning, the two branches can see
+    # *different* partition assignments and the offsets stop matching
+    # the local ranks (observed as nondeterministic ranks under
+    # round-robin-spread inputs).
+    local = ranged.withColumn("__lrn", F.row_number().over(local_w)).persist()
+    # one row per partition — prefix offsets via a tiny triangular
+    # self-join (≤ n_partitions² rows), not an unpartitioned window:
+    # keeps every plan in the job free of single-partition WindowExec.
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     offsets = (
-        local.groupBy("__pid")
-        .agg(F.count("*").alias("__cnt"))
-        .withColumn(
-            "__offset",
-            F.coalesce(
-                F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
         )
-        .drop("__cnt")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
     )
     return (
         local.join(F.broadcast(offsets), "__pid")

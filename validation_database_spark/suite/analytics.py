@@ -32,17 +32,21 @@ def _dsum(col, scale="decimal(18,2)"):
 # --- TPC-H Q1-style pricing summary ------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan-heavy group-by: the canonical map-side-combinable
-    aggregation. Partial aggregation happens before the shuffle
-    (HashAggregate → Exchange → HashAggregate), so the shuffle carries
-    only n_groups × n_partitions rows — the plan that survives 100 TB."""
+    """Scan-heavy group-by with ROLLUP: the canonical map-side-
+    combinable aggregation (TPC-H Q1 measure set) computed at every
+    ROLLUP(l_returnflag, l_linestatus) grouping level — the plain
+    groups ARE Q1's rows; the NULL-keyed rows are the hierarchical
+    subtotals and grand total. Partial aggregation happens before the
+    shuffle (HashAggregate → Exchange → HashAggregate), so the shuffle
+    carries only n_groups × n_partitions rows — the plan that
+    survives 100 TB."""
     li = load_table(spark, "lineitem", sf_dir)
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(25,6)"
     )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .rollup("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
@@ -64,7 +68,7 @@ SELECT l_returnflag, l_linestatus,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
@@ -248,6 +252,33 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_order_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status profile in one driver-checked query: the explicit-
+    values pivot (priority counts) joined with the interpolated price
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` —
+    both use (n−1)·q linear interpolation). Both sides aggregate on
+    o_orderstatus — same shuffle key, 3-row join."""
+    orders = load_table(spark, "orders", sf_dir)
+    pivot = q_order_priority_pivot(spark, sf_dir)
+    pct = orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+    )
+    return pivot.join(pct, "o_orderstatus")
+
+
+ORACLE_ORDER_STATUS_PROFILE = f"""
+SELECT p.*, q.p50, q.p90, q.p99
+FROM ({ORACLE_ORDER_PRIORITY_PIVOT}) p
+JOIN (SELECT o_orderstatus,
+             ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+             ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      FROM orders GROUP BY o_orderstatus) q USING (o_orderstatus)
+"""
+
+
 # --- running total (ordered window aggregate) --------------------------
 
 def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +338,41 @@ UNION ALL
 SELECT nationkey, 'customer_only' AS side FROM (
   SELECT c_nationkey AS nationkey FROM customer
   EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_set_ops_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-operation surface in one driver-checked query, as a
+    tagged (side, key) membership list:
+
+    - ``cust_no_recent_orders`` — EXCEPT distinct (customers with no
+      order on/after 1997);
+    - ``supp_with_lineitems`` — left_semi EXISTS (never duplicates the
+      probe side);
+    - ``nation_both`` / ``nation_customer_only`` — INTERSECT /
+      subtract over customer vs supplier nation keys.
+    """
+    no_orders = q_customers_without_orders(spark, sf_dir).select(
+        F.lit("cust_no_recent_orders").alias("side"), F.col("custkey").alias("key")
+    )
+    with_items = q_suppliers_with_lineitems(spark, sf_dir).select(
+        F.lit("supp_with_lineitems").alias("side"), F.col("s_suppkey").alias("key")
+    )
+    party = q_active_party_keys(spark, sf_dir).select(
+        F.concat(F.lit("nation_"), F.col("side")).alias("side"),
+        F.col("nationkey").cast("bigint").alias("key"),
+    )
+    return no_orders.unionByName(with_items).unionByName(party)
+
+
+ORACLE_SET_OPS_MEMBERSHIP = f"""
+SELECT 'cust_no_recent_orders' AS side, custkey AS key
+FROM ({ORACLE_CUSTOMERS_WITHOUT_ORDERS})
+UNION ALL
+SELECT 'supp_with_lineitems', s_suppkey FROM ({ORACLE_SUPPLIERS_WITH_LINEITEMS})
+UNION ALL
+SELECT concat('nation_', side), CAST(nationkey AS BIGINT)
+FROM ({ORACLE_ACTIVE_PARTY_KEYS})
 """
 
 
@@ -374,25 +440,17 @@ GROUP BY s_name
 
 SPECS = [
     QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
-              "TPC-H Q1-style scan-heavy group-by", headline=True),
-    QuerySpec("topk_per_group", q_topk_orders_per_cust, ORACLE_TOPK,
-              "window row_number top-K per customer", headline=True),
+              "TPC-H Q1 measure set at every ROLLUP grouping level",
+              headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, ORACLE_REVENUE_BY_NATION,
               "multi-way join + agg with broadcast dim", headline=True),
-    QuerySpec("customers_without_orders", q_customers_without_orders,
-              ORACLE_CUSTOMERS_WITHOUT_ORDERS, "EXCEPT distinct"),
-    QuerySpec("suppliers_with_lineitems", q_suppliers_with_lineitems,
-              ORACLE_SUPPLIERS_WITH_LINEITEMS, "left_semi EXISTS"),
-    QuerySpec("rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
-              "GROUP BY ROLLUP subtotals"),
+    QuerySpec("set_ops_membership", q_set_ops_membership, ORACLE_SET_OPS_MEMBERSHIP,
+              "EXCEPT / left_semi EXISTS / INTERSECT in one tagged list"),
     QuerySpec("distinct_parts_per_order", q_distinct_parts_per_order,
               ORACLE_DISTINCT_PARTS, "COUNT DISTINCT per group"),
-    QuerySpec("order_priority_pivot", q_order_priority_pivot,
-              ORACLE_ORDER_PRIORITY_PIVOT, "pivot with explicit values"),
-    QuerySpec("running_order_total", q_running_order_total,
-              ORACLE_RUNNING_ORDER_TOTAL, "ordered window running sum"),
-    QuerySpec("active_party_keys", q_active_party_keys, ORACLE_ACTIVE_PARTY_KEYS,
-              "INTERSECT / EXCEPT / UNION ALL"),
+    QuerySpec("order_status_profile", q_order_status_profile,
+              ORACLE_ORDER_STATUS_PROFILE,
+              "explicit-values pivot + interpolated percentiles per status"),
     QuerySpec("big_spender_months", q_big_spender_months, ORACLE_BIG_SPENDER_MONTHS,
               "date_trunc + HAVING"),
     QuerySpec("skew_salted_revenue", q_skew_salted_revenue,

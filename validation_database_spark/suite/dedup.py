@@ -126,6 +126,101 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= {JACCARD_
 """
 
 
+# --- n-gram Jaccard with a document-frequency cap ----------------------
+
+DF_CAP = 10
+BOILERPLATE = "all rights reserved terms of service apply to this content"
+
+
+def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial corpus: every 5th doc gets the same appended
+    boilerplate sentence — the hot-shingle scenario (cookie banners,
+    license footers) that makes an uncapped inverted index emit
+    quadratic pair fan-out at corpus scale."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" " + BOILERPLATE))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-guarded n-gram Jaccard: shingles appearing in more
+    than ``DF_CAP`` documents are dropped from the inverted index
+    BEFORE the self-join — run against an adversarial corpus where
+    20% of docs share a planted boilerplate sentence.
+
+    This is the 100 TB guard the uncapped query lacks: a boilerplate
+    5-gram shared by 10⁶ docs would make one bucket emit 10¹² pairs;
+    with the cap, per-shingle fan-out is bounded by DF_CAP² regardless
+    of corpus size (here: the planted shingles have df ≈ n_docs/5 and
+    are all dropped, so the boilerplate contributes zero candidate
+    pairs instead of ~(n/5)²/2). Jaccard is (re)defined over the
+    capped shingle sets — an explicit approximate mode (boilerplate
+    shingles carry no near-dup signal), with its own oracle applying
+    the identical cap. The hot-shingle set is tiny by construction →
+    broadcast anti-join, no extra shuffle of the index."""
+    docs = _docs_with_boilerplate(spark, sf_dir)
+    all_sh = D.exploded_shingles(docs).persist()
+    hot = (
+        all_sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("sh")
+    )
+    shingles = all_sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("id_a"), "sh")
+    b = shingles.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_NGRAM_DF_CAPPED = f"""
+WITH bdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' {BOILERPLATE}' ELSE text END AS text
+  FROM documents
+),
+{_SH_CTE.replace("FROM documents", "FROM bdocs")},
+cold AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {DF_CAP}),
+kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN cold USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes na ON common.id_a = na.doc_id
+JOIN sizes nb ON common.id_b = nb.doc_id
+WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- MinHash + LSH near-dup -------------------------------------------
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,12 +290,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_simhash() -> str:
+def simhash_bits_sql(dt_col: str = "dt") -> str:
+    """DuckDB expression for the 16-bit SimHash of a distinct-token
+    list column — shared by the dedup oracle and the doc_profile
+    oracle (suite/text.py)."""
+
     def votes(j: int) -> str:
         hex_pos = 1 + j // 4
         shift = 2 ** (3 - (j % 4))
         return (
-            "coalesce(list_aggregate(list_transform(dt, "
+            f"coalesce(list_aggregate(list_transform({dt_col}, "
             f"x -> (((strpos('0123456789abcdef', substr(md5(x), {hex_pos}, 1)) - 1) "
             f"// {shift}) % 2) * 2 - 1), 'sum'), 0)"
         )
@@ -208,13 +307,17 @@ def _oracle_simhash() -> str:
     bit_terms = " + ".join(
         f"(CASE WHEN {votes(j)} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
     )
+    return f"CAST({bit_terms} AS BIGINT)"
+
+
+def _oracle_simhash() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dt
   FROM documents
 )
-SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
+SELECT doc_id, {simhash_bits_sql()} AS simhash FROM t
 """
 
 
@@ -354,10 +457,12 @@ SPECS = [
               "exact dedup by normalized-content hash", headline=True),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
               "word-5-gram Jaccard via inverted-index join", headline=True),
+    QuerySpec("dedup_ngram_df_capped", q_dedup_ngram_df_capped,
+              ORACLE_DEDUP_NGRAM_DF_CAPPED,
+              "df-capped inverted index: bounded hot-shingle fan-out",
+              headline=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _oracle_minhash(),
               "MinHash(16)+LSH(4×4) candidates + exact verify", headline=True),
-    QuerySpec("dedup_simhash", q_dedup_simhash, _oracle_simhash(),
-              "16-bit SimHash signatures"),
     QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
               "blocked embedding-cosine near-dup with planted dups"),
     QuerySpec("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,

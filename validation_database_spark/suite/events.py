@@ -133,6 +133,36 @@ FROM ev GROUP BY user_id
 """
 
 
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stats in one driver-checked query: the funnel
+    (conditional-min first_view/click/purchase + conversion flag)
+    joined with the map-function surface (per-user map<event_type,
+    count> built with map_from_entries, consumed with element_at /
+    map_keys). Both sides aggregate on user_id — same shuffle key, one
+    user-grain join."""
+    from .functions import q_map_event_counts
+
+    funnel = q_events_funnel(spark, sf_dir)
+    counts = q_map_event_counts(spark, sf_dir)
+    return funnel.join(counts, "user_id")
+
+
+ORACLE_EVENTS_USER_STATS = f"""
+WITH {_EV_CTE}
+SELECT user_id,
+       min(ts) FILTER (event_type = 'view') AS first_view,
+       min(ts) FILTER (event_type = 'click') AS first_click,
+       min(ts) FILTER (event_type = 'purchase') AS first_purchase,
+       (min(ts) FILTER (event_type = 'view') IS NOT NULL
+        AND min(ts) FILTER (event_type = 'click') IS NOT NULL
+        AND min(ts) FILTER (event_type = 'purchase') IS NOT NULL) AS full_funnel,
+       coalesce(count(*) FILTER (event_type = 'click'), 0) AS n_click,
+       coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS n_purchase,
+       count(DISTINCT event_type) AS n_types
+FROM ev GROUP BY user_id
+"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the ``props`` string column —
     get_json_object stays JVM-side (Jackson), no UDF."""
@@ -220,11 +250,12 @@ FROM filled WHERE is_grid = 1
 
 
 def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlier detection: events whose value deviates > 2.5 sigma from
-    their event-type mean. Moments are accumulated as exact integer
-    cents, so mean/std (population) and the z-scores are
-    bit-deterministic across engines; thresholding on the rounded z
-    keeps row selection identical."""
+    """Per-event enrichment: z-score outlier detection (value vs the
+    event-type mean, flagged at |z| > 2.5) plus JSON prop extraction
+    (get_json_object stays JVM-side — Jackson, no UDF). Moments are
+    accumulated as exact integer cents, so mean/std (population) and
+    the z-scores are bit-deterministic across engines; the anomaly
+    flag on the rounded z is identical row labeling on both."""
     ev = load_table(spark, "events", sf_dir)
     y = F.round(F.col("value") * 100).cast("bigint")  # cents
     stats = (
@@ -253,13 +284,14 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
         F.round(
             (F.round(F.col("value") * 100).cast("bigint") - F.col("mean_cents"))
             / F.col("std_cents"),
             4,
         ).alias("z"),
     )
-    return scored.filter(F.abs(F.col("z")) > 2.5)
+    return scored.withColumn("is_anomaly", F.abs(F.col("z")) > 2.5)
 
 
 ORACLE_EVENTS_ANOMALIES = f"""
@@ -276,9 +308,11 @@ stats AS (
   FROM m
 )
 SELECT event_id, e.event_type, value,
-       ROUND((CAST(round(value * 100) AS BIGINT) - mean_cents) / std_cents, 4) AS z
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       ROUND((CAST(round(value * 100) AS BIGINT) - mean_cents) / std_cents, 4) AS z,
+       abs(ROUND((CAST(round(value * 100) AS BIGINT) - mean_cents) / std_cents, 4)) > 2.5
+         AS is_anomaly
 FROM ev e JOIN stats USING (event_type)
-WHERE abs(ROUND((CAST(round(value * 100) AS BIGINT) - mean_cents) / std_cents, 4)) > 2.5
 """.format(ev=_EV_CTE)
 
 
@@ -287,13 +321,11 @@ SPECS = [
               "gap-based sessionization (lag + cumsum)", headline=True),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
-    QuerySpec("events_funnel", q_events_funnel, ORACLE_EVENTS_FUNNEL,
-              "conditional-min funnel per user"),
-    QuerySpec("events_json_props", q_events_json_props, ORACLE_EVENTS_JSON_PROPS,
-              "JSON field extraction from props"),
+    QuerySpec("events_user_stats", q_events_user_stats, ORACLE_EVENTS_USER_STATS,
+              "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_resample_ffill", q_events_resample_ffill,
               ORACLE_EVENTS_RESAMPLE,
               "daily resample + forward fill per user"),
     QuerySpec("events_anomalies", q_events_anomalies, ORACLE_EVENTS_ANOMALIES,
-              "z-score outliers from exact integer moments"),
+              "z-score anomaly labeling + JSON prop extraction per event"),
 ]

@@ -67,6 +67,46 @@ FROM orders
 """
 
 
+def q_keys_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 9+10+14 in one driver-checked query over orders: the
+    composite key with the NULL→'0' substitution, the reference's
+    id/check/formatted_date select list, and the op-14 global sort
+    materialized as ``sort_rank`` — computed with the scalable
+    two-pass global_row_number (range partition + local rank +
+    offsets), never a single-partition window."""
+    from ..operators.report import global_row_number
+
+    orders = load_table(spark, "orders", sf_dir)
+    nullable_cust = F.when(F.col("o_custkey") % 11 == 0, F.lit(None)).otherwise(
+        F.col("o_custkey")
+    )
+    projected = orders.select(
+        F.col("o_orderkey"),
+        composite_id([F.col("o_orderkey"), nullable_cust]).alias("composite_key"),
+        composite_id(["o_orderkey"]).alias("id"),
+        F.col("o_orderpriority").alias("check_col"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted_date"),
+    )
+    return global_row_number(projected, "id", rn_col="sort_rank").withColumn(
+        "sort_rank", F.col("sort_rank").cast("bigint")
+    )
+
+
+ORACLE_KEYS_PROJECTION = """
+SELECT o_orderkey,
+       concat(
+         CAST(coalesce(CAST(o_orderkey AS STRING), '0') AS STRING), '_',
+         CAST(coalesce(CAST(CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END
+                            AS STRING), '0') AS STRING)
+       ) AS composite_key,
+       CAST(coalesce(CAST(o_orderkey AS STRING), '0') AS STRING) AS id,
+       o_orderpriority AS check_col,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted_date,
+       row_number() OVER (ORDER BY CAST(o_orderkey AS STRING)) AS sort_rank
+FROM orders
+"""
+
+
 # --- op-11: strictly-exclusive date-range filter -----------------------
 
 DATE_START = "1995-01-01"
@@ -192,6 +232,82 @@ def _oracle_diff(mode: str) -> str:
 SELECT a.id, {ca} AS check_a, {cb} AS check_b
 FROM src_a a JOIN src_b b ON a.id = b.id
 WHERE {ca} IS DISTINCT FROM {cb}
+"""
+
+
+def q_diff_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 15+17 in one driver-checked query: the numeric-coerced and
+    datetime-coerced null-safe comparison modes, tagged and unioned
+    with typed value columns (num_* for integer mode, ts_* for date
+    mode — no cross-type string rendering, which the two engines
+    format differently)."""
+
+    def side(mode: str) -> DataFrame:
+        src_a, src_b = validation_pair(spark, sf_dir, mode)
+        res = reconcile(
+            src_a, src_b, check_column="check_col", mode=mode, db1="db1", db2="db2"
+        )
+        ca = coerce_check("check_col_db1", mode)
+        cb = coerce_check("check_col_db2", mode)
+        if mode == "integer":
+            return res.differing.select(
+                F.lit("integer").alias("mode"),
+                "id",
+                ca.alias("num_a"),
+                cb.alias("num_b"),
+                F.lit(None).cast("timestamp").alias("ts_a"),
+                F.lit(None).cast("timestamp").alias("ts_b"),
+            )
+        return res.differing.select(
+            F.lit("date").alias("mode"),
+            "id",
+            F.lit(None).cast("double").alias("num_a"),
+            F.lit(None).cast("double").alias("num_b"),
+            ca.alias("ts_a"),
+            cb.alias("ts_b"),
+        )
+
+    return side("integer").unionByName(side("date"))
+
+
+def _oracle_diff_typed() -> str:
+    int_part = f"""
+{pair_cte("integer")}
+SELECT 'integer' AS mode, a.id,
+       TRY_CAST(a.check_col AS DOUBLE) AS num_a,
+       TRY_CAST(b.check_col AS DOUBLE) AS num_b,
+       CAST(NULL AS TIMESTAMP) AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b
+FROM src_a a JOIN src_b b ON a.id = b.id
+WHERE TRY_CAST(a.check_col AS DOUBLE) IS DISTINCT FROM TRY_CAST(b.check_col AS DOUBLE)
+"""
+    date_part = f"""
+{pair_cte("date")}
+SELECT 'date' AS mode, a.id,
+       CAST(NULL AS DOUBLE) AS num_a, CAST(NULL AS DOUBLE) AS num_b,
+       TRY_CAST(a.check_col AS TIMESTAMP) AS ts_a,
+       TRY_CAST(b.check_col AS TIMESTAMP) AS ts_b
+FROM src_a a JOIN src_b b ON a.id = b.id
+WHERE TRY_CAST(a.check_col AS TIMESTAMP) IS DISTINCT FROM TRY_CAST(b.check_col AS TIMESTAMP)
+"""
+    return f"SELECT * FROM ({int_part}) UNION ALL SELECT * FROM ({date_part})"
+
+
+def q_join_pairs_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-13 both ways in one query: the unique-key inner equi-join
+    and the duplicate-key m:n fan-out variant, tagged and unioned."""
+    uniq = q_join_pairs(spark, sf_dir).select(
+        F.lit("unique").alias("variant"), "id", "check_col_db1", "check_col_db2"
+    )
+    dup = q_join_pairs_dup(spark, sf_dir).select(
+        F.lit("dup").alias("variant"), "id", "check_col_db1", "check_col_db2"
+    )
+    return uniq.unionByName(dup)
+
+
+ORACLE_JOIN_PAIRS_TAGGED = f"""
+SELECT 'unique' AS variant, * FROM ({ORACLE_JOIN_PAIRS})
+UNION ALL
+SELECT 'dup' AS variant, * FROM ({ORACLE_JOIN_PAIRS_DUP})
 """
 
 
@@ -442,20 +558,16 @@ SELECT
 
 
 SPECS = [
-    QuerySpec("composite_id", q_composite_id, ORACLE_COMPOSITE_ID,
-              "op-9 composite-key canonicalization incl. NULL→'0'"),
-    QuerySpec("project_check", q_project_check, ORACLE_PROJECT_CHECK,
-              "op-10 projection id/check/formatted_date"),
+    QuerySpec("keys_projection", q_keys_projection, ORACLE_KEYS_PROJECTION,
+              "ops 9+10: composite key (NULL→'0') + id/check/formatted_date"),
     QuerySpec("filter_date_range", q_filter_date_range, ORACLE_FILTER_DATE_RANGE,
               "op-11 strictly-exclusive date range, pushed down"),
     QuerySpec("missing_ids", q_missing_ids, _oracle_missing_ids(),
               "op-12 bidirectional anti-join"),
-    QuerySpec("join_pairs", q_join_pairs, ORACLE_JOIN_PAIRS,
-              "op-13 inner equi-join with suffixes"),
-    QuerySpec("join_pairs_dup", q_join_pairs_dup, ORACLE_JOIN_PAIRS_DUP,
-              "op-13 duplicate-key m:n semantics"),
-    QuerySpec("diff_integer", _diff_query("integer"), _oracle_diff("integer"),
-              "op-15 numeric-coerced null-safe inequality"),
+    QuerySpec("join_pairs", q_join_pairs_tagged, ORACLE_JOIN_PAIRS_TAGGED,
+              "op-13 inner equi-join: unique-key + duplicate-key m:n variants"),
+    QuerySpec("diff_typed", q_diff_typed, _oracle_diff_typed(),
+              "ops 15+17: numeric- and datetime-coerced null-safe inequality"),
     QuerySpec("diff_string_fuzzy", _diff_query("string"), _oracle_diff("string"),
               "op-16 threshold=1 exact-equality fast path"),
     QuerySpec("diff_string_fuzzy_approx", q_diff_string_fuzzy_approx, None,
@@ -467,8 +579,6 @@ SPECS = [
               "N-source reconciliation with majority consensus"),
     QuerySpec("snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
               "CDC changelog between two snapshots"),
-    QuerySpec("diff_date", _diff_query("date"), _oracle_diff("date"),
-              "op-17 datetime-coerced null-safe inequality"),
     QuerySpec("report_summary", q_report_summary, ORACLE_REPORT_SUMMARY,
               "ops 19-20 ragged side-by-side report"),
     QuerySpec("validation_counts", q_validation_counts, ORACLE_VALIDATION_COUNTS,

@@ -181,6 +181,76 @@ SELECT lang, doc_id, rk FROM (
 """
 
 
+def q_doc_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four deterministic sampling operators in one per-document
+    assignment table (one scan + one per-stratum window):
+
+    - ``split`` — stable 80/10/10 train/val/test by md5 prefix;
+    - ``kept_10pct`` — the ~10% md5-prefix uniform sample flag
+      (reproducible across runs/engines/partitionings, unlike
+      ``df.sample``);
+    - ``kept_weighted`` — length-proportional importance-sampling keep
+      flag (u(doc_id) < n_chars / max_chars);
+    - ``strat_rk`` — rank within the language stratum by md5 order,
+      NULL beyond the K-per-stratum cutoff.
+
+    Per-doc assignments are a strictly stronger check than the
+    aggregate counts the individual queries reported."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    hid = F.md5(F.col("doc_id").cast("string"))
+    h = F.substring(hid, 1, 4)
+    split = (
+        F.when(h < TRAIN_HEX, "train").when(h < VAL_HEX, "val").otherwise("test")
+    )
+    u = F.conv(h, 16, 10).cast("double") / 65536.0
+    max_chars = docs.agg(F.max("n_chars").alias("mx"))
+    w = Window.partitionBy("lang").orderBy(hid, "doc_id")
+    return (
+        docs.crossJoin(F.broadcast(max_chars))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "lang",
+            split.alias("split"),
+            (h < F.lit(SAMPLE_PCT_HEX)).alias("kept_10pct"),
+            (u < F.col("n_chars").cast("double") / F.col("mx")).alias(
+                "kept_weighted"
+            ),
+            F.when(F.col("rk") <= STRATUM_K, F.col("rk").cast("bigint")).alias(
+                "strat_rk"
+            ),
+        )
+    )
+
+
+_U_SQL = """CAST(
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 4, 1)) - 1)
+      AS DOUBLE) / 65536.0"""
+
+ORACLE_DOC_SAMPLING = f"""
+WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '{TRAIN_HEX}' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '{VAL_HEX}' THEN 'val'
+            ELSE 'test' END AS split,
+       (substr(md5(CAST(doc_id AS STRING)), 1, 4) < '{SAMPLE_PCT_HEX}') AS kept_10pct,
+       ({_U_SQL} < CAST(n_chars AS DOUBLE) / mx) AS kept_weighted,
+       CASE WHEN rk <= {STRATUM_K} THEN CAST(rk AS BIGINT) END AS strat_rk
+FROM r, mx
+"""
+
+
 HIST_BINS = 20
 HIST_LO, HIST_HI = 0.0, 600000.0
 
@@ -232,14 +302,8 @@ FROM b GROUP BY 1
 SPECS = [
     QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
               "MERGE INTO emulation: anti-join + union upsert"),
-    QuerySpec("sample_hash", q_sample_hash, ORACLE_SAMPLE_HASH,
-              "deterministic ~10% md5-prefix sample"),
-    QuerySpec("sample_weighted", q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
-              "deterministic length-weighted importance sample"),
-    QuerySpec("sample_stratified", q_sample_stratified, ORACLE_SAMPLE_STRATIFIED,
-              "K-per-stratum deterministic sample"),
+    QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
+              "per-doc split + hash/weighted keep + stratified rank in one pass"),
     QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
               "fixed-bin width_bucket histogram"),
-    QuerySpec("train_split", q_train_split, ORACLE_TRAIN_SPLIT,
-              "stable 80/10/10 train/val/test assignment"),
 ]

@@ -183,9 +183,30 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
 """
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN paths in one driver-checked result, tagged by method:
+    ``brute`` (the exactness baseline) and ``ivf`` (the scale path).
+    Each method's full (query_id, vec_id, cos_sim, rk) ranking is
+    value-verified; tests/test_ann_recall.py additionally pins the
+    IVF recall floor against the brute-force truth."""
+    brute = q_ann_topk_cosine(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "query_id", "vec_id", "cos_sim", "rk"
+    )
+    ivf = q_ann_ivf_cosine(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id", "cos_sim", "rk"
+    )
+    return brute.unionByName(ivf)
+
+
+ORACLE_ANN_TOPK_TAGGED = f"""
+SELECT 'brute' AS method, * FROM ({ORACLE_ANN_TOPK})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({ORACLE_ANN_IVF})
+"""
+
+
 SPECS = [
-    QuerySpec("ann_topk_cosine", q_ann_topk_cosine, ORACLE_ANN_TOPK,
-              "brute-force cosine top-10 per query vector", headline=True),
-    QuerySpec("ann_ivf_cosine", q_ann_ivf_cosine, ORACLE_ANN_IVF,
-              "IVF cell-probed approximate top-10", headline=True),
+    QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
+              "brute-force baseline + IVF scale-path cosine top-10",
+              headline=True),
 ]

@@ -448,23 +448,250 @@ FROM n
 """
 
 
+# --- one-pass document profiler ---------------------------------------
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole per-document text-analysis surface in ONE scan: token
+    counts, quality signals, language-ID, content fingerprints,
+    repetition ratio, 16-bit SimHash, the feature-hashed embedding,
+    and the corpus unigram-LM log-probability.
+
+    This is the plan shape a 100 TB corpus profiler wants — every
+    narrow per-doc metric shares a single tokenization over a single
+    scan (the seven individual queries above each re-scanned and
+    re-tokenized), and only the unigram model adds an aggregation pass
+    (token explode → corpus model → broadcast join back). The
+    individual q_* functions stay as the unit-documented operator
+    surface; this query is the driver-checked composition of all of
+    them (each column hash-verified against the DuckDB oracle).
+    """
+    from ..operators import dedup as D
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    bound = docs.select(
+        "doc_id",
+        "text",
+        _tokens(F.col("text")).alias("toks"),
+        F.regexp_replace(F.lower("text"), "\\s+", " ").alias("norm"),
+    ).persist()
+
+    toks = F.col("toks")
+    n_tok = F.size(toks)
+
+    def n_hits(ws):
+        return F.size(F.filter(toks, lambda x: x.isin(ws))).cast("bigint")
+
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[.,!?;:]", "")
+    )
+    avg_tok_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col("norm")) - 7, F.lit(1))),
+        lambda i: F.md5(F.col("norm").substr(i, F.lit(8))),
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda b: F.size(
+            F.filter(
+                toks,
+                lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int")
+                % EMBED_DIM
+                == b,
+            )
+        ).cast("double"),
+    )
+
+    staged = bound.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        avg_tok_len.alias("avg_token_len"),
+        F.round(
+            n_hits(STOPWORDS["en"]).cast("double") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6
+        ).alias("punct_ratio"),
+        *[n_hits(ws).alias(f"score_{lang}") for lang, ws in STOPWORDS.items()],
+        F.md5(F.col("norm")).alias("exact_fp"),
+        F.array_min(shingles).alias("shingle_fp"),
+        F.size(tri).cast("bigint").alias("n_trigrams"),
+        F.round(
+            (F.size(tri) - F.size(F.array_distinct(tri))).cast("double")
+            / F.greatest(F.size(tri), F.lit(1)),
+            6,
+        ).alias("repetition_ratio"),
+        D.simhash16(toks).alias("simhash"),
+        counts.alias("counts"),
+    )
+
+    s = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] > 0),
+            F.lit("en"),
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] > 0), F.lit("fr"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+    nrm = F.sqrt(F.aggregate(F.col("counts"), F.lit(0.0), lambda a, x: a + x * x))
+    profile = staged.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_chars_measured",
+        "avg_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        (
+            (F.col("n_ws_tokens") >= 10)
+            & (F.col("avg_token_len") >= 2.0)
+            & (F.col("avg_token_len") <= 12.0)
+            & (F.col("punct_ratio") <= 0.2)
+        ).alias("quality_keep"),
+        "score_en",
+        "score_es",
+        "score_fr",
+        "score_de",
+        pred.alias("lang_pred"),
+        "exact_fp",
+        "shingle_fp",
+        "n_trigrams",
+        "repetition_ratio",
+        "simhash",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("counts"),
+                lambda x: F.format_string(
+                    "%.6f", F.round(x / F.greatest(nrm, F.lit(1e-12)), 6)
+                ),
+            ),
+        ).alias("embedding_csv"),
+    )
+
+    tok = bound.select("doc_id", F.explode("toks").alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    model = vocab.crossJoin(total).select(
+        "tok", F.round(F.log(F.col("c") / F.col("t")), 4).alias("lp")
+    )
+    per_doc = (
+        tok.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lm"),
+            F.sum(F.col("lp").cast("decimal(18,4)")).alias("sum_lp"),
+        )
+    )
+    return (
+        profile.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "avg_logprob",
+            F.round(F.col("sum_lp").cast("double") / F.col("n_lm"), 4),
+        )
+        .drop("n_lm", "sum_lp")
+    )
+
+
+def _oracle_doc_profile() -> str:
+    from .dedup import simhash_bits_sql
+
+    score_cols = ",\n         ".join(
+        f"{_score_sql(lang)} AS score_{lang}" for lang in STOPWORDS
+    )
+    bucket = (
+        "((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))"
+        f" % {EMBED_DIM}"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_tokens_sql('text')} AS toks,
+         regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_ws_tokens,
+         len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+         length(text) AS n_chars_measured,
+         ROUND(CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS avg_token_len,
+         ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS stopword_ratio,
+         ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         {score_cols},
+         md5(norm) AS exact_fp,
+         list_min(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                                 i -> md5(substr(norm, i, 8)))) AS shingle_fp,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                        i -> array_to_string(toks[i:i + 2], ' ')) AS tri,
+         {simhash_bits_sql('list_distinct(toks)')} AS simhash,
+         list_transform(generate_series(0, {EMBED_DIM - 1}),
+           b -> CAST(len(list_filter(toks, tok -> {bucket} = b)) AS DOUBLE)) AS counts
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+model AS (
+  SELECT tok, ROUND(ln(c / (SELECT CAST(sum(c) AS DOUBLE) FROM vocab)), 4) AS lp
+  FROM vocab
+),
+lm AS (
+  SELECT doc_id, count(*) AS n_lm,
+         CAST(SUM(CAST(lp AS DECIMAL(18,4))) AS DOUBLE) AS sum_lp
+  FROM tok JOIN model USING (tok)
+  GROUP BY doc_id
+)
+SELECT m.doc_id, n_ws_tokens, n_bpe_tokens, n_chars_measured,
+       avg_token_len, stopword_ratio, punct_ratio,
+       (n_ws_tokens >= 10 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+        AND punct_ratio <= 0.2) AS quality_keep,
+       score_en, score_es, score_fr, score_de,
+       CASE
+         WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de
+              AND score_en > 0 THEN 'en'
+         WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 THEN 'es'
+         WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+         WHEN score_de > 0 THEN 'de'
+         ELSE 'unknown'
+       END AS lang_pred,
+       exact_fp, shingle_fp,
+       CAST(len(tri) AS BIGINT) AS n_trigrams,
+       ROUND(CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+             / greatest(len(tri), 1), 6) AS repetition_ratio,
+       simhash,
+       array_to_string(
+         list_transform(counts, x -> printf('%.6f',
+           ROUND(x / greatest(sqrt(list_aggregate(list_transform(counts, y -> y * y), 'sum')), 1e-12), 6))),
+         ',') AS embedding_csv,
+       ROUND(lm.sum_lp / lm.n_lm, 4) AS avg_logprob
+FROM m LEFT JOIN lm ON m.doc_id = lm.doc_id
+"""
+
+
 SPECS = [
-    QuerySpec("text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
-              "whitespace + BPE-ish regex token counts", headline=True),
-    QuerySpec("text_quality", q_text_quality, ORACLE_TEXT_QUALITY,
-              "length/punct/stopword quality scoring + keep flag"),
-    QuerySpec("lang_id", q_lang_id, ORACLE_LANG_ID,
-              "stopword-hit language identification"),
-    QuerySpec("doc_fingerprint", q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
-              "md5 exact + min-shingle rolling fingerprints"),
+    QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
+              "one-scan document profiler: tokens/quality/lang/fingerprints/"
+              "repetition/simhash/hash-embedding/unigram-LM", headline=True),
     QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
               "sliding-window passage chunking (64/16 overlap)"),
-    QuerySpec("text_unigram_logprob", q_text_unigram_logprob,
-              ORACLE_TEXT_UNIGRAM_LOGPROB,
-              "corpus unigram-LM avg log-probability per doc"),
-    QuerySpec("text_repetition", q_text_repetition, ORACLE_TEXT_REPETITION,
-              "duplicated-trigram repetition ratio per doc"),
-    QuerySpec("text_hash_embeddings", q_text_hash_embeddings,
-              ORACLE_TEXT_HASH_EMBEDDINGS,
-              "feature-hashed L2-normalized bag-of-words embeddings"),
 ]
