@@ -86,6 +86,24 @@ def test_manual_query_mode(spark, sf_dir, tmp_path):
     assert run.result.differing.count() > 0          # %100 rows perturbed
 
 
+def test_manual_query_mode_validates_config(spark):
+    base = {
+        "databases": ["left", "right"],
+        "is_using_manual_queries": True,
+        "check_column": "check_col",
+        "queries": {"first_query": "SELECT 1", "second_query": "SELECT 1"},
+    }
+    for missing, patch in [
+        ("queries.second_query", {"queries": {"first_query": "SELECT 1"}}),
+        ("queries.first_query", {"queries": {"second_query": "SELECT 1"}}),
+        ("check_column", {"check_column": None}),
+        ("queries.first_query", {"queries": None}),
+    ]:
+        cfg = {**base, **patch}
+        with pytest.raises(ValueError, match="manual-queries mode requires"):
+            run_validation(spark, cfg)
+
+
 def test_fuzzy_threshold_end_to_end(spark, sf_dir, tmp_path):
     register_views(spark, sf_dir)
     cfg = {

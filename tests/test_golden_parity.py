@@ -64,3 +64,30 @@ def test_golden_csv_report_shape(spark, tmp_path):
         body = sorted(reader)
     assert header == ["id", "MODEL_oracle", "MODEL_postgres"]
     assert body == [["84", "CTS-VS", "CTS-V"], ["94", "Ssierraa", "Sierra"]]
+
+
+def test_golden_dict_cell_renders_null_as_nan(spark):
+    """A one-sided NULL is NaN in the reference's merged pandas frame,
+    and its dict-cell repr is unquoted ``nan``
+    (running_validation.py:256-259)."""
+    from validation_database_spark.operators.report import report_summary
+
+    a = spark.createDataFrame(
+        [("84", "CTS-VS"), ("94", None)], "id string, MODEL string"
+    )
+    b = spark.createDataFrame(
+        [("84", "CTS-V"), ("94", "Sierra")], "id string, MODEL string"
+    )
+    res = reconcile(
+        a, b, check_column="MODEL", mode="string",
+        db1="oracle", db2="postgres", threshold=1.0,
+    )
+    cells = {
+        r.differing_values
+        for r in report_summary(res, render="dict").collect()
+        if r.differing_values is not None
+    }
+    assert cells == {
+        "{'id': '84', 'MODEL_oracle': 'CTS-VS', 'MODEL_postgres': 'CTS-V'}",
+        "{'id': '94', 'MODEL_oracle': nan, 'MODEL_postgres': 'Sierra'}",
+    }

@@ -77,7 +77,16 @@ def _validate(config: dict[str, Any]) -> None:
     if not isinstance(databases, list) or len(databases) != 2:
         # reference running_validation.py:614-615
         raise ValueError("exactly two entries required in 'databases'")
-    if not config.get("is_using_manual_queries"):
+    if config.get("is_using_manual_queries"):
+        queries = config.get("queries") or {}
+        for key in ("first_query", "second_query"):
+            if not queries.get(key):
+                raise ValueError(
+                    f"manual-queries mode requires 'queries.{key}'"
+                )
+        if not config.get("check_column"):
+            raise ValueError("manual-queries mode requires 'check_column'")
+    else:
         for key in ("check_column", "data_type"):
             if not config.get(key):
                 raise ValueError(f"missing required config key {key!r}")

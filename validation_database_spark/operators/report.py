@@ -120,11 +120,12 @@ def report_summary(result: ReconcileResult, render: str = "compact") -> DataFram
 
 
 def _py_repr(col):
-    """Render a string column the way python repr does for the dict
-    cell: quoted if non-null, ``None`` if null (pandas ``to_dict``
-    renders NaN as ``nan``; the compat path targets the common non-null
-    golden rows)."""
-    return F.when(col.isNull(), F.lit("None")).otherwise(
+    """Render a string column the way the reference's pandas
+    ``to_dict('records')`` repr does for the dict cell: quoted if
+    non-null, unquoted ``nan`` if null (a one-sided missing value is
+    NaN in the reference's merged frame, and ``repr(nan)`` is
+    ``nan`` — reference running_validation.py:256-259)."""
+    return F.when(col.isNull(), F.lit("nan")).otherwise(
         F.concat(F.lit("'"), col.cast("string"), F.lit("'"))
     )
 

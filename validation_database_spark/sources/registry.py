@@ -11,9 +11,12 @@ was scanning). This module is the Spark-native equivalent of that
 dispatch: a registry keyed by source name.
 
 For the test fixtures everything is parquet under
-``/root/testdata/sf*/``; JDBC specs are supported but exercised only
-when a live database URL is configured (none exists in this container,
-so they are covered by unit tests of the generated reader options).
+``/root/testdata/sf*/``; the JDBC path is exercised LIVE against
+embedded Apache Derby (shipped in Spark's own jars) by
+``tests/test_jdbc_live.py`` — real scans incl. server-side ``query``
+pushdown, range-partitioned parallel reads, and Catalyst
+filter pushdown — plus option-generation unit tests in
+``tests/test_sources.py``.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 #: Canonical fixture tables (TESTDATA.md).
 TABLES = (
@@ -42,6 +46,36 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Physical schema of events.parquet with ts as raw nanos. Supplying
+#: it explicitly lets the scan read the TIMESTAMP(NANOS) column as
+#: long WITHOUT flipping the session-wide
+#: ``spark.sql.legacy.parquet.nanosAsLong`` flag (which would silently
+#: change how unrelated reads in a caller-owned session treat nanos).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: nanos → TIMESTAMP_NTZ at microsecond precision, computed as
+#: NTZ-epoch + exact day/decimal-second intervals. Deliberately NOT
+#: ``timestamp_micros`` (LTZ): NTZ has no session-timezone rendering,
+#: so results are identical under any caller session TZ — and it
+#: matches the DuckDB oracles' naive ``make_timestamp(epoch_ns(ts) //
+#: 1000)`` semantics exactly. The decimal seconds keep the arithmetic
+#: exact (no double rounding at the microsecond).
+EVENTS_TS_NTZ = (
+    "make_timestamp_ntz(1970, 1, 1, 0, 0, 0) + make_dt_interval("
+    "CAST((ts div 1000) div 86400000000 AS INT), 0, 0, "
+    "CAST((ts div 1000) % 86400000000 AS DECIMAL(18,6)) / 1000000)"
+)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load a fixture table as a (lazy) DataFrame.
 
@@ -54,21 +88,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read nanos as long and truncate to microseconds
-        # (the DuckDB oracles truncate identically via
-        # make_timestamp(epoch_ns(ts) // 1000)). timestamp_micros
-        # yields TIMESTAMP_LTZ, whose wall-clock rendering depends on
-        # the session timezone — pin UTC (the engine-wide assumption,
-        # see session.py) so a caller-provided session with another TZ
-        # still gets DuckDB-comparable instants.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # rejects by default. An explicit schema reads it as raw long
+        # nanos without touching any session conf, and the NTZ
+        # conversion truncates to microseconds exactly like the
+        # DuckDB oracles' make_timestamp(epoch_ns(ts) // 1000).
         from pyspark.sql import functions as F
 
-        raw = spark.read.parquet(path)
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.expr(EVENTS_TS_NTZ))
     return spark.read.parquet(path)
 
 

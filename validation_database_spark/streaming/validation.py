@@ -32,27 +32,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Physical schema of events.parquet (ts is parquet TIMESTAMP(NANOS),
-# read as raw nanos — see sources/registry.py for the batch twin).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from validation_database_spark.sources.registry import EVENTS_RAW_SCHEMA
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events fixture as a (bounded) file-source stream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events fixture as a (bounded) file-source stream.
+
+    Same explicit nanos-as-long schema as the batch twin
+    (sources/registry.py) — no session conf mutation. Unlike the
+    batch side (TIMESTAMP_NTZ), event time here must stay
+    TIMESTAMP_LTZ: watermarks reject NTZ columns
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so wall-clock rendering of
+    streaming output follows the session timezone (the engine pins
+    UTC in session.py).
+    """
     # The file source requires a directory; select just the events
     # file from the fixture dir via the glob filter.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -180,7 +177,10 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+        # Keep the UNROUNDED running total in state — rounding state
+        # would accumulate drift that depends on micro-batch
+        # splitting; round only in the emitted row.
+        state.update((n, total))
         yield _pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )
