@@ -101,7 +101,10 @@ def main() -> None:
         ev_parts.append(
             ev.select(
                 (F.col("event_id") + i * KEY_OFFSET).alias("event_id"),
-                (F.unix_micros("ts") * 1000).alias("ts"),
+                # ts is TIMESTAMP_NTZ; interpret the naive value as
+                # UTC (get_spark pins a UTC session) to recover epoch
+                # micros, then back to nanos.
+                (F.unix_micros(F.to_utc_timestamp("ts", "UTC")) * 1000).alias("ts"),
                 (F.col("user_id") + (i % 3) * 1000).alias("user_id"),
                 "event_type",
                 "value",
