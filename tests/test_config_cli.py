@@ -212,3 +212,74 @@ def test_composite_id_columns_alias(spark, sf_dir):
         run.result.missing_in_second
     ).count()
     assert sample == 0
+
+
+def test_run_log_narrates_stages_and_redacts_secrets(spark, sf_dir, tmp_path):
+    cfg = {
+        "databases": ["a", "b"],
+        "data_type": "string",
+        "check_column": "o_orderpriority",
+        "composite_id_columns": ["o_orderkey"],
+        "a_table_name": "orders",
+        "b_table_name": "orders",
+        "a_source": {"format": "parquet", "path": sf_dir, "password": "hunter2"},
+        "b_source": {"format": "parquet", "path": sf_dir},
+        "log_directory": str(tmp_path / "logs"),
+        "log_counts": True,
+    }
+    run = run_validation(spark, cfg)
+    assert run.log_path and os.path.exists(run.log_path)
+    assert os.path.basename(run.log_path).startswith("data_validation_")
+    text = open(run.log_path).read()
+    # reference stage narration (running_validation.py INFO lines)
+    for line in (
+        "Starting Validate Data",
+        "Processing Validate Missing Ids Done.",
+        "Processing Validate Data Done",
+        "IDs Missing in a: 0",
+        "Differing values: 0",
+    ):
+        assert line in text
+    # format: "<asctime> - INFO - <msg>"
+    assert " - INFO - Starting Validate Data" in text
+    # deliberate divergence: secrets never reach the log
+    assert "hunter2" not in text
+    assert "password: ***" in text
+
+
+def test_athena_and_odps_source_specs(spark):
+    from validation_database_spark.config import athena_odps_source
+
+    cfg = {
+        "databases": ["ali", "aws"],
+        "batch_size": 5000,
+        "aws_table_name": "orders",
+        "ali_table_name": "orders",
+        "aws_source": {
+            "format": "athena",
+            "region_name": "ap-southeast-1",
+            "database": "lake",
+            "output_location": "s3://bucket/athena-results/",
+            "aws_access_key_id": "AKIA123",
+            "aws_secret_access_key": "s3cr3t",
+        },
+        "ali_source": {
+            "format": "odps",
+            "endpoint": "http://service.odps.aliyun.com/api",
+            "project_name": "proj",
+            "access_id": "id1",
+            "access_key": "k1",
+        },
+    }
+    athena = athena_odps_source(cfg, "aws").reader_options()
+    assert athena["url"] == "jdbc:awsathena://athena.ap-southeast-1.amazonaws.com:443"
+    assert athena["driver"] == "com.simba.athena.jdbc.Driver"
+    assert athena["S3OutputLocation"] == "s3://bucket/athena-results/"
+    assert athena["Schema"] == "lake"
+    assert athena["dbtable"] == "orders"
+    assert athena["fetchsize"] == "5000"
+
+    odps = athena_odps_source(cfg, "ali").reader_options()
+    assert odps["url"] == "jdbc:odps:http://service.odps.aliyun.com/api?project=proj"
+    assert odps["driver"] == "com.aliyun.odps.jdbc.OdpsDriver"
+    assert odps["user"] == "id1"

@@ -121,7 +121,58 @@ def _source_df(spark: SparkSession, config: dict[str, Any], db: str) -> DataFram
             fetchsize=int(config.get("batch_size", 10_000)),
             driver=src.get("driver"),
         ).load(spark)
+    if fmt in ("athena", "odps"):
+        return athena_odps_source(config, db).load(spark)
     raise ValueError(f"{db}: unknown source format {fmt!r}")
+
+
+def athena_odps_source(config: dict[str, Any], db: str) -> JdbcSource:
+    """Map the reference's Athena / MaxCompute credential shapes onto
+    JDBC reader specs.
+
+    The reference drives Athena through boto3 (query, database,
+    output_location, region_name, aws keys — running_validation.py:123-180)
+    and MaxCompute through the ODPS SDK (access_id, access_key,
+    project_name, endpoint — :182-212). Spark's native equivalents are
+    the engines' public JDBC drivers, whose URL shapes are documented
+    by AWS ("jdbc:awsathena://athena.<region>.amazonaws.com:443" with
+    an S3OutputLocation property) and Alibaba
+    ("jdbc:odps:<endpoint>?project=<name>"). This builds the complete
+    spec from the same credential keys the reference's creds/*.json
+    carry; executing it additionally needs the vendor jar on the
+    classpath (not shipped in this image — the Derby-backed
+    tests/test_jdbc_live.py proves the execution path itself).
+
+    For Athena, note the usually-better alternative: the data behind
+    an Athena table is parquet/ORC on S3, which ``spark.read`` scans
+    directly without an Athena query in the middle — that is the
+    ``parquet`` source path with an ``s3a://`` location.
+    """
+    src = config.get(f"{db}_source", {}) or {}
+    fmt = src.get("format")
+    fetch = int(config.get("batch_size", 10_000))
+    if fmt == "athena":
+        region = src["region_name"]
+        return JdbcSource(
+            url=f"jdbc:awsathena://athena.{region}.amazonaws.com:443",
+            dbtable=config.get(f"{db}_table_name"),
+            user=src.get("aws_access_key_id"),
+            password=src.get("aws_secret_access_key"),
+            fetchsize=fetch,
+            driver="com.simba.athena.jdbc.Driver",
+            extra={
+                "S3OutputLocation": src["output_location"],
+                **({"Schema": src["database"]} if src.get("database") else {}),
+            },
+        )
+    return JdbcSource(
+        url=f"jdbc:odps:{src['endpoint']}?project={src['project_name']}",
+        dbtable=config.get(f"{db}_table_name"),
+        user=src.get("access_id"),
+        password=src.get("access_key"),
+        fetchsize=fetch,
+        driver="com.aliyun.odps.jdbc.OdpsDriver",
+    )
 
 
 def _project(
@@ -149,25 +200,50 @@ def _project(
 class ValidationRun:
     result: ReconcileResult
     output: str | None
+    log_path: str | None = None
 
 
 def run_validation(spark: SparkSession, config: dict[str, Any]) -> ValidationRun:
     """Execute one configured validation (the reference's ``main``,
     running_validation.py:456-654) and optionally write the two CSV
-    reports."""
+    reports.
+
+    When ``log_directory`` is set, a timestamped run log narrates the
+    stages the reference's log files do (running_validation.py:14-28
+    and the INFO lines throughout) — source parameters with secrets
+    redacted, validation phases, report writes. Stage lines do NOT
+    force extra Spark jobs (the DAG stays lazy); set
+    ``log_counts: true`` to also log the three result counts the
+    reference's eager pandas run printed (costs one extra job each).
+    """
+    from .observability import NullLogger, make_run_logger, redact
+
     _validate(config)
+    log_dir = config.get("log_directory")
+    log = make_run_logger(log_dir) if log_dir else NullLogger()
+    log.info("Successfully loaded configuration")
     db1, db2 = config["databases"]
 
     if config.get("is_using_manual_queries"):
         queries = config.get("queries", {})
+        log.info("manual-queries mode: executing configured SQL")
+        log.info(f"first_query:\n{queries['first_query']}")
+        log.info(f"second_query:\n{queries['second_query']}")
         first = spark.sql(queries["first_query"])
         second = spark.sql(queries["second_query"])
         check = config["check_column"]
     else:
+        for db in (db1, db2):
+            src = redact(dict(config.get(f"{db}_source", {}) or {}))
+            log.info(f"Try to connect database {db}....")
+            for k, v in src.items():
+                log.info(f"{k}: {v}")
+            log.info(f"table: {config.get(f'{db}_table_name')}")
         first = _project(_source_df(spark, config, db1), config, db1)
         second = _project(_source_df(spark, config, db2), config, db2)
         check = config["check_column"]
 
+    log.info("Starting Validate Data")
     result = reconcile(
         first,
         second,
@@ -177,10 +253,18 @@ def run_validation(spark: SparkSession, config: dict[str, Any]) -> ValidationRun
         db2=db2,
         threshold=float(config.get("threshold", 1.0)),
     )
+    log.info("Processing Validate Missing Ids Done.")
+    if config.get("log_counts"):
+        log.info(f"IDs Missing in {db1}: {result.missing_in_first.count()}")
+        log.info(f"IDs Missing in {db2}: {result.missing_in_second.count()}")
+        log.info(f"Differing values: {result.differing.count()}")
+    log.info("Processing Validate Data Done")
     output = config.get("output")
     if output:
+        log.info("saving result to csv file ........")
         write_reports(result, output, single_file=bool(config.get("single_file", True)))
-    return ValidationRun(result, output)
+        log.info(f"result saved under {output}")
+    return ValidationRun(result, output, getattr(log, "log_path", None))
 
 
 def main(argv: list[str] | None = None) -> int:
