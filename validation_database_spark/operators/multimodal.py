@@ -109,31 +109,59 @@ def extract_features(assets: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
         # module-level symbols, so cloudpickle ships it by value and
         # executor Python workers need no importable copy of this
         # package (the driver contract is consumed by path, not
-        # installed). Mirrors decode_image_stub(deterministic_fake).
-        def fake_decode(payload: bytes) -> np.ndarray:
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            size = 8 * 8
-            reps = int(np.ceil(size / max(len(buf), 1)))
-            return np.tile(buf, reps)[:size].reshape(8, 8).astype(np.uint8)
+        # installed). Semantics mirror
+        # decode_image_stub(deterministic_fake) + 4-byte stripe
+        # pooling, computed batch-wide: one concatenated uint8 buffer
+        # + offsets, fancy-indexed (n, 64) head matrix, reduceat
+        # checksums — no per-row Python in the hot loop (only the
+        # rare shorter-than-64-byte payloads fall back to a tile).
+        head_n = feature_dim * 4  # 64 = the stub's 8x8 block
 
         for pdf in batches:
-            rows = []
-            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                data = bytes(payload) if payload is not None else b""
-                block = fake_decode(data)
-                # Deterministic pooled "features": mean of 4-byte stripes.
-                pooled = block.reshape(-1)[: feature_dim * 4].reshape(feature_dim, 4)
-                feats = (pooled.mean(axis=1) / 255.0).astype(np.float32)
-                crc = int(np.uint32(np.sum(np.frombuffer(data, dtype=np.uint8), dtype=np.uint64) % (2**32)))
-                rows.append(
-                    {
-                        "asset_id": asset_id,
-                        "n_bytes": len(data),
-                        "payload_crc": crc,
-                        "features": feats.tolist(),
-                    }
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            n = len(payloads)
+            if n == 0:
+                yield pd.DataFrame(
+                    columns=["asset_id", "n_bytes", "payload_crc", "features"]
                 )
-            yield pd.DataFrame(rows, columns=["asset_id", "n_bytes", "payload_crc", "features"])
+                continue
+            lens = np.fromiter((len(p) for p in payloads), np.int64, count=n)
+            big = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+
+            # per-row byte sums mod 2^32 (empty rows excluded from
+            # reduceat — zero-length segments misindex).
+            sums = np.zeros(n, dtype=np.uint64)
+            nonempty = lens > 0
+            if big.size:
+                sums[nonempty] = np.add.reduceat(
+                    big.astype(np.uint64), offs[nonempty]
+                )
+            crcs = (sums % (2**32)).astype(np.int64)
+
+            head = np.zeros((n, head_n), dtype=np.uint8)
+            full = lens >= head_n
+            if full.any():
+                head[full] = big[offs[full, None] + np.arange(head_n)]
+            for i in np.nonzero(~full & nonempty)[0]:
+                buf = big[offs[i] : offs[i] + lens[i]]
+                reps = int(np.ceil(head_n / lens[i]))
+                head[i] = np.tile(buf, reps)[:head_n]
+            feats = (
+                head.reshape(n, feature_dim, 4).mean(axis=2) / 255.0
+            ).astype(np.float32)
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "n_bytes": lens,
+                    "payload_crc": crcs,
+                    "features": list(feats),
+                }
+            )
 
     return assets.mapInPandas(kernel, schema=_FEATURES_SCHEMA)
 
