@@ -1,14 +1,14 @@
 """Scale machinery: salted joins preserve semantics; bucketed tables
-co-locate joins (no shuffle exchange in the plan).
-
-(AQE's OptimizeSkewedJoin is enabled in session.py but not plan-pinned
-here: at fixture scale the shuffle partitions are KB-sized, so AQE
-coalesces them instead of splitting — the skew mitigation that IS
-observable and driver-checked at this scale is operators/skew.py's
-explicit salting, exercised below and by the skew_salted_revenue
-query.)"""
+co-locate joins (no shuffle exchange in the plan); AQE's
+OptimizeSkewedJoin actually splits a hot partition at the MB-scale
+replica (plan-pinned below, skipped when /tmp/spark_graft_sf1 is
+absent — at base fixture scale the shuffle partitions are KB-sized
+and AQE coalesces instead of splitting, so the skew mitigation
+observable there is operators/skew.py's explicit salting)."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -121,3 +121,55 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
     orders = load_table(spark, "orders", sf_dir)
     want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert got == want
+
+
+SF1 = "/tmp/spark_graft_sf1"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF1), reason="scale replica absent (scripts/make_scale_data.py)"
+)
+def test_aqe_splits_skewed_join_at_scale(spark):
+    """AQE skew-join split, demonstrated for real: a deliberately
+    hot join key (30% of 6M lineitem rows folded onto one key) makes
+    one shuffle partition ~15x the median; with MB-scale partitions
+    AQE re-plans the sort-merge join as SortMergeJoin(skew=true),
+    splitting the hot partition across tasks. This is the runtime
+    half of the engine's skew story (the static half is salting)."""
+    confs = {
+        # 32 reduce partitions: with the test session's default 4,
+        # the hot partition's hash siblings dilute the skew below the
+        # detection factor (hot/median ≈ 1.5x); at 32 it is ~15x.
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF1}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF1}/orders.parquet")
+        skewed = li.withColumn(
+            "join_key",
+            F.when(F.col("l_orderkey") % 10 < 3, F.lit(42)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        right = orders.withColumn("join_key", F.col("o_orderkey"))
+        j = skewed.join(right, "join_key").select(
+            "join_key", "l_quantity", "o_totalprice"
+        )
+        # consume one output partition: forces the map stages, so AQE
+        # plans the final stage with real shuffle stats.
+        next(j.toLocalIterator())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
