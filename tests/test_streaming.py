@@ -125,3 +125,49 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     n = out.count()
     n_src = load_table(spark, sf_dir=sf_dir, name="events").count()
     assert n == n_src, (n, n_src)
+
+
+def test_tws_v2_operator_gates_cleanly(spark, sf_dir):
+    """transformWithStateInPandas (arbitrary state v2) needs protobuf
+    for its worker protocol; absent here, the operator must raise a
+    descriptive error at construction — and when the dependency IS
+    present, build the same-schema plan as the v1 operator."""
+    import pytest as _pytest
+
+    from validation_database_spark.streaming import stream_events
+    from validation_database_spark.streaming.tws import (
+        streaming_user_totals_tws,
+        tws_available,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    if not tws_available():
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            streaming_user_totals_tws(stream)
+        _pytest.skip("protobuf absent: v2 execution not possible in this image")
+    out = streaming_user_totals_tws(stream)
+    assert out.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,total_value:double>"
+    )
+
+
+def test_kafka_source_gates_cleanly(spark):
+    """Kafka connector jar absent here: the probe must say so and the
+    builders must raise the setup hint (when present, they return the
+    engine's standard events schema)."""
+    import pytest as _pytest
+
+    from validation_database_spark.streaming.kafka import (
+        KafkaUnavailable,
+        kafka_available,
+        stream_kafka_events,
+    )
+
+    if not kafka_available(spark):
+        with _pytest.raises(KafkaUnavailable, match="spark-sql-kafka"):
+            stream_kafka_events(spark, "localhost:9092", "events")
+        _pytest.skip("kafka connector absent: live stream not possible here")
+    out = stream_kafka_events(spark, "localhost:9092", "events")
+    assert [f.name for f in out.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]

@@ -256,26 +256,54 @@ def q_order_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status profile in one driver-checked query: the explicit-
     values pivot (priority counts) joined with the interpolated price
     percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` —
-    both use (n−1)·q linear interpolation). Both sides aggregate on
-    o_orderstatus — same shuffle key, 3-row join."""
+    both use (n−1)·q linear interpolation), the DISCRETE median
+    (``percentile_disc`` ≡ ``quantile_disc``: smallest actual data
+    value whose cume_dist ≥ q — no interpolation, so the result is a
+    real row value), and the modal priority. Mode is computed
+    explicitly (counts → rank with a value tiebreak) rather than via
+    the engines' ``mode()`` builtins, whose tie-breaking is
+    unspecified — determinism is engineered, not hoped for. All
+    sides aggregate on o_orderstatus — same shuffle key, 3-row
+    joins."""
     orders = load_table(spark, "orders", sf_dir)
     pivot = q_order_priority_pivot(spark, sf_dir)
     pct = orders.groupBy("o_orderstatus").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("p50_disc"),
     )
-    return pivot.join(pct, "o_orderstatus")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").desc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return pivot.join(pct, "o_orderstatus").join(mode, "o_orderstatus")
 
 
 ORACLE_ORDER_STATUS_PROFILE = f"""
-SELECT p.*, q.p50, q.p90, q.p99
+SELECT p.*, q.p50, q.p90, q.p99, q.p50_disc, m.mode_priority
 FROM ({ORACLE_ORDER_PRIORITY_PIVOT}) p
 JOIN (SELECT o_orderstatus,
              ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
              ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
-             ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+             ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+             quantile_disc(o_totalprice, 0.5) AS p50_disc
       FROM orders GROUP BY o_orderstatus) q USING (o_orderstatus)
+JOIN (SELECT o_orderstatus, o_orderpriority AS mode_priority
+      FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY count(*) DESC,
+                                               o_orderpriority DESC) AS rn
+            FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      WHERE rn = 1) m USING (o_orderstatus)
 """
 
 
