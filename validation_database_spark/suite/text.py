@@ -688,10 +688,120 @@ FROM m LEFT JOIN lm ON m.doc_id = lm.doc_id
 """
 
 
+# --- PII redaction (training-data cleaning) ----------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround) so Spark and DuckDB compile them
+# identically.
+_RE_URL = r"https?://[^ ]+"
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\+1 \(555\) 010-[0-9]{4}"
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived corpus with deterministically planted PII: every 3rd
+    doc gains a contact email, every 5th a tracking URL, every 7th a
+    phone number — the contamination shapes a pretraining-corpus
+    cleaning pass actually meets (same derived-fixture pattern as the
+    boilerplate corpus in suite/dedup.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    with_email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    with_url = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            with_email,
+            F.lit(" see https://example.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=abc"),
+        ),
+    ).otherwise(with_email)
+    with_phone = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            with_url,
+            F.lit(" call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(with_url)
+    return docs.select("doc_id", with_phone.alias("text"))
+
+
+def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the planted corpus: URLs → [URL], emails →
+    [EMAIL], phone numbers → [PHONE] (URL first — a URL can embed an
+    '@'), then whitespace-normalize. Counts are emitted per class so
+    the redaction rate is auditable downstream. Pure JVM
+    ``regexp_replace``/``regexp_count`` — a narrow map, no shuffle,
+    embarrassingly parallel at any corpus size."""
+    docs = spread(_docs_with_pii(spark, sf_dir))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _RE_URL, "[URL]"),
+            _RE_EMAIL,
+            "[EMAIL]",
+        ),
+        _RE_PHONE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(redacted, " +", " ")).alias("clean_text"),
+        # patterns as Column literals: SQL-literal backslash escaping
+        # never touches them
+        F.regexp_count("text", F.lit(_RE_URL)).cast("bigint").alias("n_urls"),
+        F.regexp_count("text", F.lit(_RE_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(_RE_PHONE)).cast("bigint").alias("n_phones"),
+    )
+
+
+_PII_CORPUS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN base3 || ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE base3 END AS text
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN base2 || ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) || '?ref=abc'
+              ELSE base2 END AS base3
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' contact me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE text END AS base2
+    FROM documents
+  )
+)
+"""
+
+ORACLE_DOC_REDACT = f"""
+WITH pii AS ({_PII_CORPUS_SQL})
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^ ]+', '[URL]', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+           '\\+1 \\(555\\) 010-[0-9]{{4}}', '[PHONE]', 'g'),
+         ' +', ' ', 'g')) AS clean_text,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\+1 \\(555\\) 010-[0-9]{{4}}')) AS BIGINT) AS n_phones
+FROM pii
+"""
+
+
 SPECS = [
     QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
               "one-scan document profiler: tokens/quality/lang/fingerprints/"
               "repetition/simhash/hash-embedding/unigram-LM", headline=True),
     QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
               "sliding-window passage chunking (64/16 overlap)"),
+    QuerySpec("doc_redact", q_doc_redact, ORACLE_DOC_REDACT,
+              "PII redaction: URL/email/phone → tokens, per-class counts"),
 ]
