@@ -74,6 +74,53 @@ def _numbered(df: DataFrame, out_col: str, order_col: str = "id") -> DataFrame:
     )
 
 
+def _numbered_tagged(parts: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Per-tag global 1-based ranks for several (id, val) lists in ONE
+    range-partition pass instead of one ``global_row_number`` job per
+    list: tag-union the lists, range-partition on (tag, id), rank
+    locally per (partition, tag), and add per-(tag, partition) prefix
+    offsets from one tiny triangular self-join. Same two-distributed-
+    pass structure as ``global_row_number`` (no single-task sort), a
+    third of the jobs.
+    """
+    tagged = None
+    for tag, df in parts.items():
+        part = df.select(
+            F.lit(tag).alias("__tag"), F.col("id"), F.col("val")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    spark = tagged.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    ranged = tagged.repartitionByRange(
+        n, F.col("__tag"), F.col("id")
+    ).withColumn("__pid", F.spark_partition_id())
+    local_w = Window.partitionBy("__pid", "__tag").orderBy("id")
+    # persist: same double-evaluation hazard as global_row_number —
+    # the ranged subtree feeds both the offsets agg and the join.
+    local = ranged.withColumn("__lrn", F.row_number().over(local_w)).persist()
+    counts = local.groupBy("__tag", "__pid").agg(F.count("*").alias("__cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            (F.col("b.__tag") == F.col("a.__tag"))
+            & (F.col("b.__pid") < F.col("a.__pid")),
+            "left",
+        )
+        .groupBy(F.col("a.__tag").alias("__tag"), F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
+    )
+    numbered = (
+        local.join(F.broadcast(offsets), ["__tag", "__pid"])
+        .withColumn("rn", (F.col("__lrn") + F.col("__offset")).cast("int"))
+        .select("__tag", "val", "rn")
+    )
+    return {
+        tag: numbered.filter(F.col("__tag") == tag).drop("__tag")
+        for tag in parts
+    }
+
+
 def report_summary(result: ReconcileResult, render: str = "compact") -> DataFrame:
     """Side-by-side ragged summary.
 
@@ -104,11 +151,22 @@ def report_summary(result: ReconcileResult, render: str = "compact") -> DataFram
             F.concat_ws(":", F.col("id"), F.coalesce(F.col(c1).cast("string"), F.lit("NULL"))),
             F.coalesce(F.col(c2).cast("string"), F.lit("NULL")),
         )
-    diff = result.differing.select(F.col("id"), cell.alias("differing_values"))
-
-    m1 = _numbered(result.missing_in_first, f"missing_in_{result.db1}")
-    m2 = _numbered(result.missing_in_second, f"missing_in_{result.db2}")
-    dv = global_row_number(diff, "id").select("differing_values", "rn")
+    c_m1 = f"missing_in_{result.db1}"
+    c_m2 = f"missing_in_{result.db2}"
+    numbered = _numbered_tagged(
+        {
+            "m1": result.missing_in_first.select(
+                F.col("id"), F.col("id").alias("val")
+            ),
+            "m2": result.missing_in_second.select(
+                F.col("id"), F.col("id").alias("val")
+            ),
+            "dv": result.differing.select(F.col("id"), cell.alias("val")),
+        }
+    )
+    m1 = numbered["m1"].select(F.col("val").alias(c_m1), "rn")
+    m2 = numbered["m2"].select(F.col("val").alias(c_m2), "rn")
+    dv = numbered["dv"].select(F.col("val").alias("differing_values"), "rn")
 
     out = (
         m1.join(m2, "rn", "full_outer")
