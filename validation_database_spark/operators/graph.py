@@ -72,3 +72,88 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("node", "comp")
+
+
+#: PageRank fixed-point scale: ranks are integers in parts-per-1e12.
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, as chained
+    DataFrame transformations — each iteration is one join + one
+    aggregation, nothing driver-side but the loop counter (the
+    canonical "iterative algorithm on Spark" shape; at scale each
+    round is a single shuffle keyed by node).
+
+    Cross-engine determinism is engineered by doing the WHOLE
+    computation in integers: ranks are parts-per-10^12 (bigint),
+    per-edge contributions are floor divisions by out-degree, the
+    damping factor is the rational ``damping_num/damping_den``, and
+    integer sums are exact and order-independent — so an equivalent
+    fixed-iteration SQL implementation (e.g. a DuckDB recursive CTE
+    with the same floor divisions) reproduces every value EXACTLY,
+    with no float summation-order or decimal-division-scale hazards.
+    The fixed-point quantization (≤1e-12 per step) is part of the
+    operator contract.
+
+    Dangling nodes (no out-edges) follow the standard simplification:
+    their mass is not redistributed (dropped), matching the plain
+    recursive-SQL formulation.
+
+    Returns (node, rank_ppt BIGINT, rank DOUBLE = rank_ppt / 1e12)
+    for every node appearing as src or dst.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    e = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
+        .join(out_deg, "node")
+        .persist()
+    )
+    base = ((damping_den - damping_num) * PAGERANK_SCALE) // (
+        damping_den * n_nodes
+    )
+    init = PAGERANK_SCALE // n_nodes
+    ranks = nodes.withColumn("rank_ppt", F.lit(init).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, "node")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_ppt div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * coalesce(in_sum, 0)) div {damping_den}"
+                )
+            )
+            .cast("bigint")
+            .alias("rank_ppt"),
+        )
+    return ranks.select(
+        "node",
+        "rank_ppt",
+        (F.col("rank_ppt") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
+    )
