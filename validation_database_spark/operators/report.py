@@ -68,12 +68,6 @@ def global_row_number(
     )
 
 
-def _numbered(df: DataFrame, out_col: str, order_col: str = "id") -> DataFrame:
-    return global_row_number(
-        df.select(F.col(order_col).alias(out_col)), out_col
-    )
-
-
 def _numbered_tagged(parts: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """Per-tag global 1-based ranks for several (id, val) lists in ONE
     range-partition pass instead of one ``global_row_number`` job per
