@@ -21,6 +21,7 @@ from validation_database_spark.suite.analytics import (
     q_revenue_by_nation,
     q_topk_orders_per_cust,
 )
+from validation_database_spark.sources import load_table
 from validation_database_spark.suite.parity import (
     q_filter_date_range,
     q_validation_counts,
@@ -104,3 +105,38 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     df = q_pricing_summary(spark, sf_dir)
     df.collect()
     assert count_occurrences(df, "codegen id") >= 1
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim-side predicate
+    makes Catalyst inject a bloom filter (might_contain) into the
+    fact side of the shuffle join — at 100 TB this is the semi-join
+    pushdown that keeps the big scan from shuffling rows the join
+    would drop anyway. Broadcast is disabled to expose the shuffle
+    join (broadcast joins get the stronger DPP/broadcast-hash path
+    instead)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # force applicability at fixture sizes
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir).filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
