@@ -42,3 +42,36 @@ def test_approx_sketch_is_one_pass(spark, sf_dir):
     n_exact = count_occurrences(exact, "HashAggregate")
     assert n_approx == 4, n_approx
     assert n_exact > n_approx, (n_exact, n_approx)
+
+
+def test_hll_sketches_merge_across_partitions(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, built into Spark
+    3.5+): per-group sketches union into a global one WITHOUT
+    re-reading the data — the re-aggregatable distinct-count shape a
+    100 TB rollup needs (count distinct per day -> per month -> total
+    from the stored sketches, never a re-scan)."""
+    from validation_database_spark.sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    exact = orders.select("o_custkey").distinct().count()
+
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    # second-level merge: union the per-group sketches
+    merged = per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+    # per-group estimates are individually sane too
+    rows = per_status.select(
+        "o_orderstatus", F.hll_sketch_estimate("sk").alias("est")
+    ).collect()
+    exact_per = dict(
+        orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.est - exact_per[r.o_orderstatus]) / exact_per[r.o_orderstatus] < 0.05
