@@ -48,7 +48,10 @@ ASSET_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 _FEATURES_SCHEMA = (
-    "asset_id long, n_bytes long, payload_crc long, features array<float>"
+    # doubles, not float32: the stripe means are exact rationals s/1020
+    # whose float64 quotients are IEEE-identical across engines, which
+    # is what lets the feature pipeline carry a full DuckDB oracle.
+    "asset_id long, n_bytes long, payload_crc long, features array<double>"
 )
 
 
@@ -150,9 +153,7 @@ def extract_features(assets: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
                 buf = big[offs[i] : offs[i] + lens[i]]
                 reps = int(np.ceil(head_n / lens[i]))
                 head[i] = np.tile(buf, reps)[:head_n]
-            feats = (
-                head.reshape(n, feature_dim, 4).mean(axis=2) / 255.0
-            ).astype(np.float32)
+            feats = head.reshape(n, feature_dim, 4).mean(axis=2) / 255.0
 
             yield pd.DataFrame(
                 {

@@ -49,17 +49,59 @@ FROM assets GROUP BY modality
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → feature-vector pipeline through the mapInPandas
-    kernel (deterministic stub decode). Rows-only check — the Arrow
-    kernel is not SQL-expressible."""
+    kernel (deterministic stub decode) — now FULLY value-checked
+    against a DuckDB oracle, not rows-only:
+
+    The stub kernel's arithmetic is engineered to be replayable in
+    SQL: the corpus is ASCII (so DuckDB ``ord(substr(...))`` over the
+    text equals the payload byte), the checksum is an exact integer
+    sum, and each feature is the float64 quotient of an exact
+    rational (4-byte stripe sum / 1020) — IEEE-identical in numpy and
+    DuckDB — rounded to 6 and CSV-serialized for the hash compare
+    (the driver cannot canonicalize array cells). The array-typed
+    ``features`` column remains the programmatic API on
+    ``extract_features``."""
     docs = load_table(spark, "documents", sf_dir)
     assets = assets_from_documents(docs)
     feats = extract_features(assets)
-    return feats.select("asset_id", "n_bytes", "payload_crc", F.size("features").alias("feature_dim"))
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "payload_crc",
+        F.expr(
+            "array_join(transform(features, x -> printf('%.6f', round(x, 6))), ',')"
+        ).alias("features_csv"),
+    )
+
+
+# The kernel's exact recurrence in SQL: byte j of the tiled 64-byte
+# head is text byte ((j) % n) (0-based), feature k = sum of bytes
+# 4k..4k+3 over 1020.
+_FEATURE_TERM = " + ".join(
+    f"ord(substr(text, CAST((4 * k + {m}) % n AS INT) + 1, 1))" for m in range(4)
+)
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id AS asset_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(list_aggregate(
+              list_transform(range(1, CAST(n AS INT) + 1),
+                             i -> ord(substr(text, CAST(i AS INT), 1))),
+              'sum') % 4294967296 AS BIGINT) AS payload_crc,
+       array_to_string(
+         list_transform(range(0, 16),
+                        k -> printf('%.6f', ROUND(({_FEATURE_TERM}) / 1020.0, 6))),
+         ',') AS features_csv
+FROM b
+"""
 
 
 SPECS = [
     QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
               "per-modality metadata stats, payload-pruning layout"),
-    QuerySpec("multimodal_features", q_multimodal_features, None,
-              "Arrow-batched stub-decode feature extraction (rows-only)", headline=True),
+    QuerySpec("multimodal_features", q_multimodal_features,
+              ORACLE_MULTIMODAL_FEATURES,
+              "Arrow-batched stub-decode feature extraction, value-checked",
+              headline=True),
 ]
