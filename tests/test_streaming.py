@@ -103,14 +103,15 @@ def test_streaming_stateful_user_totals(spark, sf_dir):
             latest[r.user_id] = (r.n_events, r.total_value)
 
     ev = load_table(spark, "events", sf_dir)
+    # exact-cents contract: the stateful operator's final state equals
+    # the batch aggregation EXACTLY, not within a tolerance
     batch = ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("t"),
+        (F.coalesce(F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0))
+         .cast("double") / 100).alias("t"),
     )
     want = {r.user_id: (r.n, r.t) for r in batch.collect()}
-    assert {u: v[0] for u, v in latest.items()} == {u: v[0] for u, v in want.items()}
-    for u in want:
-        assert abs(latest[u][1] - want[u][1]) < 0.05, (u, latest[u], want[u])
+    assert latest == want
 
 
 def test_streaming_dedup_within_watermark(spark, sf_dir):

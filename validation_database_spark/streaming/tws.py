@@ -40,7 +40,6 @@ def _make_processor():
         StatefulProcessorHandle,
     )
     from pyspark.sql.types import (
-        DoubleType,
         LongType,
         StructField,
         StructType,
@@ -59,24 +58,26 @@ def _make_processor():
                 StructType(
                     [
                         StructField("n", LongType()),
-                        StructField("total", DoubleType()),
+                        StructField("cents", LongType()),
                     ]
                 ),
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = (0, 0.0)
+            n, cents = (0, 0)
             if self._state.exists():
-                n, total = self._state.get()
+                n, cents = self._state.get()
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, total))
+                # exact integer cents — same batch-split-independent
+                # contract as the v1 operator
+                cents += int((pdf["value"] * 100).round().sum())
+            self._state.update((n, cents))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_value": [round(total, 2)],
+                    "total_value": [cents / 100.0],
                 }
             )
 

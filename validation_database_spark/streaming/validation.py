@@ -173,16 +173,24 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         import pandas as _pd
 
-        n, total = state.get() if state.exists else (0, 0.0)
+        n, cents = state.get() if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        # Keep the UNROUNDED running total in state — rounding state
-        # would accumulate drift that depends on micro-batch
-        # splitting; round only in the emitted row.
-        state.update((n, total))
+            # Accumulate EXACT integer cents: the monetary values are
+            # 2-decimal, so per-event round(value*100) is unambiguous
+            # and the integer sum is identical under ANY micro-batch
+            # splitting or addition order — which is what makes the
+            # final state SQL-expressible (a DuckDB oracle computes
+            # the same cents sum) instead of a float that drifts with
+            # batch boundaries.
+            cents += int((pdf["value"] * 100).round().sum())  # NaN skipped
+        state.update((n, cents))
         yield _pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
         )
 
     return (
@@ -191,7 +199,7 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, n_events long, total_value double",
-            stateStructType="n long, total double",
+            stateStructType="n long, cents long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

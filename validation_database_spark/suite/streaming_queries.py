@@ -43,8 +43,12 @@ FROM ev GROUP BY 1, 2
 
 def q_streaming_user_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final state of the custom stateful operator: max-n row per
-    user across the update stream (rows-only: update cadence depends
-    on micro-batch splitting)."""
+    user across the update stream. Fully value-checked: the operator
+    accumulates exact integer cents (2-decimal values), so the final
+    state is identical under any micro-batch splitting and a plain
+    SQL aggregation reproduces it bit-for-bit — only the per-batch
+    UPDATE HISTORY is batch-dependent, and this query projects the
+    final state."""
     stream = stream_events(spark, sf_dir)
     out = run_to_completion(
         streaming_user_totals(stream), "suite_stream_totals", output_mode="update"
@@ -59,10 +63,21 @@ def q_streaming_user_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+ORACLE_STREAMING_USER_TOTALS_FINAL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)), 0) AS DOUBLE) / 100
+         AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("streaming_window_counts", q_streaming_window_counts,
               ORACLE_STREAMING_WINDOW_COUNTS,
               "Structured Streaming tumbling windows ≡ SQL oracle",),
-    QuerySpec("streaming_user_totals_final", q_streaming_user_totals_final, None,
-              "applyInPandasWithState final state (rows-only)"),
+    QuerySpec("streaming_user_totals_final", q_streaming_user_totals_final,
+              ORACLE_STREAMING_USER_TOTALS_FINAL,
+              "applyInPandasWithState final state ≡ SQL (exact cents)"),
 ]
