@@ -115,11 +115,23 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     specs = all_specs()
 
-    # Warm the JVM + parquet footers once so timings measure the
-    # engine, not session startup.
+    # Warm the JVM + parquet footers (every table, not just orders) so
+    # first-run timings measure the engine, not session startup or
+    # first-touch file listing.
     specs["validation_counts"].spark_fn(spark, sf_dir).collect()
+    from validation_database_spark.sources import load_table
+    from validation_database_spark.sources.registry import TABLES
 
+    for t in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, t, sf_dir).limit(1).collect()
+
+    # Each query is timed twice: ``queries`` is the first (cold-plan)
+    # run — Catalyst analysis + codegen compile + execution — and
+    # ``queries_warm`` the second, steady-state run (the reference's
+    # 8.94 s golden number is itself a warm run, see BASELINE.md).
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     extra = [n for n in specs if n not in HEADLINE and specs[n].headline]
     for name in HEADLINE + extra:
         if name not in specs:
@@ -128,15 +140,20 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 4)
 
     e2e = round(reference_shaped_e2e(spark, sf_dir), 4)
     timings["__suite_total"] = round(sum(timings.values()), 4)
+    warm["__suite_total"] = round(sum(warm.values()), 4)
 
     payload = {
         "metric": "validation_e2e_seconds",
         "value": e2e,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     try:

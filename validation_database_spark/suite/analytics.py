@@ -485,3 +485,15 @@ SPECS = [
               ORACLE_SKEW_SALTED_REVENUE,
               "salted join under deliberate key skew", headline=True),
 ]
+
+
+# Unit operator surface: formerly-registered queries whose semantics
+# were merged into consolidated driver entries (rollup → agg_pricing_
+# summary, running total → window_calendar_funcs). Kept as documented
+# standalone operators; tests/test_oracle_parity.py checks them.
+UNIT_SPECS = [
+    QuerySpec("unit_rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
+              "ROLLUP grouping-set aggregation"),
+    QuerySpec("unit_running_order_total", q_running_order_total,
+              ORACLE_RUNNING_ORDER_TOTAL, "per-customer running total window"),
+]

@@ -468,3 +468,11 @@ SPECS = [
     QuerySpec("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
               "duplicate clustering: connected components on the pair graph"),
 ]
+
+
+# Unit operator surface (merged into doc_profile's simhash column for
+# the driver window); parity-tested locally.
+UNIT_SPECS = [
+    QuerySpec("unit_dedup_simhash", q_dedup_simhash, _oracle_simhash(),
+              "16-bit SimHash near-dup buckets"),
+]

@@ -329,3 +329,11 @@ SPECS = [
     QuerySpec("events_anomalies", q_events_anomalies, ORACLE_EVENTS_ANOMALIES,
               "z-score anomaly labeling + JSON prop extraction per event"),
 ]
+
+
+# Unit operator surface (merged into events_anomalies' prop_k column
+# for the driver window); parity-tested locally.
+UNIT_SPECS = [
+    QuerySpec("unit_events_json_props", q_events_json_props,
+              ORACLE_EVENTS_JSON_PROPS, "JSON prop extraction per event"),
+]

@@ -436,3 +436,23 @@ SPECS = [
               "ranking/running/decorrelated windows + calendar in one pass",
               headline=True),
 ]
+
+
+# Unit operator surface: the function showcases consolidated into
+# scalar_funcs / window_calendar_funcs / events_user_stats for the
+# driver window. Parity-tested locally so the per-function docs stay
+# executable.
+UNIT_SPECS = [
+    QuerySpec("unit_orders_above_cust_avg", q_orders_above_cust_avg,
+              ORACLE_ORDERS_ABOVE_CUST_AVG, "decorrelated scalar subquery"),
+    QuerySpec("unit_map_event_counts", q_map_event_counts,
+              ORACLE_MAP_EVENT_COUNTS, "map<event_type,count> build/consume"),
+    QuerySpec("unit_math_funcs", q_math_funcs, ORACLE_MATH_FUNCS,
+              "math scalar function showcase"),
+    QuerySpec("unit_string_funcs", q_string_funcs, ORACLE_STRING_FUNCS,
+              "string scalar function showcase"),
+    QuerySpec("unit_window_functions", q_window_functions,
+              ORACLE_WINDOW_FUNCTIONS, "ranking/running window showcase"),
+    QuerySpec("unit_datetime_functions", q_datetime_functions,
+              ORACLE_DATETIME_FUNCTIONS, "calendar function showcase"),
+]

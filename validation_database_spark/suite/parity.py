@@ -584,3 +584,13 @@ SPECS = [
     QuerySpec("validation_counts", q_validation_counts, ORACLE_VALIDATION_COUNTS,
               "flagship end-to-end reconciliation counts"),
 ]
+
+
+# Unit operator surface (ops 9/10 merged into keys_projection for the
+# driver window); parity-tested locally.
+UNIT_SPECS = [
+    QuerySpec("unit_composite_id", q_composite_id, ORACLE_COMPOSITE_ID,
+              "op-9 composite key canonicalization"),
+    QuerySpec("unit_project_check", q_project_check, ORACLE_PROJECT_CHECK,
+              "op-10 id+check+formatted_date projection"),
+]

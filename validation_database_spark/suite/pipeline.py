@@ -307,3 +307,17 @@ SPECS = [
     QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
               "fixed-bin width_bucket histogram"),
 ]
+
+
+# Unit operator surface (sampling variants merged into doc_sampling
+# for the driver window); parity-tested locally.
+UNIT_SPECS = [
+    QuerySpec("unit_sample_hash", q_sample_hash, ORACLE_SAMPLE_HASH,
+              "deterministic hash-based Bernoulli sample"),
+    QuerySpec("unit_train_split", q_train_split, ORACLE_TRAIN_SPLIT,
+              "hash-based train/val/test assignment"),
+    QuerySpec("unit_sample_weighted", q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
+              "weighted deterministic sample"),
+    QuerySpec("unit_sample_stratified", q_sample_stratified,
+              ORACLE_SAMPLE_STRATIFIED, "per-stratum top-k-by-hash sample"),
+]

@@ -374,6 +374,31 @@ FROM tri
 EMBED_DIM = 64
 
 
+def _hash_bucket_counts(toks):
+    """Per-doc hashing-trick histogram: bucket(t) = int(md5(t)[:2], 16)
+    % EMBED_DIM, counts[b] = #tokens in bucket b (as double).
+
+    Each token is hashed ONCE (`buckets` appears a single time in the
+    expression tree, so Catalyst cannot duplicate the md5 work), then a
+    one-pass ``aggregate`` increments the histogram slot. The naive
+    form — ``transform(sequence(0,63), b -> size(filter(toks, md5(t)…
+    == b)))`` — recomputes md5 per token per bucket: 64× the hash work
+    and a codegen body 64 expressions wide (the dominant cost of the
+    cold run)."""
+    buckets = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int")
+        % EMBED_DIM,
+    )
+    return F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0.0), EMBED_DIM),
+        lambda acc, b: F.transform(
+            acc, lambda v, i: F.when(i == b, v + F.lit(1.0)).otherwise(v)
+        ),
+    )
+
+
 def q_text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick bag-of-words embeddings: each token maps to one
     of 64 buckets via its md5 prefix; the doc vector is the
@@ -391,18 +416,7 @@ def q_text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
     toks = _tokens(F.col("text"))
     bound = docs.select("doc_id", toks.alias("toks"))
-    # bucket(t) = int(md5(t)[:2], 16) % 64
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
-        lambda b: F.size(
-            F.filter(
-                F.col("toks"),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int")
-                % EMBED_DIM
-                == b,
-            )
-        ).cast("double"),
-    )
+    counts = _hash_bucket_counts(F.col("toks"))
     norm = F.sqrt(
         F.aggregate(F.col("counts"), F.lit(0.0), lambda a, x: a + x * x)
     )
@@ -499,17 +513,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, 3), " "),
     )
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
-        lambda b: F.size(
-            F.filter(
-                toks,
-                lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int")
-                % EMBED_DIM
-                == b,
-            )
-        ).cast("double"),
-    )
+    counts = _hash_bucket_counts(toks)
 
     staged = bound.select(
         "doc_id",
@@ -804,4 +808,25 @@ SPECS = [
               "sliding-window passage chunking (64/16 overlap)"),
     QuerySpec("doc_redact", q_doc_redact, ORACLE_DOC_REDACT,
               "PII redaction: URL/email/phone → tokens, per-class counts"),
+]
+
+
+# Unit operator surface: the per-metric text queries consolidated into
+# doc_profile for the driver window. Parity-tested locally so each
+# standalone operator stays executable and oracle-true.
+UNIT_SPECS = [
+    QuerySpec("unit_text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
+              "whitespace + BPE-ish token counts"),
+    QuerySpec("unit_text_quality", q_text_quality, ORACLE_TEXT_QUALITY,
+              "length/punct/stopword quality signals"),
+    QuerySpec("unit_lang_id", q_lang_id, ORACLE_LANG_ID,
+              "stopword-hit language ID"),
+    QuerySpec("unit_doc_fingerprint", q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
+              "exact + min-shingle content fingerprints"),
+    QuerySpec("unit_text_unigram_logprob", q_text_unigram_logprob,
+              ORACLE_TEXT_UNIGRAM_LOGPROB, "corpus unigram-LM avg logprob"),
+    QuerySpec("unit_text_repetition", q_text_repetition,
+              ORACLE_TEXT_REPETITION, "trigram repetition ratio"),
+    QuerySpec("unit_text_hash_embeddings", q_text_hash_embeddings,
+              ORACLE_TEXT_HASH_EMBEDDINGS, "hashing-trick BoW embedding"),
 ]
