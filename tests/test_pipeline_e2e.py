@@ -45,3 +45,30 @@ def test_chunk_split_export_roundtrip(spark, sf_dir, tmp_path):
     train_only = spark.read.parquet(out).filter(F.col("split") == "train")
     expected_train = dataset.filter(F.col("split") == "train").count()
     assert train_only.count() == expected_train > 0
+
+
+def test_weighted_reservoir_biases_toward_heavy_docs(spark, sf_dir):
+    """The A-ES reservoir draws with probability ∝ n_chars, so the
+    sampled docs' mean length must exceed the corpus mean (the uniform
+    stratified sample is the unbiased control)."""
+    from validation_database_spark.sources import load_table
+    from validation_database_spark.suite.pipeline import (
+        RESERVOIR_K,
+        q_sample_reservoir_weighted,
+    )
+
+    sample = q_sample_reservoir_weighted(spark, sf_dir)
+    per_lang = sample.groupBy("lang").agg(
+        F.count("*").alias("n"), F.avg("n_chars").alias("avg_sampled")
+    )
+    corpus = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(F.avg("n_chars").alias("avg_corpus"), F.count("*").alias("n_docs"))
+    )
+    rows = per_lang.join(corpus, "lang").collect()
+    assert rows
+    for r in rows:
+        assert r["n"] == min(RESERVOIR_K, r["n_docs"])
+        # length-weighted draw: sampled mean above corpus mean per stratum
+        assert r["avg_sampled"] > r["avg_corpus"], r["lang"]

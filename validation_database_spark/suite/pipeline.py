@@ -181,6 +181,70 @@ SELECT lang, doc_id, rk FROM (
 """
 
 
+# --- weighted reservoir (A-ES) ----------------------------------------
+
+RESERVOIR_K = 10
+
+
+def q_sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-ES): per
+    language, keep the K docs with the smallest exponential race key
+    ``-ln(u) / w`` — each doc wins a slot with probability
+    proportional to its weight (here ``n_chars``), without ever
+    materializing the full sample space.
+
+    The uniform is the deterministic md5-prefix draw
+    ``u = (int(md5(doc_id)[:4], 16) + 1) / 65536`` ∈ (0, 1], so the
+    sample is reproducible across runs, engines, and partitionings
+    (unlike ``rand()``-keyed reservoirs). Keys are rounded to 6
+    decimals FIRST and ordered with a doc_id tiebreak so Spark and
+    DuckDB select identical rows despite last-ulp ``ln`` differences.
+
+    Scale: per-group top-K by window = one shuffle on the stratum key;
+    a global reservoir would instead use ``orderBy(key).limit(K)``,
+    which Spark executes as per-partition partial top-K + a single
+    K-row merge (TakeOrderedAndProject) — no full sort at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / 65536.0
+    w_col = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.round(-F.log(u) / w_col, 6)
+    win = Window.partitionBy("lang").orderBy("res_key", "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars", key.alias("res_key"))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("lang", "doc_id", "n_chars", "res_key",
+                F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+_U_SQL = """CAST(
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 4, 1)) - 1)
+      + 1 AS DOUBLE) / 65536.0"""
+
+ORACLE_SAMPLE_RESERVOIR_WEIGHTED = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ROUND(-ln({_U_SQL}) / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS res_key
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, res_key, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY res_key, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= {RESERVOIR_K}
+"""
+
+
 def q_doc_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four deterministic sampling operators in one per-document
     assignment table (one scan + one per-stratum window):
@@ -320,4 +384,7 @@ UNIT_SPECS = [
               "weighted deterministic sample"),
     QuerySpec("unit_sample_stratified", q_sample_stratified,
               ORACLE_SAMPLE_STRATIFIED, "per-stratum top-k-by-hash sample"),
+    QuerySpec("unit_sample_reservoir_weighted", q_sample_reservoir_weighted,
+              ORACLE_SAMPLE_RESERVOIR_WEIGHTED,
+              "A-ES weighted reservoir: K per stratum by -ln(u)/w race"),
 ]
