@@ -462,6 +462,160 @@ FROM n
 """
 
 
+# --- TF-IDF top terms --------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K characteristic terms per document by TF-IDF: tf(doc, tok)
+    from one explode+groupBy, df(tok) and the corpus doc count N from
+    a second aggregation, idf = ln(N / df) rounded to 6, and the
+    per-doc top K by (tfidf desc, tok) — rounding FIRST and breaking
+    ties on the term keeps Spark's and DuckDB's selections identical
+    despite last-ulp ``ln`` differences.
+
+    Scale: tf and df are both map-side-combining aggregations; the idf
+    model joins back on ``tok`` (broadcast when the vocabulary fits,
+    shuffle-join otherwise — vocabularies grow sublinearly in corpus
+    size, so at 100 TB this is a bounded dimension join, not a fact-
+    fact join); the final top-K is one window per doc_id."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(n_docs)).select(
+        "tok", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("rk").cast("bigint").alias("rk"), "tok", "tf", "tfidf")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_tokens_sql('text')}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+idf AS (
+  SELECT tok, ROUND(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / count(*)), 6) AS idf
+  FROM tf GROUP BY tok
+),
+scored AS (
+  SELECT doc_id, tok, tf, ROUND(tf * idf, 6) AS tfidf
+  FROM tf JOIN idf USING (tok)
+)
+SELECT doc_id, rk, tok, tf, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+# --- benchmark decontamination -----------------------------------------
+
+DECONTAM_NGRAM = 8
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training documents share any
+    word-8-gram with the held-out test split? The standard n-gram-
+    overlap contamination check run before training on a scraped
+    corpus (the planted near-duplicates in the fixture cross the
+    hash-split boundary, so the result is non-trivial).
+
+    Splits reuse the stable md5-prefix assignment (a doc's split never
+    changes as the corpus grows); both sides shingle into DISTINCT
+    md5-hashed 8-grams and meet in one equi-join on the hash —
+    shuffle rows are 32-hex-char keys, not text. Per contaminated
+    training doc: how many distinct 8-grams leak and from how many
+    test docs. Scale: the test split is a small fraction of the
+    corpus, so its shingle side broadcasts when it fits; otherwise
+    this is a hash-partitioned join whose fan-out is bounded by true
+    8-gram collisions (random text collides almost never — matches ARE
+    the contamination).
+
+    Docs shorter than 8 tokens are excluded (no full shingle exists;
+    ``word_shingles`` would emit a truncated tail that over-matches).
+    """
+    from ..operators.dedup import word_shingles
+    from .pipeline import TRAIN_HEX, VAL_HEX
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    base = docs.select(
+        "doc_id", toks.alias("toks"), h.alias("h")
+    ).filter(F.size("toks") >= DECONTAM_NGRAM)
+    sh = base.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("toks"), DECONTAM_NGRAM), F.md5
+                )
+            )
+        ).alias("sh"),
+    )
+    train = sh.filter(F.col("h") < TRAIN_HEX).select(
+        F.col("doc_id").alias("train_doc_id"), "sh"
+    )
+    test = sh.filter(F.col("h") >= VAL_HEX).select(
+        F.col("doc_id").alias("bench_doc_id"), "sh"
+    )
+    return (
+        train.join(test, "sh")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc_id").alias("n_bench_docs"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS STRING)), 1, 4) AS h,
+         {_tokens_sql('text')} AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         unnest(list_distinct(list_transform(
+           list_transform(generate_series(1, len(toks) - {DECONTAM_NGRAM - 1}),
+                          i -> array_to_string(toks[i:i + {DECONTAM_NGRAM - 1}], ' ')),
+           g -> md5(g)))) AS sh
+  FROM t WHERE len(toks) >= {DECONTAM_NGRAM}
+),
+train AS (SELECT doc_id AS train_doc_id, sh FROM s WHERE h < '{{train_hex}}'),
+test  AS (SELECT doc_id AS bench_doc_id, sh FROM s WHERE h >= '{{val_hex}}')
+SELECT train_doc_id,
+       count(DISTINCT sh) AS n_shared_ngrams,
+       count(DISTINCT bench_doc_id) AS n_bench_docs
+FROM train JOIN test USING (sh)
+GROUP BY train_doc_id
+"""
+
+
+def _oracle_decontaminate() -> str:
+    from .pipeline import TRAIN_HEX, VAL_HEX
+
+    return ORACLE_DECONTAMINATE.format(train_hex=TRAIN_HEX, val_hex=VAL_HEX)
+
+
 # --- one-pass document profiler ---------------------------------------
 
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,4 +983,8 @@ UNIT_SPECS = [
               ORACLE_TEXT_REPETITION, "trigram repetition ratio"),
     QuerySpec("unit_text_hash_embeddings", q_text_hash_embeddings,
               ORACLE_TEXT_HASH_EMBEDDINGS, "hashing-trick BoW embedding"),
+    QuerySpec("unit_tfidf_top_terms", q_tfidf_top_terms,
+              ORACLE_TFIDF_TOP_TERMS, "top-K TF-IDF terms per doc"),
+    QuerySpec("unit_decontaminate", q_decontaminate, _oracle_decontaminate(),
+              "benchmark decontamination: cross-split 8-gram overlap"),
 ]
