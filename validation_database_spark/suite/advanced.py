@@ -85,6 +85,69 @@ JOIN (SELECT i AS band_id, CAST(i * {BAND_WIDTH} AS DOUBLE) AS band_lo,
 """
 
 
+# --- interval × interval overlap join ----------------------------------
+
+def q_session_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval-overlap join (both sides are intervals, unlike
+    the point-in-band case above): user sessions × calendar weeks,
+    with the exact microsecond overlap of each pair. Runs through
+    ``operators.intervals.interval_overlap_join`` — daily-bin
+    explosion + equi-join on the bin id, never a nested loop; the
+    oracle is the naive BETWEEN theta join, proving the rewrite
+    emits each overlapping pair exactly once."""
+    from ..operators.intervals import interval_overlap_join
+    from .events import q_events_sessionize
+
+    sess = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("week", F.min("ts")).alias("w0"), F.max("ts").alias("w1")
+    )
+    weeks = bounds.select(
+        F.explode(F.sequence("w0", "w1", F.expr("INTERVAL 7 DAYS"))).alias("week_start")
+    ).withColumn(
+        "week_end",
+        F.col("week_start") + F.expr("INTERVAL 7 DAYS") - F.expr("INTERVAL 1 MICROSECOND"),
+    )
+    pairs = interval_overlap_join(
+        sess,
+        weeks,
+        left_span=("session_start", "session_end"),
+        right_span=("week_start", "week_end"),
+        bin_seconds=86400,
+    )
+    # ts is TIMESTAMP_NTZ (nanosecond-sourced) — timestamp_diff works
+    # on NTZ pairs where unix_micros would not.
+    overlap = F.timestamp_diff(
+        "MICROSECOND",
+        F.greatest("session_start", "week_start"),
+        F.least("session_end", "week_end"),
+    )
+    return pairs.select("user_id", "session_idx", "week_start", overlap.alias("overlap_us"))
+
+
+def _oracle_session_week_overlap() -> str:
+    from .events import ORACLE_EVENTS_SESSIONIZE
+
+    return f"""
+WITH sessions AS ({ORACLE_EVENTS_SESSIONIZE}),
+weeks AS (
+  SELECT ws AS week_start,
+         ws + INTERVAL 7 DAY - INTERVAL 1 MICROSECOND AS week_end
+  FROM (SELECT unnest(generate_series(date_trunc('week', min(ts)), max(ts),
+                                      INTERVAL 7 DAY)) AS ws
+        FROM (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events))
+)
+SELECT s.user_id, s.session_idx, w.week_start,
+       epoch_us(least(s.session_end, w.week_end))
+         - epoch_us(greatest(s.session_start, w.week_start)) AS overlap_us
+FROM sessions s JOIN weeks w
+  ON s.session_start <= w.week_end AND w.week_start <= s.session_end
+"""
+
+
 # --- exact grouped linear regression ----------------------------------
 
 def q_regression_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,4 +257,10 @@ SPECS = [
     # op-14 (global sort) is driver-checked via keys_projection's
     # sort_rank column (suite/parity.py) — q_sorted_ids stays as the
     # unit-tested operator surface.
+]
+
+UNIT_SPECS = [
+    QuerySpec("unit_session_week_overlap", q_session_week_overlap,
+              _oracle_session_week_overlap(),
+              "interval × interval overlap join via daily-bin explosion"),
 ]
