@@ -373,6 +373,69 @@ SPECS = [
 ]
 
 
+# --- greedy sequence packing ------------------------------------------
+
+PACK_BUDGET = 256  # tokens per pack (context-window budget)
+PACK_SHARDS = 16  # one stream per first md5 hex char
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents sharded into 16
+    stable hash streams (first md5 hex char of doc_id — a doc's
+    shard never changes as the corpus grows), each stream packed
+    greedily in doc_id order into 256-token context windows via
+    ``operators.packing.pack_greedy``. The oracle replays the same
+    recurrence as a recursive CTE, pinning the applyInPandas loop's
+    reset-on-overflow semantics row for row."""
+    from ..operators.packing import pack_greedy
+    from ..util import spread
+    from .text import _tokens
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    base = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return pack_greedy(
+        base,
+        group_col="shard",
+        order_cols=["doc_id"],
+        size_col="n_tokens",
+        budget=PACK_BUDGET,
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    from .text import _tokens_sql
+
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS STRING)), 1, 1) AS shard,
+         len({_tokens_sql('text')}) AS n_tokens
+  FROM documents
+),
+docs AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base
+),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens > {PACK_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.fill + d.n_tokens > {PACK_BUDGET}
+              THEN d.n_tokens ELSE p.fill + d.n_tokens END
+  FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, pack_id FROM packed
+"""
+
+
 # Unit operator surface (sampling variants merged into doc_sampling
 # for the driver window); parity-tested locally.
 UNIT_SPECS = [
@@ -387,4 +450,6 @@ UNIT_SPECS = [
     QuerySpec("unit_sample_reservoir_weighted", q_sample_reservoir_weighted,
               ORACLE_SAMPLE_RESERVOIR_WEIGHTED,
               "A-ES weighted reservoir: K per stratum by -ln(u)/w race"),
+    QuerySpec("unit_pack_sequences", q_pack_sequences, _oracle_pack_sequences(),
+              "greedy token-budget sequence packing per hash shard"),
 ]
