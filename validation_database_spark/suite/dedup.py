@@ -470,9 +470,117 @@ SPECS = [
 ]
 
 
+# --- incremental dedup (new batch vs existing corpus) -------------------
+
+INCOMING_HEX = "c"  # first md5 hex char ≥ 'c' → the incoming crawl batch (~25%)
+
+
+def _is_incoming(id_col: str = "doc_id"):
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) >= INCOMING_HEX
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: which documents of an incoming crawl
+    batch duplicate the EXISTING corpus? The production shape of
+    dedup at 100 TB — the corpus's LSH bands are a materialized
+    index (recomputed here for self-containment; in a pipeline
+    they're a bucketed table), the incoming batch's bands join
+    against it, and only new×old candidate pairs are verified. Cost
+    ∝ batch size × bucket collisions, never corpus².
+
+    Output: per incoming doc, its best existing match (highest
+    Jaccard ≥ 0.2, ties to the smallest doc_id). Split is the stable
+    md5-prefix rule, so membership never changes as the corpus grows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    shingles = D.exploded_shingles(docs).persist()
+    bands = D.lsh_bands(D.minhash_signatures(shingles))
+    new_b = bands.filter(_is_incoming()).select(
+        F.col("doc_id").alias("id_a"), "band", "band_hash"
+    )
+    old_b = bands.filter(~_is_incoming()).select(
+        F.col("doc_id").alias("id_b"), "band", "band_hash"
+    )
+    cand = (
+        new_b.join(old_b, ["band", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = D.jaccard_verify(cand, shingles).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), "id_b")
+    return (
+        verified.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("new_doc_id"),
+            F.col("id_b").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
+def _oracle_incremental() -> str:
+    # Same LSH replay as _oracle_minhash, restricted to new×old pairs.
+    sig_cols = ", ".join(
+        "min(substr(md5('{seed}|' || sh), {start}, 8)) AS s{i}".format(
+            seed=i // D.SLICES_PER_MD5, start=1 + 8 * (i % D.SLICES_PER_MD5), i=i
+        )
+        for i in range(D.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"s{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.NUM_BANDS)
+    )
+    return f"""
+WITH {_SH_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+flagged AS (
+  SELECT *, substr(md5(CAST(doc_id AS STRING)), 1, 1) >= '{INCOMING_HEX}' AS incoming
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM flagged a JOIN flagged b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.incoming AND NOT b.incoming
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON common.id_a = na.doc_id
+  JOIN sizes nb ON common.id_b = nb.doc_id
+)
+SELECT id_a AS new_doc_id, id_b AS dup_of, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) AS rk
+  FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+) WHERE rk = 1
+"""
+
+
 # Unit operator surface (merged into doc_profile's simhash column for
 # the driver window); parity-tested locally.
 UNIT_SPECS = [
     QuerySpec("unit_dedup_simhash", q_dedup_simhash, _oracle_simhash(),
               "16-bit SimHash near-dup buckets"),
+    QuerySpec("unit_dedup_incremental", q_dedup_incremental, _oracle_incremental(),
+              "incoming batch near-dup vs existing corpus (LSH index join)"),
 ]
