@@ -201,6 +201,93 @@ FROM d, t
 """
 
 
+# --- corpus quality-filter funnel ---------------------------------------
+
+FUNNEL_LANGS = ("en", "es", "de", "fr")
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MIN_TOKENS = 20
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage drop accounting for a C4-style corpus filter chain:
+    min-length → language keep-list → min token count → unique-token
+    ratio. Each stage applies to the previous stage's survivors; the
+    report is (stage, n_in, n_dropped, n_out) — the observability a
+    pipeline needs to explain where 100 TB of crawl went.
+
+    ONE scan: the four predicates and their cumulative survivals are
+    conditional sums in a single aggregation; the 4-row report is a
+    ``stack`` over that single row. The unique-token-ratio threshold
+    is compared by integer cross-multiplication (10·distinct ≥
+    3·total), so no float boundary can split the engines."""
+    from .text import _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    p1 = F.col("n_chars") >= FUNNEL_MIN_CHARS
+    p2 = F.col("lang").isin(*FUNNEL_LANGS)
+    p3 = n_tok >= FUNNEL_MIN_TOKENS
+    p4 = F.size(F.array_distinct(toks)) * 10 >= n_tok * 3
+    s1 = p1
+    s2 = s1 & p2
+    s3 = s2 & p3
+    s4 = s3 & p4
+
+    def cnt(cond):
+        return F.sum(cond.cast("bigint"))
+
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        cnt(s1).alias("c1"),
+        cnt(s2).alias("c2"),
+        cnt(s3).alias("c3"),
+        cnt(s4).alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "1L, 'min_chars',  n,  n - c1, c1, "
+            "2L, 'lang_keep',  c1, c1 - c2, c2, "
+            "3L, 'min_tokens', c2, c2 - c3, c3, "
+            "4L, 'uniq_ratio', c3, c3 - c4, c4) "
+            "AS (stage_idx, stage, n_in, n_dropped, n_out)"
+        )
+    )
+
+
+def _oracle_quality_funnel() -> str:
+    from .text import _tokens_sql
+
+    langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+    return f"""
+WITH d AS (
+  SELECT n_chars, lang, {_tokens_sql('text')} AS toks FROM documents
+),
+p AS (
+  SELECT n_chars >= {FUNNEL_MIN_CHARS} AS p1,
+         lang IN ({langs}) AS p2,
+         len(toks) >= {FUNNEL_MIN_TOKENS} AS p3,
+         len(list_distinct(toks)) * 10 >= len(toks) * 3 AS p4
+  FROM d
+),
+a AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM p
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'min_chars' AS stage, n AS n_in, n - c1 AS n_dropped, c1 AS n_out FROM a
+  UNION ALL SELECT 2, 'lang_keep', c1, c1 - c2, c2 FROM a
+  UNION ALL SELECT 3, 'min_tokens', c2, c2 - c3, c3 FROM a
+  UNION ALL SELECT 4, 'uniq_ratio', c3, c3 - c4, c4 FROM a
+)
+"""
+
+
 SPECS = [
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
@@ -208,4 +295,9 @@ SPECS = [
               "single-pass column profiling (nulls/distinct/min/max)"),
     QuerySpec("dq_benford", q_dq_benford, ORACLE_DQ_BENFORD,
               "Benford leading-digit distribution screening"),
+]
+
+UNIT_SPECS = [
+    QuerySpec("unit_quality_funnel", q_quality_funnel, _oracle_quality_funnel(),
+              "C4-style corpus filter funnel with per-stage drop counts"),
 ]
