@@ -205,8 +205,89 @@ SELECT 'ivf' AS method, * FROM ({ORACLE_ANN_IVF})
 """
 
 
+# --- int8 scalar quantization ------------------------------------------
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the 4× storage/bandwidth reduction step before writing a vector
+    corpus out for serving. Per vector: scale = max|x| / 127,
+    q_i = sign(x_i) · floor(|x_i| / scale + 0.5) (explicit
+    half-away-from-zero — spelled out so neither engine's ``round``
+    dialect is in play). Narrow map, no shuffle.
+
+    Driver surface: the int8 vector serialized with ``,`` plus the
+    reconstruction scale and a max-abs-error check column; the
+    array-typed form is what a sink would write."""
+    emb = _emb(spark, sf_dir)
+    x = F.col("embedding")
+    # floor on the all-zero vector's 0/0 would be NaN (engine-divergent
+    # under ANSI casts) — the epsilon floor maps it to qi = 0 instead.
+    scale = F.greatest(
+        F.aggregate(
+            x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+        )
+        / F.lit(127.0),
+        F.lit(1e-30),
+    )
+    q = F.transform(
+        x,
+        lambda v: (
+            F.signum(v.cast("double"))
+            * F.floor(F.abs(v.cast("double")) / F.col("q_scale") + F.lit(0.5))
+        ).cast("bigint"),
+    )
+    max_err = F.array_max(
+        F.zip_with(
+            x,
+            F.col("q_int8"),
+            lambda v, qi: F.abs(v.cast("double") - qi * F.col("q_scale")),
+        )
+    )
+    # max_err must see the UNROUNDED scale: a same-select-list
+    # `round(...).alias("q_scale")` would shadow the input column via
+    # lateral column alias resolution, skewing the error by ~1e-8.
+    return (
+        emb.withColumn("q_scale", scale)
+        .withColumn("q_int8", q)
+        .withColumn("max_abs_err", F.round(max_err, 9))
+        .select(
+            "vec_id",
+            F.round("q_scale", 9).alias("q_scale"),
+            F.concat_ws(",", F.col("q_int8").cast("array<string>")).alias("q_str"),
+            "max_abs_err",
+        )
+    )
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+         greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0,
+                  1e-30) AS q_scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, x, q_scale,
+         list_transform(x, v -> CAST(sign(v) * floor(abs(v) / q_scale + 0.5) AS BIGINT)) AS qi
+  FROM e
+)
+SELECT vec_id,
+       ROUND(q_scale, 9) AS q_scale,
+       array_to_string(qi, ',') AS q_str,
+       ROUND(list_max(list_transform(list_zip(x, qi),
+                                     p -> abs(p[1] - p[2] * q_scale))), 9) AS max_abs_err
+FROM q
+"""
+
+
 SPECS = [
     QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
               "brute-force baseline + IVF scale-path cosine top-10",
               headline=True),
+]
+
+UNIT_SPECS = [
+    QuerySpec("unit_embed_quantize", q_embed_quantize, ORACLE_EMBED_QUANTIZE,
+              "symmetric int8 vector quantization with error audit"),
 ]
