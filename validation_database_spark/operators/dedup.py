@@ -103,6 +103,48 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
     return with_hashes.groupBy(id_col).agg(*aggs)
 
 
+def with_rowlocal_signatures(docs: DataFrame, text_col: str = "text",
+                             num_hashes: int = NUM_HASHES) -> DataFrame:
+    """The same min-hash signature as :func:`minhash_signatures`,
+    computed as ROW-LOCAL array expressions — no explode, no groupBy,
+    no shuffle. This is the streaming-safe form: a stateless narrow
+    map, usable on an unbounded stream ahead of a stream-static band
+    join (a streaming groupBy would need watermark/output-mode
+    machinery for what is per-row arithmetic).
+
+    Identity with the shuffle form is pinned by
+    ``tests/test_streaming_incremental.py`` (same md5-slice hash
+    family over the same distinct-shingle set). Batch pipelines
+    should prefer :func:`minhash_signatures`: the exploded groupBy
+    lets the scan, distinct and min share whole-stage codegen over
+    skinny rows, while this form holds each doc's full shingle array
+    in one row."""
+    # Factories, not default-arg captures: a second lambda parameter
+    # (even a defaulted one) makes transform() bind it to the element
+    # INDEX — see the F.transform note in word_shingles' module.
+    def seeded_md5(seed: int):
+        prefix = F.lit(f"{seed}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    def hex_slice(sl: int):
+        return lambda h: F.substring(h, 1 + 8 * sl, 8)
+
+    sh = F.array_distinct(word_shingles(tokens(text_col)))
+    out = docs.withColumn("__sh", sh)
+    n_md5 = (num_hashes + SLICES_PER_MD5 - 1) // SLICES_PER_MD5
+    for seed in range(n_md5):
+        out = out.withColumn(
+            f"__h{seed}", F.transform(F.col("__sh"), seeded_md5(seed))
+        )
+    for i in range(num_hashes):
+        seed, sl = divmod(i, SLICES_PER_MD5)
+        out = out.withColumn(
+            f"s{i}",
+            F.array_min(F.transform(F.col(f"__h{seed}"), hex_slice(sl))),
+        )
+    return out.drop("__sh", *[f"__h{s}" for s in range(n_md5)])
+
+
 def lsh_bands(sigs: DataFrame, id_col: str = "doc_id",
               num_bands: int = NUM_BANDS,
               rows_per_band: int = ROWS_PER_BAND) -> DataFrame:

@@ -204,3 +204,61 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- stream-static incremental dedup ------------------------------------
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fixture as a (bounded) file-source stream — the
+    incoming-crawl-batch side of incremental dedup."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_incremental_dedup(
+    new_docs: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Near-dup candidates of an UNBOUNDED stream of incoming
+    documents against a static corpus's LSH band index — the
+    streaming twin of ``suite.dedup.q_dedup_incremental``.
+
+    Entirely stateless: signatures are row-local expressions
+    (``operators.dedup.with_rowlocal_signatures`` — no streaming
+    groupBy, hence no watermark or state store), and the band lookup
+    is a stream-static equi-join (each micro-batch hash-joins against
+    the static side; with the index bucketed by (band, band_hash) the
+    join is co-located). Emits (new_doc_id, candidate_doc_id) pairs
+    in append mode; exact-Jaccard verification happens downstream in
+    batch, where both documents' shingle sets are addressable.
+    """
+    from validation_database_spark.operators.dedup import (
+        NUM_HASHES,
+        lsh_bands,
+        with_rowlocal_signatures,
+    )
+
+    new_bands = lsh_bands(with_rowlocal_signatures(new_docs).select(
+        "doc_id", *[f"s{i}" for i in range(NUM_HASHES)]
+    ))
+    static = corpus_bands.select(
+        F.col("doc_id").alias("candidate_doc_id"), "band", "band_hash"
+    )
+    return (
+        new_bands.join(static, ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("candidate_doc_id"))
+        .select(F.col("doc_id").alias("new_doc_id"), "candidate_doc_id")
+    )
