@@ -98,6 +98,47 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_randomized_against_python_model(spark):
+    """200×200 seeded random intervals (lengths from sub-bin to
+    many-bin, plus point intervals) against the O(n²) Python model —
+    one Spark job, exact pair-set equality."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+
+    def intervals(prefix, n):
+        out = []
+        for i in range(n):
+            start = rng.randint(0, 500_000)  # seconds over ~5.8 days
+            length = rng.choice([0, rng.randint(1, 600), rng.randint(1, 200_000)])
+            out.append((f"{prefix}{i}", start, start + length))
+        return out
+
+    lefts, rights = intervals("L", 200), intervals("R", 200)
+    expected = {
+        (li, ri)
+        for li, ls, le in lefts
+        for ri, rs, re in rights
+        if ls <= re and rs <= le
+    }
+    l = spark.createDataFrame(
+        [(i, _ts(s / 3600), _ts(e / 3600)) for i, s, e in lefts],
+        "l_id string, l_s timestamp, l_e timestamp",
+    )
+    r = spark.createDataFrame(
+        [(i, _ts(s / 3600), _ts(e / 3600)) for i, s, e in rights],
+        "r_id string, r_s timestamp, r_e timestamp",
+    )
+    got = [
+        (x.l_id, x.r_id)
+        for x in interval_overlap_join(
+            l, r, left_span=("l_s", "l_e"), right_span=("r_s", "r_e"), bin_seconds=3600
+        ).collect()
+    ]
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+    assert set(got) == expected
+
+
 def test_disjoint_column_names_enforced(spark):
     l, _ = _frames(spark)
     try:
