@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-Column-call Python call-site capture costs ~0.5 s of
+        # py4j chatter on a wide plan build (profiled on doc_profile);
+        # the engine trades that error-context nicety for build speed.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config(
