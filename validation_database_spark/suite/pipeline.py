@@ -373,6 +373,76 @@ SPECS = [
 ]
 
 
+# --- SCD2 history build -------------------------------------------------
+
+def scd2_history(
+    versions: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a pile of
+    versioned rows: per key ordered by ``ts_col``, each version is
+    valid from its own timestamp until the next version's
+    (``valid_to`` NULL = current, plus an ``is_current`` flag).
+    One ``lead`` window per key — a single hash shuffle on the key,
+    fully parallel across keys at any scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic update waves over the customer dimension
+    (day 0: initial load; day 30: +100 acctbal for every %10 key;
+    day 60: +250 for every %20 key) flattened into the SCD2 history
+    table."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    day0 = cust.withColumn("update_date", F.lit("2024-01-01").cast("date"))
+    day30 = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+        .withColumn("update_date", F.lit("2024-01-31").cast("date"))
+    )
+    day60 = (
+        cust.filter(F.col("c_custkey") % 20 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 250.0, 2))
+        .withColumn("update_date", F.lit("2024-03-01").cast("date"))
+    )
+    versions = day0.unionByName(day30).unionByName(day60)
+    hist = scd2_history(versions, key="c_custkey", ts_col="update_date")
+    # dates as ISO strings: DuckDB's pandas bridge widens DATE to
+    # datetime64, which the comparator would render differently
+    return hist.withColumn("valid_from", F.col("valid_from").cast("string")).withColumn(
+        "valid_to", F.col("valid_to").cast("string")
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH versions AS (
+  SELECT c_custkey, c_name, c_acctbal, DATE '2024-01-01' AS update_date
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, ROUND(c_acctbal + 100.0, 2), DATE '2024-01-31'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, ROUND(c_acctbal + 250.0, 2), DATE '2024-03-01'
+  FROM customer WHERE c_custkey % 20 = 0
+)
+SELECT c_custkey, c_name, c_acctbal,
+       strftime(update_date, '%Y-%m-%d') AS valid_from,
+       strftime(lead(update_date) OVER (PARTITION BY c_custkey ORDER BY update_date),
+                '%Y-%m-%d') AS valid_to,
+       lead(update_date) OVER (PARTITION BY c_custkey ORDER BY update_date) IS NULL AS is_current
+FROM versions
+"""
+
+
 # --- greedy sequence packing ------------------------------------------
 
 PACK_BUDGET = 256  # tokens per pack (context-window budget)
@@ -452,4 +522,6 @@ UNIT_SPECS = [
               "A-ES weighted reservoir: K per stratum by -ln(u)/w race"),
     QuerySpec("unit_pack_sequences", q_pack_sequences, _oracle_pack_sequences(),
               "greedy token-budget sequence packing per hash shard"),
+    QuerySpec("unit_scd2_history", q_scd2_history, ORACLE_SCD2_HISTORY,
+              "SCD2 versioned-dimension history via one lead window"),
 ]
