@@ -462,6 +462,84 @@ FROM n
 """
 
 
+# --- bigram LM quality score -------------------------------------------
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality signal: per-doc average log P(w2|w1) under
+    the corpus MLE bigram model (the 2-gram sibling of
+    ``q_text_unigram_logprob`` — low scores flag word-salad docs that
+    unigram frequencies alone cannot). Every doc's bigrams are in the
+    corpus model by construction, so no smoothing is needed; per-
+    bigram logprobs are rounded to 4 then summed in DECIMAL so the
+    average is cross-engine exact. Docs with fewer than 2 tokens have
+    no bigram and are excluded.
+
+    Same two-pass scale shape as the unigram model: bigram counts and
+    first-word totals are map-side-combining aggregations; the model
+    joins back broadcast when it fits, shuffle otherwise."""
+    from ..operators.dedup import word_shingles
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    big = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    ).select("doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bg"))
+    big = big.withColumn("w1", F.substring_index("bg", " ", 1))
+    c_big = big.groupBy("bg", "w1").agg(F.count("*").alias("cb"))
+    c_w1 = c_big.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    model = c_big.join(c_w1, "w1").select(
+        "bg", F.round(F.log(F.col("cb") / F.col("cw")), 4).alias("lp")
+    )
+    per = (
+        big.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(18,4)")).alias("sum_lp"),
+        )
+        .withColumn("s_e4", (F.col("sum_lp") * 10000).cast("bigint"))
+    )
+    # avg rounded to 4 dp in EXACT integer arithmetic: double
+    # `round(sum/n, 4)` splits engines on near-ties (Spark rounds the
+    # exact binary value, DuckDB rounds x*1e4/1e4) — sf0.01 hit one.
+    avg = F.expr(
+        "CAST((CASE WHEN s_e4 < 0 THEN -1 ELSE 1 END)"
+        " * ((2 * abs(s_e4) + n_bigrams) DIV (2 * n_bigrams)) AS DOUBLE) / 10000"
+    )
+    return per.select("doc_id", "n_bigrams", avg.alias("avg_logprob"))
+
+
+ORACLE_TEXT_BIGRAM_LOGPROB = f"""
+WITH t AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+c_big AS (
+  SELECT bg, split_part(bg, ' ', 1) AS w1, count(*) AS cb
+  FROM big GROUP BY bg
+),
+c_w1 AS (SELECT w1, sum(cb) AS cw FROM c_big GROUP BY w1),
+model AS (
+  SELECT bg, ROUND(ln(cb / CAST(cw AS DOUBLE)), 4) AS lp
+  FROM c_big JOIN c_w1 USING (w1)
+)
+SELECT doc_id, n_bigrams,
+       (CASE WHEN s_e4 < 0 THEN -1 ELSE 1 END)
+         * ((2 * abs(s_e4) + n_bigrams) // (2 * n_bigrams)) / 10000.0 AS avg_logprob
+FROM (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(SUM(CAST(lp AS DECIMAL(18,4))) * 10000 AS BIGINT) AS s_e4
+  FROM big JOIN model USING (bg)
+  GROUP BY doc_id
+)
+"""
+
+
 # --- TF-IDF top terms --------------------------------------------------
 
 TFIDF_TOP_K = 3
@@ -983,6 +1061,8 @@ UNIT_SPECS = [
               ORACLE_TEXT_REPETITION, "trigram repetition ratio"),
     QuerySpec("unit_text_hash_embeddings", q_text_hash_embeddings,
               ORACLE_TEXT_HASH_EMBEDDINGS, "hashing-trick BoW embedding"),
+    QuerySpec("unit_text_bigram_logprob", q_text_bigram_logprob,
+              ORACLE_TEXT_BIGRAM_LOGPROB, "corpus bigram-LM avg log P(w2|w1)"),
     QuerySpec("unit_tfidf_top_terms", q_tfidf_top_terms,
               ORACLE_TFIDF_TOP_TERMS, "top-K TF-IDF terms per doc"),
     QuerySpec("unit_decontaminate", q_decontaminate, _oracle_decontaminate(),
