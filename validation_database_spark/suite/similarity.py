@@ -205,6 +205,120 @@ SELECT 'ivf' AS method, * FROM ({ORACLE_ANN_IVF})
 """
 
 
+# --- exact fixed-point k-means ------------------------------------------
+
+KMEANS_ITERS = 2
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings, bit-exact across engines:
+    vectors are scaled to e6 integers (round half-away — ±0.53 × 64
+    dims keeps every squared distance far inside bigint), distances
+    and centroid means stay in integer arithmetic (means rounded
+    half-away via the 2S+n trick), so after a FIXED number of
+    iterations both engines hold identical centroids and identical
+    assignments — the same exactness pattern as the PageRank op.
+
+    Scale shape per iteration: assignment is a broadcast of K
+    centroids against the vector table (narrow, no shuffle of the big
+    side) + one per-vector window over K rows; the update is one
+    posexplode groupBy (map-side combining, K·dims result rows).
+    Initial centroids are the deterministic modular selection."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    to_e6 = F.transform(
+        F.col("embedding"),
+        lambda v: (
+            F.signum(v.cast("double"))
+            * F.floor(F.abs(v.cast("double")) * 1_000_000 + F.lit(0.5))
+        ).cast("bigint"),
+    )
+    vecs = emb.select("vec_id", to_e6.alias("x"))
+    cents = vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+
+    def assign(cs: DataFrame) -> DataFrame:
+        d = vecs.crossJoin(F.broadcast(cs)).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid", "dist", "x")
+        )
+
+    a = assign(cents)
+    for _ in range(KMEANS_ITERS - 1):
+        ex = a.select("cid", F.posexplode("x").alias("pos", "val"))
+        comp = (
+            ex.groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .withColumn(
+                "m",
+                F.expr(
+                    "(CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+                    " * ((2 * abs(s) + n) DIV (2 * n))"
+                ),
+            )
+        )
+        cents = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("c")
+        )
+        a = assign(cents)
+    return a.select("vec_id", F.col("cid").alias("cluster"), "dist")
+
+
+ORACLE_KMEANS = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, e ->
+           CAST(sign(CAST(e AS DOUBLE))
+                * floor(abs(CAST(e AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS x
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, x AS c
+       FROM v WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}),
+d1 AS (
+  SELECT v.vec_id, c0.cid, v.x,
+         CAST(list_sum(list_transform(generate_series(1, len(v.x)),
+              i -> (v.x[i] - c0.c[i]) * (v.x[i] - c0.c[i]))) AS BIGINT) AS dist
+  FROM v CROSS JOIN c0
+),
+a1 AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1
+) WHERE rk = 1),
+ex AS (SELECT cid, unnest(x) AS val, unnest(generate_series(1, len(x))) AS pos FROM a1),
+comp AS (SELECT cid, pos, sum(val) AS s, count(*) AS n FROM ex GROUP BY cid, pos),
+c1 AS (
+  SELECT cid,
+         list(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              * ((2 * abs(s) + n) // (2 * n)) AS BIGINT) ORDER BY pos) AS c
+  FROM comp GROUP BY cid
+),
+d2 AS (
+  SELECT v.vec_id, c1.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(v.x)),
+              i -> (v.x[i] - c1.c[i]) * (v.x[i] - c1.c[i]))) AS BIGINT) AS dist
+  FROM v CROSS JOIN c1
+),
+a2 AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2
+) WHERE rk = 1)
+SELECT vec_id, cid AS cluster, dist FROM a2
+"""
+
+
 # --- int8 scalar quantization ------------------------------------------
 
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,4 +404,6 @@ SPECS = [
 UNIT_SPECS = [
     QuerySpec("unit_embed_quantize", q_embed_quantize, ORACLE_EMBED_QUANTIZE,
               "symmetric int8 vector quantization with error audit"),
+    QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
+              "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
 ]
