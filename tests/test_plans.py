@@ -140,3 +140,32 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_funnel_is_one_scan(spark, sf_dir):
+    """The 4-stage funnel must stay a single pass over documents —
+    one parquet scan, all stages as conditional sums in one agg."""
+    from validation_database_spark.suite.quality import q_quality_funnel
+
+    df = q_quality_funnel(spark, sf_dir)
+    assert len(read_schema_columns(df)) == 1, physical_plan(df)
+
+
+def test_embed_quantize_is_narrow_map(spark, sf_dir):
+    """int8 quantization is per-row arithmetic — no shuffle at all."""
+    from validation_database_spark.suite.similarity import q_embed_quantize
+
+    plan = physical_plan(q_embed_quantize(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Lloyd assignment must broadcast the K centroids against the
+    vector table (narrow per-vector work), never shuffle-join or
+    materialize vectors × vectors."""
+    from validation_database_spark.suite.similarity import q_kmeans_clusters
+
+    df = q_kmeans_clusters(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_occurrences(df, "BroadcastExchange") >= 2  # one per iteration
+    assert "CartesianProduct" not in plan
