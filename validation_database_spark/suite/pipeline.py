@@ -443,6 +443,32 @@ FROM versions
 """
 
 
+SCD2_AS_OF = "2024-02-15"  # between the day-30 and day-60 update waves
+
+
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD2 history: the version of
+    every customer valid AS OF 2024-02-15 (after the +100 wave,
+    before the +250 one — %10 keys show the updated balance, the
+    rest their initial row). One filter over the history — at scale
+    the history table is partitioned by valid_from date, so the
+    predicate prunes partitions."""
+    hist = q_scd2_history(spark, sf_dir)
+    d = F.lit(SCD2_AS_OF)
+    return hist.filter(
+        (F.col("valid_from") <= d) & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    ).select("c_custkey", "c_name", "c_acctbal", "valid_from")
+
+
+ORACLE_SCD2_AS_OF = f"""
+WITH hist AS ({ORACLE_SCD2_HISTORY})
+SELECT c_custkey, c_name, c_acctbal, valid_from
+FROM hist
+WHERE valid_from <= '{SCD2_AS_OF}'
+  AND (valid_to IS NULL OR valid_to > '{SCD2_AS_OF}')
+"""
+
+
 # --- greedy sequence packing ------------------------------------------
 
 PACK_BUDGET = 256  # tokens per pack (context-window budget)
@@ -524,4 +550,6 @@ UNIT_SPECS = [
               "greedy token-budget sequence packing per hash shard"),
     QuerySpec("unit_scd2_history", q_scd2_history, ORACLE_SCD2_HISTORY,
               "SCD2 versioned-dimension history via one lead window"),
+    QuerySpec("unit_scd2_as_of", q_scd2_as_of, ORACLE_SCD2_AS_OF,
+              "point-in-time (AS OF) lookup over the SCD2 history"),
 ]
