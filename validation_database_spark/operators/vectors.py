@@ -41,6 +41,28 @@ def scale_vector(a: Column, factor: float) -> Column:
     return F.transform(a, lambda x: (x.cast("double") * F.lit(factor)).cast("float"))
 
 
+def unit_vector(a: Column) -> Column:
+    """Unit-normalized copy: each element (as double) divided by the
+    sequential-fold L2 norm. Because ``cosine(a, b) ==
+    dot(unit(a), unit(b))``, normalizing once per ROW turns every
+    candidate-PAIR cosine into a single sequential dot instead of
+    three (dot + both norms) — the way to run cosine scoring at scale.
+
+    NOTE: the norm sub-expression sits inside the ``transform``
+    lambda, so a collapsed projection would re-evaluate it per
+    element; materialize it behind an exchange (see
+    ``suite/similarity.py::_unit_emb``) when the input is large.
+    """
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def unit_sql(a: str) -> str:
+    """DuckDB rendering of the same unit normalization (identical
+    IEEE ops in identical order → bit-equal elements)."""
+    return f"list_transform({a}, x -> x::DOUBLE / sqrt({dot_sql(a, a)}))"
+
+
 DOT_SQL = (
     "list_aggregate(list_transform(generate_series(1, len({a})), "
     "k -> {a}[k]::DOUBLE * {b}[k]::DOUBLE), 'sum')"

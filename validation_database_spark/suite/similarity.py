@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.vectors import cosine_rounded, cosine_sql
+from ..operators.vectors import dot, dot_sql, l2_norm, unit_sql
 from ..sources import load_table
 from ..util import spread
 from . import QuerySpec
@@ -37,15 +37,42 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"))
 
 
+def _unit_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, u): unit-normalized vectors. cosine(a, b) ==
+    dot(unit(a), unit(b)), so normalizing once per ROW makes every
+    candidate-pair cosine ONE sequential dot instead of three
+    (dot + both norms) — at n·q pairs that is the dominant cost.
+
+    The norm is computed in a projection BEFORE the spread()
+    repartition: the exchange is a projection-collapse barrier, so
+    the O(d) norm fold runs once per row instead of being inlined
+    into the element-wise division lambda (d times per row)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+    )
+    return spread(emb).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("__nrm")
+        ).alias("u"),
+    )
+
+
+_UNITS_CTE = (
+    f"units AS (SELECT vec_id, {unit_sql('embedding')} AS u FROM embeddings)"
+)
+
+
 # --- brute-force top-k -------------------------------------------------
 
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for each query vector. The query
     side is tiny → broadcast; ranking is a per-query window (fully
-    parallel across queries)."""
-    emb = _emb(spark, sf_dir)
+    parallel across queries). Vectors are unit-normalized once, so
+    each of the n·q scored pairs is a single sequential dot."""
+    emb = _unit_emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
     )
     scored = (
         emb.crossJoin(F.broadcast(queries))
@@ -53,7 +80,7 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            F.round(dot(F.col("q_u"), F.col("u")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -65,15 +92,16 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_QV = cosine_sql("q.embedding", "v.embedding")
+_COS_QV = dot_sql("q.u", "v.u")
 
 ORACLE_ANN_TOPK = f"""
+WITH {_UNITS_CTE}
 SELECT query_id, vec_id, cos_sim, rk FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
          ROUND({_COS_QV}, 6) AS cos_sim,
          row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY ROUND({_COS_QV}, 6) DESC, v.vec_id) AS rk
-  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+  FROM units q JOIN units v ON v.vec_id <> q.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
 ) WHERE rk <= {TOP_K}
 """
@@ -86,10 +114,10 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell; each query probes its nprobe=2 nearest cells and ranks only
     the vectors inside them. Results can differ from exact top-k —
     that is the approximation; the oracle runs the identical IVF."""
-    emb = _emb(spark, sf_dir)
+    emb = _unit_emb(spark, sf_dir)
     cents = emb.filter(
         F.col("vec_id") % CENTROID_MOD == CENTROID_OFF
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+    ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("c_u"))
 
     # vector → nearest centroid (broadcast nested loop, narrow map)
     a_w = Window.partitionBy("vec_id").orderBy(
@@ -99,18 +127,18 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
-            "embedding",
+            "u",
             "cent_id",
-            cosine_rounded(F.col("embedding"), F.col("c_emb")).alias("a_cos"),
+            F.round(dot(F.col("u"), F.col("c_u")), 6).alias("a_cos"),
         )
         .withColumn("arn", F.row_number().over(a_w))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        .select("vec_id", "u", "cent_id")
     )
 
     # query → nprobe nearest centroids
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
     )
     p_w = Window.partitionBy("query_id").orderBy(
         F.col("p_cos").desc(), F.col("cent_id")
@@ -119,13 +147,13 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.crossJoin(F.broadcast(cents))
         .select(
             "query_id",
-            "q_emb",
+            "q_u",
             "cent_id",
-            cosine_rounded(F.col("q_emb"), F.col("c_emb")).alias("p_cos"),
+            F.round(dot(F.col("q_u"), F.col("c_u")), 6).alias("p_cos"),
         )
         .withColumn("prn", F.row_number().over(p_w))
         .filter(F.col("prn") <= N_PROBE)
-        .select("query_id", "q_emb", "cent_id")
+        .select("query_id", "q_u", "cent_id")
     )
 
     # search only the probed cells
@@ -135,7 +163,7 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            F.round(dot(F.col("q_u"), F.col("u")), 6).alias("cos_sim"),
         )
     )
     s_w = Window.partitionBy("query_id").orderBy(
@@ -147,36 +175,37 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_VC = cosine_sql("v.embedding", "c.embedding")
-_COS_QC = cosine_sql("q.embedding", "c.embedding")
+_COS_VC = dot_sql("v.u", "c.c_u")
+_COS_QC = dot_sql("q.u", "c.c_u")
 
 ORACLE_ANN_IVF = f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding FROM embeddings
+WITH {_UNITS_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, u AS c_u FROM units
   WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}
 ),
 assigned AS (
-  SELECT vec_id, embedding, cent_id FROM (
-    SELECT v.vec_id, v.embedding, c.cent_id,
+  SELECT vec_id, u, cent_id FROM (
+    SELECT v.vec_id, v.u, c.cent_id,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY ROUND({_COS_VC.replace('c.embedding', 'c.embedding')}, 6) DESC, c.cent_id) AS arn
-    FROM embeddings v CROSS JOIN cents c
+                              ORDER BY ROUND({_COS_VC}, 6) DESC, c.cent_id) AS arn
+    FROM units v CROSS JOIN cents c
   ) WHERE arn = 1
 ),
 probes AS (
-  SELECT query_id, q_emb, cent_id FROM (
-    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cent_id,
+  SELECT query_id, q_u, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.u AS q_u, c.cent_id,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY ROUND({_COS_QC}, 6) DESC, c.cent_id) AS prn
-    FROM embeddings q CROSS JOIN cents c
+    FROM units q CROSS JOIN cents c
     WHERE q.vec_id % {QUERY_MOD} = 0
   ) WHERE prn <= {N_PROBE}
 )
 SELECT query_id, vec_id, cos_sim, rk FROM (
   SELECT p.query_id, a.vec_id,
-         ROUND({cosine_sql('p.q_emb', 'a.embedding')}, 6) AS cos_sim,
+         ROUND({dot_sql('p.q_u', 'a.u')}, 6) AS cos_sim,
          row_number() OVER (PARTITION BY p.query_id
-                            ORDER BY ROUND({cosine_sql('p.q_emb', 'a.embedding')}, 6) DESC, a.vec_id) AS rk
+                            ORDER BY ROUND({dot_sql('p.q_u', 'a.u')}, 6) DESC, a.vec_id) AS rk
   FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
   WHERE a.vec_id <> p.query_id
 ) WHERE rk <= {TOP_K}
