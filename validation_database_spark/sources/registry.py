@@ -75,6 +75,36 @@ EVENTS_TS_NTZ = (
     "CAST((ts div 1000) % 86400000000 AS DECIMAL(18,6)) / 1000000)"
 )
 
+#: Cached per-file probe results; parquet footers are immutable.
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Timestamp unit ('ns'/'us'/...) of ``events.ts`` from the
+    parquet footer.
+
+    The fixture generator has shipped events.ts both as
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — it
+    needs the raw-long workaround below) and as standard
+    microsecond timestamps (which Spark reads natively). Probing the
+    footer — a metadata-only read, no data pages — picks the right
+    read path instead of hard-coding either vintage.
+    """
+    if path not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            import glob
+
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            probe = parts[0]
+        field = pq.ParquetFile(probe).schema_arrow.field("ts")
+        _TS_UNIT_CACHE[path] = getattr(field.type, "unit", "us")
+    return _TS_UNIT_CACHE[path]
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load a fixture table as a (lazy) DataFrame.
@@ -87,15 +117,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or default_sf_dir()
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects by default. An explicit schema reads it as raw long
-        # nanos without touching any session conf, and the NTZ
-        # conversion truncates to microseconds exactly like the
-        # DuckDB oracles' make_timestamp(epoch_ns(ts) // 1000).
         from pyspark.sql import functions as F
 
-        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumn("ts", F.expr(EVENTS_TS_NTZ))
+        if events_ts_unit(path) == "ns":
+            # TIMESTAMP(NANOS), which Spark's reader rejects by
+            # default. An explicit schema reads it as raw long nanos
+            # without touching any session conf, and the NTZ
+            # conversion truncates to microseconds exactly like the
+            # DuckDB oracles' make_timestamp(epoch_ns(ts) // 1000).
+            raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+            return raw.withColumn("ts", F.expr(EVENTS_TS_NTZ))
+        # Microsecond storage: Spark reads it natively; the cast pins
+        # TIMESTAMP_NTZ regardless of the session's NTZ-inference
+        # conf (a no-op when inference already yields NTZ; under LTZ
+        # the session TZ is pinned UTC so the wall-clock is
+        # identical). DuckDB's epoch_ns(ts) // 1000 is exact here.
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 

@@ -32,28 +32,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from validation_database_spark.sources.registry import EVENTS_RAW_SCHEMA
+from validation_database_spark.sources.registry import (
+    EVENTS_RAW_SCHEMA,
+    events_ts_unit,
+)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture as a (bounded) file-source stream.
 
-    Same explicit nanos-as-long schema as the batch twin
-    (sources/registry.py) — no session conf mutation. Unlike the
-    batch side (TIMESTAMP_NTZ), event time here must stay
+    Probes the parquet footer for the ts unit like the batch twin
+    (sources/registry.py::load_table) — no session conf mutation.
+    Unlike the batch side (TIMESTAMP_NTZ), event time here must stay
     TIMESTAMP_LTZ: watermarks reject NTZ columns
     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so wall-clock rendering of
     streaming output follows the session timezone (the engine pins
     UTC in session.py).
     """
+    import os
+
     # The file source requires a directory; select just the events
     # file from the fixture dir via the glob filter.
+    if events_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns":
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    us_schema = T.StructType(
+        [
+            T.StructField(f.name, T.TimestampNTZType() if f.name == "ts" else f.dataType)
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(us_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ→LTZ cast uses the session TZ (pinned UTC): same wall-clock.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_window_counts(
