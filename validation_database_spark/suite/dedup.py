@@ -375,8 +375,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_AB = cosine_sql("a.embedding", "b.embedding")
 
-ORACLE_DEDUP_EMBEDDING = f"""
-WITH all_vecs AS (
+#: DuckDB twin of ``_vecs_with_planted_dups`` — shared with the
+#: SemDeDup oracle (suite/similarity.py).
+ALL_VECS_CTE = """all_vecs AS (
   SELECT vec_id, embedding, label FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000,
@@ -388,7 +389,10 @@ WITH all_vecs AS (
          list_concat([CAST(embedding[1]::DOUBLE + 0.5 AS FLOAT)], embedding[2:]),
          label
   FROM embeddings WHERE vec_id % 70 = 0
-)
+)"""
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH {ALL_VECS_CTE}
 SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_COS_AB}, 6) AS cos_sim
 FROM all_vecs a JOIN all_vecs b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -239,14 +239,37 @@ SELECT 'ivf' AS method, * FROM ({ORACLE_ANN_IVF})
 KMEANS_ITERS = 2
 
 
-def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embeddings, bit-exact across engines:
-    vectors are scaled to e6 integers (round half-away — ±0.53 × 64
-    dims keeps every squared distance far inside bigint), distances
-    and centroid means stay in integer arithmetic (means rounded
-    half-away via the 2S+n trick), so after a FIXED number of
-    iterations both engines hold identical centroids and identical
-    assignments — the same exactness pattern as the PageRank op.
+def _to_e6(col):
+    """Elementwise round-half-away e6 integerization of a double/float
+    array — the fixed-point domain where both engines' k-means
+    arithmetic is bit-identical."""
+    return F.transform(
+        col,
+        lambda v: (
+            F.signum(v.cast("double"))
+            * F.floor(F.abs(v.cast("double")) * 1_000_000 + F.lit(0.5))
+        ).cast("bigint"),
+    )
+
+
+def _kmeans_assignments(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
+    """Final (vec_id, cid, dist) assignment of the exact fixed-point
+    Lloyd run — shared by the k-means query and the SemDeDup pruner.
+
+    ``vecs`` (vec_id, x: array<bigint>) overrides the default
+    e6-integerized raw embeddings — SemDeDup passes e6-integerized
+    UNIT vectors so that clustering is spherical (magnitude-blind,
+    like its cosine dedup criterion).
+
+    Bit-exact across engines: vectors are scaled to e6 integers
+    (round half-away — ±0.53 × 64 dims keeps every squared distance
+    far inside bigint), distances and centroid means stay in integer
+    arithmetic (means rounded half-away via the 2S+n trick), so after
+    a FIXED number of iterations both engines hold identical
+    centroids and identical assignments — the same exactness pattern
+    as the PageRank op.
 
     Scale shape per iteration: assignment is a broadcast of K
     centroids against the vector table (narrow, no shuffle of the big
@@ -255,15 +278,9 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Initial centroids are the deterministic modular selection."""
     from pyspark.sql import Window
 
-    emb = _emb(spark, sf_dir)
-    to_e6 = F.transform(
-        F.col("embedding"),
-        lambda v: (
-            F.signum(v.cast("double"))
-            * F.floor(F.abs(v.cast("double")) * 1_000_000 + F.lit(0.5))
-        ).cast("bigint"),
-    )
-    vecs = emb.select("vec_id", to_e6.alias("x"))
+    if vecs is None:
+        emb = _emb(spark, sf_dir)
+        vecs = emb.select("vec_id", _to_e6(F.col("embedding")).alias("x"))
     cents = vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF).select(
         F.col("vec_id").alias("cid"), F.col("x").alias("c")
     )
@@ -305,18 +322,30 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
         a = assign(cents)
-    return a.select("vec_id", F.col("cid").alias("cluster"), "dist")
+    return a.select("vec_id", "cid", "dist")
 
 
-ORACLE_KMEANS = f"""
-WITH v AS (
-  SELECT vec_id,
-         list_transform(embedding, e ->
-           CAST(sign(CAST(e AS DOUBLE))
-                * floor(abs(CAST(e AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS x
-  FROM embeddings
-),
-c0 AS (SELECT vec_id AS cid, x AS c
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point Lloyd k-means assignment after
+    ``KMEANS_ITERS`` iterations (see ``_kmeans_assignments``)."""
+    return _kmeans_assignments(spark, sf_dir).select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )
+
+
+#: e6 integerization of an arbitrary double-list SQL expression —
+#: DuckDB twin of ``_to_e6``.
+def _to_e6_sql(expr: str) -> str:
+    return (
+        f"list_transform({expr}, e -> "
+        "CAST(sign(CAST(e AS DOUBLE)) "
+        "* floor(abs(CAST(e AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))"
+    )
+
+
+#: The Lloyd iteration CTE chain; expects a prior CTE
+#: ``v(vec_id, x: BIGINT[])`` supplying the fixed-point vectors.
+_LLOYD_CTES = f"""c0 AS (SELECT vec_id AS cid, x AS c
        FROM v WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}),
 d1 AS (
   SELECT v.vec_id, c0.cid, v.x,
@@ -343,7 +372,13 @@ d2 AS (
 ),
 a2 AS (SELECT * FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2
-) WHERE rk = 1)
+) WHERE rk = 1)"""
+
+ORACLE_KMEANS = f"""
+WITH v AS (
+  SELECT vec_id, {_to_e6_sql('embedding')} AS x FROM embeddings
+),
+{_LLOYD_CTES}
 SELECT vec_id, cid AS cluster, dist FROM a2
 """
 
@@ -424,6 +459,103 @@ FROM q
 """
 
 
+# --- SemDeDup: semantic dedup via cluster-then-prune --------------------
+
+SEMDEDUP_TAU = 0.98  # rounded-cosine dup threshold, as dedup_embedding
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then search for near-duplicate pairs ONLY within
+    each cluster and keep one representative per duplicate group —
+    the scale path for semantic dedup, because the pair space is
+    Σ cluster² instead of corpus². Pipeline: unit-normalize →
+    e6-integerize → exact fixed-point Lloyd (spherical k-means:
+    clustering unit vectors makes cluster membership magnitude-blind,
+    matching the cosine dup criterion — a scaled copy lands in
+    exactly its source's cluster) → within-cluster cosine ≥ τ →
+    keep = the smallest vec_id of each dup neighborhood (the paper
+    keeps one arbitrary exemplar; smallest-id is the deterministic
+    choice both engines agree on).
+
+    Corpus: the planted-dup set from dedup.py (scaled copies cos=1,
+    one-dim perturbations cos≈1) — raw fixture embeddings have no
+    natural near-dups (max within-cluster cos ≈ 0.49).
+
+    Scale: the Lloyd phase is the k-means plan (broadcast centroids,
+    narrow assignment); the prune join is per-cluster with fan-out
+    bounded by cluster sizes — no global pair space, no LSH needed
+    when a clustering already exists (it usually does in a curation
+    pipeline, for mixing/balancing)."""
+    from .dedup import _vecs_with_planted_dups
+
+    vecs = _vecs_with_planted_dups(spark, sf_dir)
+    # Same IEEE normalization pipeline as _unit_emb (norm behind the
+    # spread exchange so the fold isn't inlined per element).
+    withn = vecs.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+    )
+    u = spread(withn).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("__nrm")).alias("u"),
+    )
+    xu = u.select("vec_id", _to_e6(F.col("u")).alias("x"))
+    a = _kmeans_assignments(spark, sf_dir, vecs=xu)
+    au = a.join(u, "vec_id").select("vec_id", "cid", "u")
+    left = au.select(F.col("vec_id").alias("id_a"), "cid", F.col("u").alias("ua"))
+    right = au.select(F.col("vec_id").alias("id_b"), "cid", F.col("u").alias("ub"))
+    pairs = (
+        left.join(right, "cid")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    agg = pairs.groupBy("id_a").agg(
+        F.count("*").alias("n_dups"),
+        F.max((F.col("id_b") < F.col("id_a")).cast("int")).alias("has_smaller"),
+    )
+    return (
+        au.join(agg, au.vec_id == agg.id_a, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+            (F.coalesce("has_smaller", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+def _oracle_semantic_dedup() -> str:
+    from .dedup import ALL_VECS_CTE
+
+    cos_ab = dot_sql("a.u", "b.u")
+    return f"""
+WITH {ALL_VECS_CTE},
+units AS (SELECT vec_id, {unit_sql('embedding')} AS u FROM all_vecs),
+v AS (SELECT vec_id, {_to_e6_sql('u')} AS x FROM units),
+{_LLOYD_CTES},
+au AS (SELECT a2.vec_id, a2.cid, units.u FROM a2 JOIN units USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos_ab}, 6) AS cos
+  FROM au a JOIN au b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  WHERE ROUND({cos_ab}, 6) >= {SEMDEDUP_TAU}
+),
+agg AS (
+  SELECT id_a, count(*) AS n_dups,
+         max(CASE WHEN id_b < id_a THEN 1 ELSE 0 END) AS has_smaller
+  FROM pairs GROUP BY id_a
+)
+SELECT au.vec_id, au.cid AS cluster,
+       COALESCE(agg.n_dups, 0) AS n_dups,
+       COALESCE(agg.has_smaller, 0) = 0 AS keep
+FROM au LEFT JOIN agg ON au.vec_id = agg.id_a
+"""
+
+
 SPECS = [
     QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
               "brute-force baseline + IVF scale-path cosine top-10",
@@ -435,4 +567,6 @@ UNIT_SPECS = [
               "symmetric int8 vector quantization with error audit"),
     QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
               "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
+    QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
+              "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal"),
 ]
