@@ -67,3 +67,29 @@ def test_sample_frames_counts(spark, sf_dir):
     for aid, n in counts.items():
         expected = max(durations[aid] - 1, 0) // 1000 + 1
         assert n == expected, (aid, n, expected, durations[aid])
+
+
+def test_frame_checksums_edges(spark):
+    """Kernel edge cases the fixtures never hit: NULL payload (0
+    frames), payload shorter than one frame (1 truncated frame), and
+    a length landing a truncated final frame (n % 32 in [1, 16))."""
+    from validation_database_spark.operators.multimodal import frame_checksums
+
+    rows = [
+        (1, None),
+        (2, bytes(range(5))),            # one frame, len 5, crc 0+1+2+3+4
+        (3, bytes([1]) * 40),            # frames at 0 (len 16) and 32 (len 8)
+        (4, bytes([2]) * 64),            # frames at 0 and 32, both len 16
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        (r.asset_id, r.frame_off): (r.frame_len, r.frame_crc)
+        for r in frame_checksums(df).collect()
+    }
+    assert got == {
+        (2, 0): (5, 10),
+        (3, 0): (16, 16),
+        (3, 32): (8, 8),
+        (4, 0): (16, 32),
+        (4, 32): (16, 32),
+    }

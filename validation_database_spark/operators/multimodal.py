@@ -167,6 +167,65 @@ def extract_features(assets: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
     return assets.mapInPandas(kernel, schema=_FEATURES_SCHEMA)
 
 
+FRAME_BYTES = 16
+FRAME_STEP = 32
+
+_FRAME_SCHEMA = "asset_id long, frame_off long, frame_len long, frame_crc long"
+
+
+def frame_checksums(
+    assets: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    step: int = FRAME_STEP,
+) -> DataFrame:
+    """Per-sampled-frame decode stand-in over the payload column: the
+    payload is treated as a sequence of ``frame_bytes``-byte frames
+    and every frame starting at a multiple of ``step`` is "decoded"
+    (stub: an exact byte-sum checksum; a real video path would seek +
+    decode the frame here). One output row per sampled frame —
+    mapInPandas is the row-expanding Arrow stage, exactly the shape a
+    codec kernel needs (payload stays out of Python objects except as
+    one concatenated buffer per batch).
+
+    Fully vectorized per batch: frame counts → repeat/arange index
+    math → one masked gather into the concatenated buffer → row-wise
+    sums. No per-row Python.
+    """
+    fb, st = frame_bytes, step
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_off", "frame_len", "frame_crc"]
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            n = len(payloads)
+            lens = np.fromiter((len(p) for p in payloads), np.int64, count=n)
+            nframes = (lens + st - 1) // st
+            total = int(nframes.sum())
+            if total == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            big = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_off = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=row_off[1:])
+            rep = np.repeat(np.arange(n), nframes)
+            fidx = np.arange(total) - np.repeat(np.cumsum(nframes) - nframes, nframes)
+            off = fidx * st
+            fl = np.minimum(fb, lens[rep] - off)
+            idx = (row_off[rep] + off)[:, None] + np.arange(fb)
+            valid = np.arange(fb)[None, :] < fl[:, None]
+            vals = big[np.minimum(idx, big.size - 1)].astype(np.int64) * valid
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy()[rep],
+                    "frame_off": off,
+                    "frame_len": fl,
+                    "frame_crc": vals.sum(axis=1),
+                }
+            )
+
+    return assets.mapInPandas(kernel, schema=_FRAME_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video assets: one output row per
     sampled timestamp (metadata-only — pure JVM explode of a

@@ -97,6 +97,38 @@ FROM b
 """
 
 
+def q_frame_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling with per-frame decode over the video assets:
+    every other 16-byte "frame" of the payload is sampled and
+    "decoded" (stub checksum) through the row-expanding mapInPandas
+    kernel (operators/multimodal.py::frame_checksums). Value-checked:
+    the corpus is ASCII, so the oracle replays each frame's byte-sum
+    as ord(substr(text, ...)) over the same offsets."""
+    from ..operators.multimodal import frame_checksums
+    from ..util import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    assets = assets_from_documents(docs).filter(F.col("meta.modality") == "video")
+    return frame_checksums(assets)
+
+
+ORACLE_FRAME_CHECKSUMS = """
+WITH v AS (
+  SELECT doc_id AS asset_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT asset_id, text, n, unnest(range(0, n, 32)) AS frame_off FROM v
+)
+SELECT asset_id, frame_off,
+       least(16, n - frame_off) AS frame_len,
+       CAST(list_sum(list_transform(
+              generate_series(CAST(frame_off + 1 AS INT), CAST(least(frame_off + 16, n) AS INT)),
+              i -> ord(substr(text, i, 1)))) AS BIGINT) AS frame_crc
+FROM fr
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
               "per-modality metadata stats, payload-pruning layout"),
@@ -104,4 +136,10 @@ SPECS = [
               ORACLE_MULTIMODAL_FEATURES,
               "Arrow-batched stub-decode feature extraction, value-checked",
               headline=True),
+]
+
+UNIT_SPECS = [
+    QuerySpec("unit_frame_checksums", q_frame_checksums,
+              ORACLE_FRAME_CHECKSUMS,
+              "video frame sampling + per-frame stub decode, value-checked"),
 ]

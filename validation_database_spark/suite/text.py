@@ -602,6 +602,119 @@ SELECT doc_id, rk, tok, tf, tfidf FROM (
 """
 
 
+# --- BM25 retrieval ----------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "join", "window", "filter")
+BM25_TOP_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-K document retrieval for a fixed query term
+    set — the lexical ranking half of a curation/retrieval stack
+    (e.g. sourcing in-domain documents for a training mix).
+
+    Cross-engine determinism follows the tf-idf recipe: idf
+    (ln form, Lucene's 1+ variant so it is always positive) is
+    rounded to 6 BEFORE use, each per-term contribution is rounded to
+    6, and the per-doc score is summed in DECIMAL(18,6) — exact and
+    association-free — with (score desc, doc_id) ranking. All other
+    arithmetic is IEEE +,*,/ in the identical textual order on both
+    engines.
+
+    Scale: tf and dl are map-side-combining aggregations over the
+    exploded tokens; df/avgdl/N are tiny (|query|- and 1-row) frames
+    broadcast back; the final top-K is one window over matched docs.
+    Nothing is ever joined fact-to-fact on the token stream."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        tok.filter(F.col("tok").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+        ).alias("idf"),
+    )
+    w_term = F.round(
+        F.col("idf")
+        * (
+            (F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", w_term.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    rk_w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk_w).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("rk", "doc_id", "score", "n_terms")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+ORACLE_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_tokens_sql('text')}) AS tok FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok
+  WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok
+),
+idf AS (
+  SELECT tok,
+         ROUND(ln(1.0 + ((SELECT count(*) FROM documents) - count(*) + 0.5)
+                        / (count(*) + 0.5)), 6) AS idf
+  FROM tf GROUP BY tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(idf * ((tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1}
+                * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))), 6)
+              AS DECIMAL(18,6))) AS DOUBLE) AS score,
+         count(*) AS n_terms
+  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rk, doc_id, score, n_terms FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM scored
+) WHERE rk <= {BM25_TOP_K}
+"""
+
+
 # --- benchmark decontamination -----------------------------------------
 
 DECONTAM_NGRAM = 8
@@ -1067,4 +1180,6 @@ UNIT_SPECS = [
               ORACLE_TFIDF_TOP_TERMS, "top-K TF-IDF terms per doc"),
     QuerySpec("unit_decontaminate", q_decontaminate, _oracle_decontaminate(),
               "benchmark decontamination: cross-split 8-gram overlap"),
+    QuerySpec("unit_bm25_topk", q_bm25_topk, ORACLE_BM25_TOPK,
+              "Okapi BM25 top-K retrieval for a fixed query term set"),
 ]
