@@ -39,13 +39,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotals and grand total. Partial aggregation happens before the
     shuffle (HashAggregate → Exchange → HashAggregate), so the shuffle
     carries only n_groups × n_partitions rows — the plan that
-    survives 100 TB."""
+    survives 100 TB.
+
+    spread(): ROLLUP expands every row ×3 grouping sets before the
+    partial agg, so on the single-row-group fixture file the whole
+    expand+agg would run in one task; the filter and the 6-column
+    projection stay AT the scan (pushdown happens before the
+    repartition), so the fan-out shuffle carries only the filtered
+    measure columns. On a many-file cluster scan this exchange is a
+    no-op cost next to the expand it parallelizes."""
+    from ..util import spread
+
     li = load_table(spark, "lineitem", sf_dir)
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(25,6)"
     )
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        spread(filtered)
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),

@@ -532,9 +532,183 @@ SELECT doc_id, shard, n_tokens, pack_id FROM packed
 """
 
 
+# --- crawl URL canonicalization + dedup ---------------------------------
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic crawl-URL table: one URL per document
+    with planted canonicalization variants (host case, default port,
+    trailing slash, utm_* tracking params, fragments) so that many
+    raw URLs collapse onto one canonical form. Same planted-corpus
+    technique as doc_redact's PII corpus."""
+    from ..util import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir).select("doc_id"))
+    d = F.col("doc_id")
+    k = (d % 50).cast("string")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://Example.COM")).otherwise(
+            F.lit("https://example.com")
+        ),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        k,
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("?utm_source=rss&utm_medium=feed&id="), k))
+        .when(d % 5 == 1, F.concat(F.lit("?id="), k))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URLS_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM' ELSE 'https://example.com' END)
+       || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+       || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+       || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+       || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=rss&utm_medium=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+                WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                ELSE '' END)
+       || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+FROM documents
+"""
+
+
+def canonical_url(u) -> "F.Column":
+    """Canonical URL form: lowercase scheme+host, default port
+    stripped, trailing path slash stripped, utm_* tracking params
+    dropped (others kept in order), fragment dropped. Pure JVM
+    regexp/array expressions — a narrow map at any scale."""
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, ":(443|80)$", "")
+    path = F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path_c = F.regexp_replace(path, "/$", "")
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.startswith("utm_"),
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path_c,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL dedup: canonicalize, then one hash groupBy on the
+    canonical form — the exact-dedup shape (map-side combine,
+    O(distinct) shuffle). Keeper = smallest doc_id of each group."""
+    urls = _urls(spark, sf_dir)
+    return (
+        urls.withColumn("canonical_url", canonical_url(F.col("url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+_CANON_SQL = """lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+  || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$', '')
+  || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+  || (CASE WHEN len(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                                p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+           THEN '?' || array_to_string(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                                                   p -> p <> '' AND NOT starts_with(p, 'utm_')), '&')
+           ELSE '' END)"""
+
+ORACLE_URL_DEDUP = f"""
+WITH urls AS ({_URLS_SQL}),
+c AS (SELECT doc_id, url, {_CANON_SQL} AS canonical_url FROM urls)
+SELECT canonical_url, count(*) AS n_raw,
+       count(DISTINCT url) AS n_distinct_raw,
+       min(doc_id) AS keeper_doc_id
+FROM c GROUP BY canonical_url
+"""
+
+
+# --- training-mix rebalancing -------------------------------------------
+
+#: Target language proportions of the training mix.
+MIX_TARGETS = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: select the LARGEST corpus subset
+    whose language proportions hit the configured targets. The
+    budget is min over languages of available/target (the binding
+    language is taken whole); each language contributes
+    floor(budget · target) documents, chosen by the deterministic
+    md5 order (stable under corpus growth, like every sampler here).
+
+    Scale: counts are one map-side-combining groupBy; budget/quotas
+    are a |langs|-row broadcast; selection is one per-language window
+    — a single shuffle of (doc_id, lang) pairs, no global sort."""
+    from pyspark.sql import Window
+
+    from ..util import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir).select("doc_id", "lang"))
+    targets = spark.createDataFrame(
+        sorted(MIX_TARGETS.items()), "lang string, target double"
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_avail"))
+    j = counts.join(F.broadcast(targets), "lang")
+    budget = j.agg(F.min(F.col("n_avail") / F.col("target")).alias("budget"))
+    quotas = j.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        F.floor(F.col("budget") * F.col("target")).cast("bigint").alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))), "doc_id"
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("lang", "doc_id", "rk")
+    )
+
+
+_MIX_TARGETS_SQL = ", ".join(
+    f"('{lang}', {t})" for lang, t in sorted(MIX_TARGETS.items())
+)
+
+ORACLE_MIX_REBALANCE = f"""
+WITH targets(lang, target) AS (VALUES {_MIX_TARGETS_SQL}),
+counts AS (SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
+j AS (SELECT counts.lang AS lang, n_avail, target FROM counts JOIN targets USING (lang)),
+budget AS (SELECT min(n_avail / target) AS budget FROM j),
+quotas AS (
+  SELECT lang, CAST(floor(budget * target) AS BIGINT) AS quota
+  FROM j CROSS JOIN budget
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || '|mix'), doc_id) AS rk
+  FROM documents
+)
+SELECT ranked.lang AS lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked JOIN quotas USING (lang) WHERE rk <= quota
+"""
+
+
 # Unit operator surface (sampling variants merged into doc_sampling
 # for the driver window); parity-tested locally.
 UNIT_SPECS = [
+    QuerySpec("unit_url_dedup", q_url_dedup, ORACLE_URL_DEDUP,
+              "crawl URL canonicalization + exact dedup"),
+    QuerySpec("unit_mix_rebalance", q_mix_rebalance, ORACLE_MIX_REBALANCE,
+              "language-mix rebalancing to target proportions"),
     QuerySpec("unit_sample_hash", q_sample_hash, ORACLE_SAMPLE_HASH,
               "deterministic hash-based Bernoulli sample"),
     QuerySpec("unit_train_split", q_train_split, ORACLE_TRAIN_SPLIT,
