@@ -93,18 +93,17 @@ def main() -> None:
         )
     write(reduce(lambda a, b: a.unionAll(b), emb_parts), "embeddings")
 
-    # events: keep the fixture's physical shape (ts as raw nanos long)
-    # so sources.load_table's nanos path applies unchanged
+    # events: write ts as the natural NTZ timestamp (parquet µs) —
+    # sources.load_table probes the footer and reads this natively
+    # (the raw-nanos rewrite was only needed while the fixtures
+    # themselves shipped TIMESTAMP(NANOS)).
     ev = load_table(spark, "events", SRC)
     ev_parts = []
     for i in range(replicas):
         ev_parts.append(
             ev.select(
                 (F.col("event_id") + i * KEY_OFFSET).alias("event_id"),
-                # ts is TIMESTAMP_NTZ; interpret the naive value as
-                # UTC (get_spark pins a UTC session) to recover epoch
-                # micros, then back to nanos.
-                (F.unix_micros(F.to_utc_timestamp("ts", "UTC")) * 1000).alias("ts"),
+                "ts",
                 (F.col("user_id") + (i % 3) * 1000).alias("user_id"),
                 "event_type",
                 "value",

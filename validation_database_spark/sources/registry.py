@@ -86,9 +86,11 @@ def events_ts_unit(path: str) -> str:
     The fixture generator has shipped events.ts both as
     TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — it
     needs the raw-long workaround below) and as standard
-    microsecond timestamps (which Spark reads natively). Probing the
-    footer — a metadata-only read, no data pages — picks the right
-    read path instead of hard-coding either vintage.
+    microsecond timestamps (which Spark reads natively); a plain
+    int64 ts column (older scale-data layouts) carries raw epoch
+    nanos and maps to the same workaround. Probing the footer — a
+    metadata-only read, no data pages — picks the right read path
+    instead of hard-coding any vintage.
     """
     if path not in _TS_UNIT_CACHE:
         import pyarrow.parquet as pq
@@ -102,7 +104,7 @@ def events_ts_unit(path: str) -> str:
                 raise FileNotFoundError(f"no parquet files under {path}")
             probe = parts[0]
         field = pq.ParquetFile(probe).schema_arrow.field("ts")
-        _TS_UNIT_CACHE[path] = getattr(field.type, "unit", "us")
+        _TS_UNIT_CACHE[path] = getattr(field.type, "unit", "ns")
     return _TS_UNIT_CACHE[path]
 
 

@@ -316,6 +316,52 @@ FROM ev e JOIN stats USING (event_type)
 """.format(ev=_EV_CTE)
 
 
+# --- per-user EWMA (sequential recurrence) ------------------------------
+
+EWMA_ALPHA = 0.25  # exactly representable: recurrence constants exact
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the event value over time — the sequential
+    recurrence no window aggregate can fold, run as the
+    applyInPandas kernel (operators/timeseries.py). The kernel's C
+    loop is bitwise-identical to s_t = α·x_t + (1−α)·s_{t−1}, so the
+    DuckDB recursive-CTE replay matches exactly; output rounded to 6
+    only at the edge."""
+    from ..operators.timeseries import ewma
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    r = ewma(ev, ["user_id"], ["ts", "event_id"], "value", EWMA_ALPHA)
+    # Explicit half-away rounding: the dyadic α makes exact .xxxxxx5
+    # ties reachable, where the engines' ROUND dialects differ; this
+    # spelling is the same IEEE ops on both (embed_quantize pattern).
+    s = F.col("ewma")
+    rounded = F.signum(s) * F.floor(F.abs(s) * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return r.select("user_id", "event_id", rounded.alias("ewma"))
+
+
+ORACLE_EWMA = f"""
+WITH RECURSIVE {_EV_CTE},
+o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM ev
+),
+r AS (
+  SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS s FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn,
+         {EWMA_ALPHA} * o.value + {1.0 - EWMA_ALPHA} * r.s AS s
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id,
+       sign(s) * floor(abs(s) * 1000000 + 0.5) / 1000000 AS ewma
+FROM r
+"""
+
+
 SPECS = [
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
               "gap-based sessionization (lag + cumsum)", headline=True),
@@ -336,4 +382,6 @@ SPECS = [
 UNIT_SPECS = [
     QuerySpec("unit_events_json_props", q_events_json_props,
               ORACLE_EVENTS_JSON_PROPS, "JSON prop extraction per event"),
+    QuerySpec("unit_ewma_user_value", q_ewma_user_value, ORACLE_EWMA,
+              "per-user EWMA: applyInPandas recurrence, recursive-CTE oracle"),
 ]
