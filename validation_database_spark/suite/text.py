@@ -715,6 +715,121 @@ SELECT rk, doc_id, score, n_terms FROM (
 """
 
 
+# --- count-min sketch --------------------------------------------------
+
+CMS_DEPTH = 4   # independent hash rows (md5 seeds)
+CMS_WIDTH = 16  # buckets per row = one hex char (31-word fixture vocab
+                # -> real collisions, so the overestimate is visible)
+CMS_TERMS = ("spark", "join", "window", "filter", "data", "zzznotaword")
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term-frequency estimation: the mergeable
+    distributed summary (Cormode & Muthukrishnan 2005). Each token
+    increments one bucket per hash row (bucket = first hex char of a
+    seeded md5 — a deliberately tight 4×16 sketch so the fixture's
+    31-word vocabulary actually collides); a term's estimate is
+    the min over its rows, an overestimate by construction
+    (collisions only add). The planted non-word shows the
+    overestimate: true 0, estimate = its buckets' collision mass.
+
+    Unlike approx_count_distinct/percentile sketches (rows-only
+    checks), CMS is DETERMINISTIC given its hash family, so the
+    DuckDB oracle rebuilds the identical sketch and the comparison is
+    hash-exact.
+
+    Scale: the sketch build is ONE map-side-combining groupBy whose
+    result is depth×width rows regardless of corpus size — the
+    summary you ship to a driver/dashboard instead of a full term
+    dictionary; partial sketches merge by elementwise sum, which is
+    exactly what partial aggregation does."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    rows = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.substring(F.md5(F.concat(F.lit(f"{s}|"), F.col("tok"))), 1, 1)
+                        .alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb")
+    ).select("sb.seed", "sb.bucket")
+    sketch = rows.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
+
+    terms = spark.createDataFrame([(t,) for t in CMS_TERMS], "term string")
+    term_rows = terms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{s}|"), F.col("term"))), 1, 1
+                        ).alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb"),
+    ).select("term", "sb.seed", "sb.bucket")
+    est = (
+        term_rows.join(sketch, ["seed", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+    true_counts = (
+        tok.filter(F.col("tok").isin(*CMS_TERMS))
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.count("*").alias("true_count"))
+    )
+    return (
+        est.join(true_counts, "term", "left")
+        .select(
+            "term",
+            F.coalesce("true_count", F.lit(0)).cast("bigint").alias("true_count"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+        )
+    )
+
+
+_CMS_SEED_ROWS = " UNION ALL ".join(
+    f"SELECT tok, {s} AS seed, substr(md5('{s}|' || tok), 1, 1) AS bucket FROM tok"
+    for s in range(CMS_DEPTH)
+)
+_CMS_TERM_ROWS = " UNION ALL ".join(
+    f"SELECT term, {s} AS seed, substr(md5('{s}|' || term), 1, 1) AS bucket FROM terms"
+    for s in range(CMS_DEPTH)
+)
+_CMS_TERMS_SQL = ", ".join(f"('{t}')" for t in CMS_TERMS)
+
+ORACLE_CMS_COUNTS = f"""
+WITH tok AS (
+  SELECT unnest({_tokens_sql('text')}) AS tok FROM documents
+),
+rows_ AS ({_CMS_SEED_ROWS}),
+sketch AS (SELECT seed, bucket, count(*) AS c FROM rows_ GROUP BY seed, bucket),
+terms(term) AS (VALUES {_CMS_TERMS_SQL}),
+trows AS ({_CMS_TERM_ROWS}),
+est AS (
+  SELECT term, min(COALESCE(c, 0)) AS cms_est
+  FROM trows LEFT JOIN sketch USING (seed, bucket) GROUP BY term
+),
+tc AS (
+  SELECT tok AS term, count(*) AS true_count FROM tok
+  WHERE tok IN ({", ".join(f"'{t}'" for t in CMS_TERMS)}) GROUP BY tok
+)
+SELECT est.term AS term, CAST(COALESCE(true_count, 0) AS BIGINT) AS true_count,
+       CAST(cms_est AS BIGINT) AS cms_est
+FROM est LEFT JOIN tc ON est.term = tc.term
+"""
+
+
 # --- benchmark decontamination -----------------------------------------
 
 DECONTAM_NGRAM = 8
@@ -1182,4 +1297,6 @@ UNIT_SPECS = [
               "benchmark decontamination: cross-split 8-gram overlap"),
     QuerySpec("unit_bm25_topk", q_bm25_topk, ORACLE_BM25_TOPK,
               "Okapi BM25 top-K retrieval for a fixed query term set"),
+    QuerySpec("unit_cms_counts", q_cms_counts, ORACLE_CMS_COUNTS,
+              "count-min sketch term counts, deterministic hash family"),
 ]
