@@ -110,10 +110,14 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from validation_database_spark.session import get_spark
-    from validation_database_spark.suite import all_specs
+    from validation_database_spark.suite import all_specs, unit_specs
 
     spark = get_spark(app_name="bench")
     specs = all_specs()
+    # headline-flagged unit operators are timed too (they are not part
+    # of the driver's 50-entry correctness window, but their perf is
+    # part of the engine's story).
+    specs.update({n: s for n, s in unit_specs().items() if s.headline})
 
     # Warm the JVM + parquet footers (every table, not just orders) so
     # first-run timings measure the engine, not session startup or

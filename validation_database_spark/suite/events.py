@@ -383,5 +383,6 @@ UNIT_SPECS = [
     QuerySpec("unit_events_json_props", q_events_json_props,
               ORACLE_EVENTS_JSON_PROPS, "JSON prop extraction per event"),
     QuerySpec("unit_ewma_user_value", q_ewma_user_value, ORACLE_EWMA,
-              "per-user EWMA: applyInPandas recurrence, recursive-CTE oracle"),
+              "per-user EWMA: applyInPandas recurrence, recursive-CTE oracle",
+              headline=True),
 ]

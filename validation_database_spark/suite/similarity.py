@@ -568,5 +568,6 @@ UNIT_SPECS = [
     QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
               "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
     QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
-              "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal"),
+              "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
+              headline=True),
 ]

@@ -1296,7 +1296,8 @@ UNIT_SPECS = [
     QuerySpec("unit_decontaminate", q_decontaminate, _oracle_decontaminate(),
               "benchmark decontamination: cross-split 8-gram overlap"),
     QuerySpec("unit_bm25_topk", q_bm25_topk, ORACLE_BM25_TOPK,
-              "Okapi BM25 top-K retrieval for a fixed query term set"),
+              "Okapi BM25 top-K retrieval for a fixed query term set",
+              headline=True),
     QuerySpec("unit_cms_counts", q_cms_counts, ORACLE_CMS_COUNTS,
               "count-min sketch term counts, deterministic hash family"),
 ]
