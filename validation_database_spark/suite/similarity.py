@@ -459,6 +459,118 @@ FROM q
 """
 
 
+# --- random-hyperplane (SRP) LSH ANN ------------------------------------
+
+LSH_BITS = 4  # 16 buckets over the 500-vector fixture ≈ 31 cands/bucket
+
+
+def _srp_hyperplanes(bits: int = LSH_BITS, dims: int = 64) -> list[list[int]]:
+    """Deterministic integer hyperplanes for signed-random-projection
+    LSH (Charikar 2002): component (i, j) is the first 4 hex chars of
+    md5("rp|i|j") minus 32768 — a fixed pseudo-random integer in
+    [-32768, 32767]. Computed ONCE in Python and embedded as literals
+    in both engines (the runtime does integer dot products only, no
+    per-row hashing); with e6-integerized unit vectors every sign is
+    an exact integer comparison, so bucket codes are engine-exact."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[:4], 16) - 32768
+            for j in range(dims)
+        ]
+        for i in range(bits)
+    ]
+
+
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH search: every vector gets a ``LSH_BITS``-
+    bit bucket code (sign of its dot with each fixed hyperplane);
+    each query ranks the vectors in its own bucket AND the
+    ``LSH_BITS`` Hamming-1 neighbors (one hyperplane voting the other
+    way — the standard multi-probe trade: ×(bits+1) probes instead of
+    ×(bits+1) hash tables). cos(q, v) high ⇒ few separating
+    hyperplanes ⇒ candidate with high probability — the hash-join
+    alternative to IVF's centroid probing (no training pass, pure
+    narrow map + one equi-join on the code).
+
+    Results are approximate by design; the oracle runs the identical
+    LSH, so the check is still hash-exact."""
+    planes = _srp_hyperplanes()
+    u = _unit_emb(spark, sf_dir)
+    xu = u.select("vec_id", "u", _to_e6(F.col("u")).alias("x"))
+
+    def bucket(xcol) -> F.Column:
+        code = F.lit(0)
+        for i, plane in enumerate(planes):
+            dot_i = F.aggregate(
+                F.zip_with(xcol, F.array(*[F.lit(c) for c in plane]), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            code = code + F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return code
+
+    coded = xu.select("vec_id", "u", bucket(F.col("x")).alias("bucket"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
+    )
+    queries = (
+        coded.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("u").alias("q_u"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    scored = (
+        queries.join(coded, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("q_u"), F.col("u")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def _oracle_ann_lsh() -> str:
+    planes = _srp_hyperplanes()
+    bucket_terms = " + ".join(
+        "(CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(x)), "
+        f"j -> x[j] * ([{', '.join(str(c) for c in plane)}])[j])) AS BIGINT) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    cos_qv = dot_sql("q.q_u", "v.u")
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(LSH_BITS)]
+    )
+    return f"""
+WITH {_UNITS_CTE},
+xu AS (SELECT vec_id, u, {_to_e6_sql('u')} AS x FROM units),
+coded AS (SELECT vec_id, u, {bucket_terms} AS bucket FROM xu),
+probes AS (
+  SELECT vec_id AS query_id, u AS q_u,
+         unnest([{probe_list}]) AS bucket
+  FROM coded WHERE vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, vec_id, cos_sim, rk FROM (
+  SELECT q.query_id, v.vec_id,
+         ROUND({cos_qv}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY ROUND({cos_qv}, 6) DESC, v.vec_id) AS rk
+  FROM probes q JOIN coded v ON q.bucket = v.bucket AND v.vec_id <> q.query_id
+) WHERE rk <= {TOP_K}
+"""
+
+
 # --- SemDeDup: semantic dedup via cluster-then-prune --------------------
 
 SEMDEDUP_TAU = 0.98  # rounded-cosine dup threshold, as dedup_embedding
@@ -570,4 +682,6 @@ UNIT_SPECS = [
     QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
               "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
               headline=True),
+    QuerySpec("unit_ann_lsh", q_ann_lsh_cosine, _oracle_ann_lsh(),
+              "SRP-LSH bucketed cosine top-K (train-free hash-join ANN)"),
 ]
