@@ -172,3 +172,36 @@ def test_kafka_source_gates_cleanly(spark):
     assert [f.name for f in out.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
+
+
+def test_streaming_ewma_final_state_matches_batch(spark, sf_dir):
+    """The streaming EWMA's final per-user state must be BITWISE the
+    batch recurrence's last value — the recurrence is Markov, so
+    carrying one double of state across micro-batches loses nothing."""
+    from pyspark.sql import Window
+
+    from validation_database_spark.operators.timeseries import ewma
+    from validation_database_spark.streaming import streaming_ewma
+
+    stream = stream_events(spark, sf_dir)
+    out = run_to_completion(
+        streaming_ewma(stream), "ewma_stream", output_mode="update"
+    )
+    # update-mode emits one row per (user, batch); last batch wins
+    got = {r.user_id: r.ewma for r in out.collect()}
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    full = ewma(ev, ["user_id"], ["ts", "event_id"], "value", 0.25)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ewma")
+    )
+    expected = {r.user_id: r.ewma for r in last.collect()}
+
+    assert set(got) == set(expected)
+    mismatches = {u: (got[u], expected[u]) for u in expected if got[u] != expected[u]}
+    assert not mismatches, f"{len(mismatches)} users drifted: {list(mismatches.items())[:3]}"

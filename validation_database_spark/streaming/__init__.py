@@ -4,6 +4,7 @@ from .validation import (
     streaming_sessionize,
     streaming_missing_ids,
     streaming_user_totals,
+    streaming_ewma,
     run_to_completion,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "streaming_sessionize",
     "streaming_missing_ids",
     "streaming_user_totals",
+    "streaming_ewma",
     "run_to_completion",
 ]

@@ -225,6 +225,53 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Per-user EWMA carried as streaming state — the streaming twin
+    of ``operators/timeseries.py::ewma``. State is one double per
+    user (the current smoothed value); each micro-batch sorts its
+    slice by (ts, event_id) and continues the recurrence from the
+    carried state, so because the recurrence is Markov the final
+    state is BITWISE the batch EWMA's last value whenever batches
+    arrive in per-user time order (the file source's in-order
+    delivery; pinned by the batch-equality test).
+
+    The carry trick: pandas ewm can't seed initial state, so the
+    state value is prepended to the batch's series and the first
+    output dropped — step one then computes α·x₁ + (1−α)·s exactly.
+    """
+
+    def update(key, pdf_iter, state):
+        import numpy as _np
+        import pandas as _pd
+
+        s = state.get()[0] if state.exists else None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            x = pdf["value"].to_numpy(dtype="float64")
+            seeded = x if s is None else _np.concatenate([[s], x])
+            out = _pd.Series(seeded).ewm(alpha=alpha, adjust=False).mean()
+            s = float(out.iloc[-1])
+        if s is not None:
+            state.update((s,))
+        yield _pd.DataFrame({"user_id": [key[0]], "ewma": [s]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, ewma double",
+            stateStructType="s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # --- stream-static incremental dedup ------------------------------------
 
 DOCS_SCHEMA = T.StructType(
