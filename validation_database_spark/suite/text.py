@@ -715,6 +715,56 @@ SELECT rk, doc_id, score, n_terms FROM (
 """
 
 
+# --- character entropy (gibberish detector) -----------------------------
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the standard
+    gibberish/binary-blob detector (natural text sits ~2.5-4.5 bits;
+    random bytes ≈ 8, constant runs ≈ 0). One explode to (doc, char)
+    + a map-side-combining count — the flat-map + combine shape that
+    scales like token counting.
+
+    Determinism recipe as the LM queries: each character's
+    -p·log2(p) term is rounded to 6 (p is an exact integer ratio, the
+    log the only libm call) and the per-doc sum runs in
+    DECIMAL(18,6) — exact and order-free."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    # ln(p)/ln(2) spelled out on BOTH engines (not log2/F.log(base,·))
+    # so the bits-conversion is the identical pair of libm calls +
+    # IEEE divide, not two different log2 implementations.
+    p = F.col("c") / F.col("n")
+    term = F.round(-p * (F.log(p) / F.log(F.lit(2.0))), 6)
+    return (
+        counts.join(totals, "doc_id")
+        .select("doc_id", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("t").cast("decimal(18,6)")).cast("double").alias("entropy_bits"))
+    )
+
+
+ORACLE_TEXT_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+totals AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id)
+SELECT doc_id,
+       CAST(SUM(CAST(ROUND(-(c / CAST(n AS DOUBLE))
+            * (ln(c / CAST(n AS DOUBLE)) / ln(2.0)), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
+FROM counts JOIN totals USING (doc_id)
+GROUP BY doc_id
+"""
+
+
 # --- count-min sketch --------------------------------------------------
 
 CMS_DEPTH = 4   # independent hash rows (md5 seeds)
@@ -1300,4 +1350,6 @@ UNIT_SPECS = [
               headline=True),
     QuerySpec("unit_cms_counts", q_cms_counts, ORACLE_CMS_COUNTS,
               "count-min sketch term counts, deterministic hash family"),
+    QuerySpec("unit_text_entropy", q_text_entropy, ORACLE_TEXT_ENTROPY,
+              "character-level Shannon entropy (gibberish detector)"),
 ]
