@@ -14,8 +14,10 @@ from . import QuerySpec
 
 SESSION_GAP = "30"  # minutes
 
-# DuckDB reads ts at nanosecond precision; truncate to Spark's
-# microseconds so both engines compare the same instants.
+# Unit-safe ts canonicalization: epoch_ns(ts) // 1000 truncates
+# nanosecond-vintage fixtures to Spark's microseconds and is the
+# identity on microsecond-vintage ones — both engines always compare
+# the same instants (see sources/registry.py::events_ts_unit).
 _EV_CTE = (
     "ev AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, "
     "user_id, event_type, value, props FROM events)"
