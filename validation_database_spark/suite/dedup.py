@@ -420,8 +420,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_CLUSTERS = f"""
-WITH {_SH_CTE},
+#: CTE chain ending in ``comp(node, comp)`` — the connected-components
+#: replay, shared with the keep-best representative oracle.
+_CLUSTERS_CTES = f"""{_SH_CTE},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -448,11 +449,62 @@ reach AS (
 comp AS (
   SELECT src AS node, least(src, min(dst)) AS comp
   FROM reach GROUP BY src
-)
+)"""
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH {_CLUSTERS_CTES}
 SELECT c.node AS doc_id, c.comp AS cluster_id, s.cluster_size
 FROM comp c
 JOIN (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp) s
   ON c.comp = s.comp
+"""
+
+
+# --- duplicate-cluster representative selection --------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation's final dedup step: ONE representative per duplicate
+    cluster. Representative = the longest member (token count), doc_id
+    tiebreak — the common "keep the most complete copy" heuristic
+    (min-id keeps whichever crawl happened first; longest keeps the
+    un-truncated one). One window over the clustered docs — cluster
+    count is tiny relative to the corpus, so the extra shuffle is on
+    the already-reduced cluster table."""
+    from pyspark.sql import Window
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    ntok = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(D.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    j = clusters.join(ntok, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "doc_id")
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH {_CLUSTERS_CTES},
+clustered AS (
+  SELECT c.node AS doc_id, c.comp AS cluster_id, s.cluster_size
+  FROM comp c
+  JOIN (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp) s
+    ON c.comp = s.comp
+),
+ntok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, cluster_id, cluster_size, n_tokens,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+FROM clustered JOIN ntok USING (doc_id)
 """
 
 
@@ -587,4 +639,6 @@ UNIT_SPECS = [
               "16-bit SimHash near-dup buckets"),
     QuerySpec("unit_dedup_incremental", q_dedup_incremental, _oracle_incremental(),
               "incoming batch near-dup vs existing corpus (LSH index join)"),
+    QuerySpec("unit_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
+              "one representative per duplicate cluster (longest member)"),
 ]

@@ -715,6 +715,75 @@ SELECT rk, doc_id, score, n_terms FROM (
 """
 
 
+# --- boilerplate block detection ----------------------------------------
+
+BP_BLOCK = 32  # non-overlapping token blocks (overlap would self-match)
+
+
+def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection at block grain: split each
+    doc into non-overlapping 32-token blocks, md5 each block, and
+    flag blocks whose hash appears in ≥ 2 DISTINCT documents (headers,
+    footers, license banners — the C4-style line/paragraph dedup at
+    block granularity). Output per doc: block count, boilerplate block
+    count, ratio.
+
+    Scale: blocks are a narrow map; the only shuffles carry 32-hex
+    hashes (groupBy hash with map-side combine, then the join back) —
+    the exact-dedup shape applied below document grain. The planted
+    near-duplicate docs share full blocks, so the result is
+    non-trivial."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(BP_BLOCK))
+    blk = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(starts).alias("st"), F.col("toks"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("st"), BP_BLOCK), " ")).alias("h"),
+        )
+    )
+    hot = (
+        blk.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    return (
+        blk.join(hot, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.count("nd").alias("n_boilerplate"),
+            F.round(F.count("nd").cast("double") / F.count("*"), 6).alias("bp_ratio"),
+        )
+    )
+
+
+ORACLE_BOILERPLATE_BLOCKS = f"""
+WITH t AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
+),
+blk AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, st, st + {BP_BLOCK} - 1), ' ')) AS h
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks), 1) + 1, {BP_BLOCK})) AS st
+    FROM t
+  )
+),
+hot AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM blk GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id, count(*) AS n_blocks,
+       count(nd) AS n_boilerplate,
+       ROUND(CAST(count(nd) AS DOUBLE) / count(*), 6) AS bp_ratio
+FROM blk LEFT JOIN hot USING (h)
+GROUP BY doc_id
+"""
+
+
 # --- character entropy (gibberish detector) -----------------------------
 
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,4 +1421,7 @@ UNIT_SPECS = [
               "count-min sketch term counts, deterministic hash family"),
     QuerySpec("unit_text_entropy", q_text_entropy, ORACLE_TEXT_ENTROPY,
               "character-level Shannon entropy (gibberish detector)"),
+    QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
+              ORACLE_BOILERPLATE_BLOCKS,
+              "cross-document boilerplate block detection (block-hash dedup)"),
 ]
