@@ -571,6 +571,91 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
 """
 
 
+# --- contrastive pair mining (positives + hard negatives) ---------------
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining over the labeled embeddings:
+    for each anchor (the deterministic query subset), the most similar
+    SAME-label vector (positive) and the most similar OTHER-label
+    vector (hard negative) — the standard triplet construction for
+    embedding-model training; hard negatives are exactly the
+    highest-cosine wrong-label neighbors.
+
+    Plan: one broadcast of the tiny anchor set against the corpus
+    (same shape as the ANN baseline), then ONE window per (anchor,
+    is_same_label) slot. At corpus scale the anchor side stays
+    broadcast and the scored side is the candidate set of any ANN
+    index (IVF cell or LSH bucket) instead of the full corpus — the
+    mining step itself is unchanged."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding", "label", l2_norm(F.col("embedding")).alias("__nrm")
+    )
+    u = spread(emb).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("__nrm")).alias("u"),
+    )
+    anchors = u.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("u").alias("a_u"),
+    )
+    scored = (
+        u.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            (F.col("label") == F.col("a_label")).alias("same"),
+            F.round(dot(F.col("a_u"), F.col("u")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    pos = best.filter(F.col("same")).select(
+        "anchor_id",
+        F.col("vec_id").alias("positive_id"),
+        F.col("cos_sim").alias("positive_cos"),
+    )
+    neg = best.filter(~F.col("same")).select(
+        "anchor_id",
+        F.col("vec_id").alias("hard_negative_id"),
+        F.col("cos_sim").alias("hard_negative_cos"),
+    )
+    return pos.join(neg, "anchor_id")
+
+
+def _oracle_hard_negatives() -> str:
+    cos_av = dot_sql("a.u", "v.u")
+    return f"""
+WITH units AS (
+  SELECT vec_id, label, {unit_sql('embedding')} AS u FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS anchor_id, v.vec_id,
+         (v.label = a.label) AS same,
+         ROUND({cos_av}, 6) AS cos_sim
+  FROM units a JOIN units v ON v.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_MOD} = 0
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+                                 ORDER BY cos_sim DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT p.anchor_id,
+       p.vec_id AS positive_id, p.cos_sim AS positive_cos,
+       n.vec_id AS hard_negative_id, n.cos_sim AS hard_negative_cos
+FROM best p JOIN best n ON p.anchor_id = n.anchor_id
+WHERE p.same AND NOT n.same
+"""
+
+
 # --- SemDeDup: semantic dedup via cluster-then-prune --------------------
 
 SEMDEDUP_TAU = 0.98  # rounded-cosine dup threshold, as dedup_embedding
@@ -684,4 +769,6 @@ UNIT_SPECS = [
               headline=True),
     QuerySpec("unit_ann_lsh", q_ann_lsh_cosine, _oracle_ann_lsh(),
               "SRP-LSH bucketed cosine top-K (train-free hash-join ANN)"),
+    QuerySpec("unit_hard_negatives", q_hard_negatives, _oracle_hard_negatives(),
+              "contrastive pair mining: nearest positive + hard negative"),
 ]
