@@ -834,6 +834,60 @@ GROUP BY doc_id
 """
 
 
+# --- per-source reputation (domain-level curation) -----------------------
+
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level curation rollup: per source, document count,
+    mean quality signals and language spread — the aggregation behind
+    "drop domains whose mean quality < τ" filtering. Per-doc signals
+    are rounded to 6 first and averaged with the exact half-away
+    integer-mean trick (2S+n over e6 integers), so the means are
+    engine-exact despite being averages of doubles. One map-side-
+    combining groupBy on source — a tiny result at any corpus size."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin([w for w in STOPWORDS["en"]])))
+    # e6 fixed-point of the ratio via explicit half-away floor — the
+    # same IEEE ops on both engines (round()*1e6 could land a hair
+    # under the integer and truncate differently).
+    stop_e6 = F.floor(
+        n_stop.cast("double") / F.greatest(n_tok, F.lit(1)) * 1_000_000 + F.lit(0.5)
+    )
+    per_doc = docs.select(
+        "source",
+        "lang",
+        n_tok.cast("bigint").alias("n_tok"),
+        stop_e6.cast("bigint").alias("stop_e6"),
+    )
+    mean_stop = F.expr(
+        "(2 * sum(stop_e6) + count(*)) DIV (2 * count(*))"
+    ) / 1_000_000
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        mean_stop.alias("mean_stopword_ratio"),
+    )
+
+
+ORACLE_SOURCE_REPUTATION = f"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(toks) AS n_tok,
+         CAST(floor(CAST(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE)
+              / greatest(len(toks), 1) * 1000000 + 0.5) AS BIGINT) AS stop_e6
+  FROM (SELECT source, lang, {_tokens_sql('text')} AS toks FROM documents)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       count(DISTINCT lang) AS n_langs,
+       ((2 * sum(stop_e6) + count(*)) // (2 * count(*))) / 1000000.0
+         AS mean_stopword_ratio
+FROM per_doc GROUP BY source
+"""
+
+
 # --- count-min sketch --------------------------------------------------
 
 CMS_DEPTH = 4   # independent hash rows (md5 seeds)
@@ -1424,4 +1478,7 @@ UNIT_SPECS = [
     QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
               ORACLE_BOILERPLATE_BLOCKS,
               "cross-document boilerplate block detection (block-hash dedup)"),
+    QuerySpec("unit_source_reputation", q_source_reputation,
+              ORACLE_SOURCE_REPUTATION,
+              "per-source curation rollup: counts + exact mean quality"),
 ]
