@@ -126,6 +126,57 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= {JACCARD_
 """
 
 
+# --- n-gram containment (asymmetric near-dup) ---------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / |A| — catches a
+    short document embedded inside a longer one (quotes, aggregator
+    pages, doc+appendix reposts), which symmetric Jaccard dilutes
+    below threshold. Directional: emitted row (id_a, id_b) means
+    "id_a is ≥ 60% contained in id_b" (both directions tested, so a
+    strict subset produces one row and true near-equals produce two).
+
+    Same inverted-index plan as the Jaccard op — the only pairs
+    materialized share a shingle; containment is just a different
+    normalization of the identical n_common/sizes frames."""
+    docs = load_table(spark, "documents", sf_dir)
+    shingles = D.exploded_shingles(docs).persist()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("id_a"), "sh")
+    b = shingles.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cont = F.round(F.col("n_common").cast("double") / F.col("n_a"), 6)
+    return (
+        common.join(na, "id_a")
+        .select("id_a", "id_b", "n_common", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / na.n, 6) AS containment
+FROM common JOIN sizes na ON common.id_a = na.doc_id
+WHERE ROUND(CAST(n_common AS DOUBLE) / na.n, 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # --- n-gram Jaccard with a document-frequency cap ----------------------
 
 DF_CAP = 10
@@ -641,4 +692,7 @@ UNIT_SPECS = [
               "incoming batch near-dup vs existing corpus (LSH index join)"),
     QuerySpec("unit_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
               "one representative per duplicate cluster (longest member)"),
+    QuerySpec("unit_dedup_containment", q_dedup_containment,
+              ORACLE_DEDUP_CONTAINMENT,
+              "asymmetric shingle containment (doc-inside-doc near-dup)"),
 ]
