@@ -61,3 +61,32 @@ def test_partitioned_parquet_with_pruning(spark, sf_dir, tmp_path):
         F.col("bucket") == 2
     )
     assert one.count() == expected.count() > 0
+
+
+def test_export_jsonl_shards_bounds_and_roundtrip(spark, sf_dir, tmp_path):
+    """Every shard must hold <= max_records rows (hard writer cap, not
+    just the repartition hint) and the shard set must round-trip to
+    the exact input rows."""
+    from validation_database_spark.sources import load_table
+    from validation_database_spark.sources.export import export_jsonl_shards
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    out = str(tmp_path / "shards")
+    cap = 120
+    paths = export_jsonl_shards(docs, out, max_records_per_shard=cap)
+    assert len(paths) >= 2, "fixture should produce multiple shards"
+
+    import gzip
+    import json as _json
+
+    per_shard = []
+    rows = {}
+    for p in paths:
+        with gzip.open(p, "rt") as f:
+            lines = [_json.loads(line) for line in f]
+        per_shard.append(len(lines))
+        for r in lines:
+            rows[r["doc_id"]] = (r["text"], r["lang"])
+    assert max(per_shard) <= cap, per_shard
+    expected = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    assert rows == expected

@@ -318,6 +318,58 @@ FROM ev e JOIN stats USING (event_type)
 """.format(ev=_EV_CTE)
 
 
+# --- top-K behavioral paths ---------------------------------------------
+
+PATH_TOP_K = 10
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step event-type paths across users (the
+    behavioral-sequence mining behind funnel discovery): two lead()
+    windows per user build the sliding trigram of event types, one
+    map-side-combining count, one top-K window over the tiny distinct-
+    path table. Path space is |event_types|³ — bounded regardless of
+    corpus size."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    counts = tri.groupBy("path").agg(F.count("*").alias("n"))
+    rk_w = Window.orderBy(F.desc("n"), "path")
+    return (
+        counts.withColumn("rk", F.row_number().over(rk_w).cast("bigint"))
+        .filter(F.col("rk") <= PATH_TOP_K)
+        .select("rk", "path", "n")
+    )
+
+
+ORACLE_EVENTS_TOP_PATHS = f"""
+WITH {_EV_CTE},
+tri AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path FROM (
+    SELECT event_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+           lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+    FROM ev
+  ) WHERE e3 IS NOT NULL
+),
+counts AS (SELECT path, count(*) AS n FROM tri GROUP BY path)
+SELECT rk, path, n FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rk FROM counts
+) WHERE rk <= {PATH_TOP_K}
+"""
+
+
 # --- per-user EWMA (sequential recurrence) ------------------------------
 
 EWMA_ALPHA = 0.25  # exactly representable: recurrence constants exact
@@ -387,4 +439,7 @@ UNIT_SPECS = [
     QuerySpec("unit_ewma_user_value", q_ewma_user_value, ORACLE_EWMA,
               "per-user EWMA: applyInPandas recurrence, recursive-CTE oracle",
               headline=True),
+    QuerySpec("unit_events_top_paths", q_events_top_paths,
+              ORACLE_EVENTS_TOP_PATHS,
+              "top-K 3-step behavioral paths (lead windows + count)"),
 ]
