@@ -169,3 +169,53 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     plan = physical_plan(df)
     assert count_occurrences(df, "BroadcastExchange") >= 2  # one per iteration
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_model_frames(spark, sf_dir):
+    """BM25's df/avgdl/N model frames are tiny and must broadcast back
+    onto the tf stream — never a shuffle join of the token fact table
+    against itself."""
+    from validation_database_spark.suite.text import q_bm25_topk
+
+    df = q_bm25_topk(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_lsh_joins_on_bucket_code(spark, sf_dir):
+    """Multi-probe LSH candidates must come from an equi-join on the
+    bucket code — no nested-loop pair scan anywhere in the plan."""
+    from validation_database_spark.suite.similarity import q_ann_lsh_cosine
+
+    plan = physical_plan(q_ann_lsh_cosine(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_boilerplate_shuffles_hashes_not_text(spark, sf_dir):
+    """The boilerplate block op's exchanges must carry md5 hashes
+    (and ids), never the block text: the only shuffled plan columns
+    are the hash h and doc_id/aggregates."""
+    from validation_database_spark.suite.text import q_boilerplate_blocks
+
+    df = q_boilerplate_blocks(spark, sf_dir)
+    plan = physical_plan(df)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys and "toks" not in keys, keys
+
+
+def test_frame_checksums_single_arrow_stage(spark, sf_dir):
+    """The frame kernel is exactly one Arrow mapInPandas stage over
+    the narrow asset projection — no extra Python stages, no shuffle
+    before the kernel."""
+    from validation_database_spark.suite.multimodal import q_frame_checksums
+
+    df = q_frame_checksums(spark, sf_dir)
+    plan = physical_plan(df)
+    # one tree node ("MapInPandas (n)"), no other Python stages
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
