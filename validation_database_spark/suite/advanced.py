@@ -259,8 +259,95 @@ SPECS = [
     # unit-tested operator surface.
 ]
 
+# --- blocked fuzzy key join ---------------------------------------------
+
+FUZZY_MAX_DIST = 1
+
+
+def q_fuzzy_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key JOIN: reconcile dirty keys against a clean dimension
+    when the keys don't align exactly — the UNALIGNED generalization
+    of the reference's row-aligned fuzzy compare
+    (running_validation.py:306-316). Dirty side = part names with a
+    deterministic single-character deletion planted at position ≥ 3;
+    clean side = the distinct name dictionary.
+
+    Scale shape: candidate pairs come from BLOCKING on a corruption-
+    insensitive key (here the 2-char prefix; real systems use phonetic
+    or n-gram keys), so the edit-distance UDF-free `levenshtein`
+    (JVM built-in, identical in DuckDB) runs only on names sharing a
+    block — never the |dirty|×|dict| cross product. Best match per
+    dirty key by (distance, name) with the match-or-nothing ≤ 1
+    threshold."""
+    part = load_table(spark, "part", sf_dir)
+    k = (F.col("p_partkey") % 4 + 3).cast("int")  # deletion pos ≥ 3
+    dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substring(p_name, 1, CAST(p_partkey % 4 + 2 AS INT))"),
+            F.expr("substring(p_name, CAST(p_partkey % 4 + 4 AS INT), 1000)"),
+        ).alias("dirty_name"),
+    )
+    clean = (
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("canonical_id"))
+        .select(F.col("p_name").alias("clean_name"), "canonical_id")
+    )
+    blocked = dirty.withColumn("blk", F.substring("dirty_name", 1, 2)).join(
+        clean.withColumn("blk", F.substring("clean_name", 1, 2)), "blk"
+    )
+    scored = blocked.select(
+        "dirty_id",
+        "dirty_name",
+        "clean_name",
+        "canonical_id",
+        F.levenshtein("dirty_name", "clean_name").alias("dist"),
+    ).filter(F.col("dist") <= FUZZY_MAX_DIST)
+    w = Window.partitionBy("dirty_id").orderBy("dist", "clean_name")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "dirty_id",
+            "dirty_name",
+            "clean_name",
+            "canonical_id",
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )
+
+
+ORACLE_FUZZY_KEY_JOIN = f"""
+WITH dirty AS (
+  SELECT p_partkey AS dirty_id,
+         substr(p_name, 1, CAST(p_partkey % 4 + 2 AS INT))
+           || substr(p_name, CAST(p_partkey % 4 + 4 AS INT), 1000) AS dirty_name
+  FROM part WHERE p_partkey % 3 = 0
+),
+clean AS (
+  SELECT p_name AS clean_name, min(p_partkey) AS canonical_id
+  FROM part GROUP BY p_name
+),
+scored AS (
+  SELECT dirty_id, dirty_name, clean_name, canonical_id,
+         levenshtein(dirty_name, clean_name) AS dist
+  FROM dirty JOIN clean
+    ON substr(dirty_name, 1, 2) = substr(clean_name, 1, 2)
+  WHERE levenshtein(dirty_name, clean_name) <= {FUZZY_MAX_DIST}
+)
+SELECT dirty_id, dirty_name, clean_name, canonical_id, CAST(dist AS BIGINT) AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY dirty_id
+                               ORDER BY dist, clean_name) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
 UNIT_SPECS = [
     QuerySpec("unit_session_week_overlap", q_session_week_overlap,
               _oracle_session_week_overlap(),
               "interval × interval overlap join via daily-bin explosion"),
+    QuerySpec("unit_fuzzy_key_join", q_fuzzy_key_join, ORACLE_FUZZY_KEY_JOIN,
+              "blocked fuzzy key join: prefix blocking + levenshtein best-match"),
 ]
