@@ -39,3 +39,19 @@ def test_sessionize_identical_under_other_tz(spark, sf_dir):
     utc = sorted(map(tuple, q_events_sessionize(spark, sf_dir).collect()))
     got = sorted(map(tuple, q_events_sessionize(ny, sf_dir).collect()))
     assert utc == got
+
+
+def test_round3_ops_identical_under_other_tz(spark, sf_dir):
+    """The round-3 operators touching timestamps or floats must also
+    be session-TZ-independent: the EWMA recurrence (orders by ts) and
+    top-K paths (lead windows over ts)."""
+    from validation_database_spark.suite.events import (
+        q_events_top_paths,
+        q_ewma_user_value,
+    )
+
+    ny = _ny_session(spark)
+    for fn in (q_ewma_user_value, q_events_top_paths):
+        utc = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        got = sorted(map(tuple, fn(ny, sf_dir).collect()))
+        assert utc == got, fn.__name__
