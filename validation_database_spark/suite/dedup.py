@@ -330,6 +330,103 @@ JOIN sizes nb ON common.id_b = nb.doc_id
 """
 
 
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: for every LSH candidate pair, the
+    signature-agreement estimate (matching slots / 16 — the unbiased
+    MinHash estimator of Jaccard) next to the EXACT Jaccard and the
+    absolute error. The production use: at 100 TB the estimate is
+    often accurate enough to SKIP the exact-verify join entirely —
+    this op quantifies that trade on real candidates.
+
+    Same plan family as the LSH query; the estimate join touches only
+    the 16-column signature table (one row per doc), so it is strictly
+    cheaper than the shingle-level verify it can replace."""
+    docs = load_table(spark, "documents", sf_dir)
+    shingles = D.exploded_shingles(docs).persist()
+    sigs = D.minhash_signatures(shingles)
+    bands = D.lsh_bands(sigs)
+    pairs = D.lsh_candidate_pairs(bands)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(D.NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(D.NUM_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(D.NUM_HASHES)
+    )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(n_match.cast("double") / D.NUM_HASHES, 6).alias("est_jaccard"),
+    )
+    exact = D.jaccard_verify(pairs, shingles)
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+def _oracle_minhash_estimate() -> str:
+    sig_cols = ", ".join(
+        "min(substr(md5('{seed}|' || sh), {start}, 8)) AS s{i}".format(
+            seed=i // D.SLICES_PER_MD5, start=1 + 8 * (i % D.SLICES_PER_MD5), i=i
+        )
+        for i in range(D.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"s{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.NUM_BANDS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(D.NUM_HASHES)
+    )
+    return f"""
+WITH {_SH_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST({match_sum} AS DOUBLE) / {D.NUM_HASHES}, 6) AS est_jaccard
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+),
+exact AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON common.id_a = na.doc_id
+  JOIN sizes nb ON common.id_b = nb.doc_id
+)
+SELECT est.id_a AS id_a, est.id_b AS id_b, est_jaccard, jaccard,
+       ROUND(abs(est_jaccard - jaccard), 6) AS abs_err
+FROM est JOIN exact ON est.id_a = exact.id_a AND est.id_b = exact.id_b
+"""
+
+
 # --- SimHash -----------------------------------------------------------
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,4 +792,7 @@ UNIT_SPECS = [
     QuerySpec("unit_dedup_containment", q_dedup_containment,
               ORACLE_DEDUP_CONTAINMENT,
               "asymmetric shingle containment (doc-inside-doc near-dup)"),
+    QuerySpec("unit_minhash_estimate", q_minhash_estimate,
+              _oracle_minhash_estimate(),
+              "MinHash estimator audit: signature estimate vs exact Jaccard"),
 ]
