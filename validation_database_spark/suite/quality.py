@@ -297,7 +297,56 @@ SPECS = [
               "Benford leading-digit distribution screening"),
 ]
 
+# --- k-anonymity release gate -------------------------------------------
+
+K_ANON = 10
+PRICE_BAND = 20_000  # generalization width for the o_totalprice QI
+
+
+def q_k_anonymize(spark, sf_dir):
+    """k-anonymity release gate over the orders table: generalize the
+    quasi-identifiers (totalprice → fixed bands, orderdate → year),
+    then suppress every equivalence class smaller than k=10 — the
+    aggregation-side privacy control that complements doc_redact's
+    value-side PII masking. Output is the class table with counts and
+    the released flag (suppressed classes stay visible to the auditor,
+    their members are what a release pipeline would drop).
+
+    One map-side-combining groupBy on the generalized QIs — the class
+    table is bounded by the generalization grid, not the row count."""
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    cls = orders.groupBy(
+        F.floor(F.col("o_totalprice") / PRICE_BAND).cast("bigint").alias("price_band"),
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"))
+    return cls.select(
+        "price_band",
+        "order_year",
+        "priority",
+        "n",
+        (F.col("n") >= K_ANON).alias("released"),
+    )
+
+
+ORACLE_K_ANONYMIZE = f"""
+SELECT CAST(floor(o_totalprice / {PRICE_BAND}) AS BIGINT) AS price_band,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       o_orderpriority AS priority,
+       count(*) AS n,
+       count(*) >= {K_ANON} AS released
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
 UNIT_SPECS = [
     QuerySpec("unit_quality_funnel", q_quality_funnel, _oracle_quality_funnel(),
               "C4-style corpus filter funnel with per-stage drop counts"),
+    QuerySpec("unit_k_anonymize", q_k_anonymize, ORACLE_K_ANONYMIZE,
+              "k-anonymity release gate: QI generalization + class suppression"),
 ]
