@@ -344,9 +344,78 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- join-key skew diagnostics ------------------------------------------
+
+SKEW_TOP_N = 20
+
+
+def q_key_skew_stats(spark, sf_dir):
+    """Join-key distribution diagnostics for lineitem.l_orderkey — the
+    measurement you run BEFORE choosing a skew mitigation (salting /
+    AQE skew join): the top-20 heaviest keys with each key's share of
+    the table and the cumulative share, plus the rows-per-key mean in
+    every row for context. Two map-side-combining aggregations + one
+    window over the top slice — diagnostics cost never scales with
+    key cardinality beyond the count pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    totals = per_key.agg(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    # orderBy+limit compiles to TakeOrdered (per-partition partial
+    # top-N, then a merge of N-row heads) — never a global sort of
+    # the key table; the rank window then runs over only the N rows.
+    topn = per_key.orderBy(F.desc("n"), "l_orderkey").limit(SKEW_TOP_N)
+    w = Window.orderBy(F.desc("n"), "l_orderkey")
+    top = topn.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "rk",
+        F.col("l_orderkey").alias("key"),
+        "n",
+        F.round(F.col("n") / F.col("total_rows"), 6).alias("share"),
+        F.round(F.sum(F.col("n") / F.col("total_rows")).over(cum), 6).alias(
+            "cum_share"
+        ),
+        F.round(F.col("total_rows") / F.col("n_keys"), 6).alias("mean_rows_per_key"),
+    )
+
+
+ORACLE_KEY_SKEW_STATS = f"""
+WITH per_key AS (
+  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+),
+totals AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows, count(*) AS n_keys FROM per_key
+),
+top AS (
+  SELECT * FROM (
+    SELECT l_orderkey, n,
+           row_number() OVER (ORDER BY n DESC, l_orderkey) AS rk
+    FROM per_key
+  ) WHERE rk <= {SKEW_TOP_N}
+)
+SELECT rk, l_orderkey AS key, n,
+       ROUND(CAST(n AS DOUBLE) / total_rows, 6) AS share,
+       ROUND(SUM(CAST(n AS DOUBLE) / total_rows)
+               OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_share,
+       ROUND(CAST(total_rows AS DOUBLE) / n_keys, 6) AS mean_rows_per_key
+FROM top CROSS JOIN totals
+"""
+
+
 UNIT_SPECS = [
     QuerySpec("unit_quality_funnel", q_quality_funnel, _oracle_quality_funnel(),
               "C4-style corpus filter funnel with per-stage drop counts"),
+    QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
+              "join-key skew diagnostics: top-N heavy keys + shares"),
     QuerySpec("unit_k_anonymize", q_k_anonymize, ORACLE_K_ANONYMIZE,
               "k-anonymity release gate: QI generalization + class suppression"),
 ]
