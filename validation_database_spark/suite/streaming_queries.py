@@ -19,6 +19,8 @@ from ..streaming import (
     streaming_user_totals,
     streaming_window_counts,
 )
+from ..sources import load_table
+from ..streaming.validation import stream_documents, streaming_incremental_dedup
 from . import QuerySpec
 
 
@@ -73,6 +75,72 @@ GROUP BY user_id
 """
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static incremental dedup, driver-checkable: the existing
+    corpus (md5-split: prefix < 'c') is indexed as a static LSH band
+    table; the incoming crawl batch (prefix ≥ 'c') arrives as an
+    UNBOUNDED document stream whose row-local min-hash signatures are
+    stateless narrow maps (``operators.dedup.with_rowlocal_signatures``
+    — no streaming groupBy, no watermark, no state store); each
+    micro-batch hash-joins its bands against the static index and
+    appends (new_doc_id, candidate_doc_id) pairs.
+
+    Every hash is md5-derived, so the ENTIRE streaming pipeline —
+    signatures, banding, bucket join, incoming/existing split — is
+    replayed exactly in the DuckDB oracle; the post-materialization
+    ``distinct`` collapses multi-band hits (a pair that collides in
+    k bands is emitted k times in append mode, once per band row).
+    Exactly-once recovery of the same operator is pinned separately by
+    tests/test_streaming_recovery.py."""
+    from ..operators import dedup as D
+    from .dedup import _is_incoming
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus_bands = D.lsh_bands(
+        D.minhash_signatures(D.exploded_shingles(docs.filter(~_is_incoming())))
+    )
+    new_docs = stream_documents(spark, sf_dir).filter(_is_incoming())
+    out = run_to_completion(
+        streaming_incremental_dedup(new_docs, corpus_bands),
+        "suite_stream_inc_dedup",
+    )
+    return out.distinct()
+
+
+def _oracle_streaming_incremental_dedup() -> str:
+    from ..operators import dedup as D
+    from .dedup import _SH_CTE, INCOMING_HEX
+
+    sig_cols = ", ".join(
+        "min(substr(md5('{seed}|' || sh), {start}, 8)) AS s{i}".format(
+            seed=i // D.SLICES_PER_MD5, start=1 + 8 * (i % D.SLICES_PER_MD5), i=i
+        )
+        for i in range(D.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"s{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.NUM_BANDS)
+    )
+    return f"""
+WITH {_SH_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+flagged AS (
+  SELECT *, substr(md5(CAST(doc_id AS STRING)), 1, 1) >= '{INCOMING_HEX}' AS incoming
+  FROM bands
+)
+SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS candidate_doc_id
+FROM flagged a JOIN flagged b
+  ON a.band = b.band AND a.band_hash = b.band_hash
+ AND a.incoming AND NOT b.incoming
+"""
+
+
 SPECS = [
     QuerySpec("streaming_window_counts", q_streaming_window_counts,
               ORACLE_STREAMING_WINDOW_COUNTS,
@@ -80,4 +148,7 @@ SPECS = [
     QuerySpec("streaming_user_totals_final", q_streaming_user_totals_final,
               ORACLE_STREAMING_USER_TOTALS_FINAL,
               "applyInPandasWithState final state ≡ SQL (exact cents)"),
+    QuerySpec("streaming_incremental_dedup", q_streaming_incremental_dedup,
+              _oracle_streaming_incremental_dedup(),
+              "stream-static LSH dedup of an unbounded crawl batch ≡ SQL"),
 ]

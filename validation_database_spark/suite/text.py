@@ -702,7 +702,7 @@ idf AS (
 ),
 scored AS (
   SELECT tf.doc_id,
-         CAST(SUM(CAST(ROUND(idf * ((tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1}
+         CAST(SUM(CAST(ROUND(idf * ((tf * CAST({BM25_K1 + 1.0} AS DOUBLE)) / (tf + {BM25_K1}
                 * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))), 6)
               AS DECIMAL(18,6))) AS DOUBLE) AS score,
          count(*) AS n_terms
@@ -1441,6 +1441,10 @@ SPECS = [
               "sliding-window passage chunking (64/16 overlap)"),
     QuerySpec("doc_redact", q_doc_redact, ORACLE_DOC_REDACT,
               "PII redaction: URL/email/phone → tokens, per-class counts"),
+    # round 4 rotation into the driver window:
+    QuerySpec("unit_bm25_topk", q_bm25_topk, ORACLE_BM25_TOPK,
+              "Okapi BM25 top-K retrieval for a fixed query term set",
+              headline=True),
 ]
 
 
@@ -1468,9 +1472,6 @@ UNIT_SPECS = [
               ORACLE_TFIDF_TOP_TERMS, "top-K TF-IDF terms per doc"),
     QuerySpec("unit_decontaminate", q_decontaminate, _oracle_decontaminate(),
               "benchmark decontamination: cross-split 8-gram overlap"),
-    QuerySpec("unit_bm25_topk", q_bm25_topk, ORACLE_BM25_TOPK,
-              "Okapi BM25 top-K retrieval for a fixed query term set",
-              headline=True),
     QuerySpec("unit_cms_counts", q_cms_counts, ORACLE_CMS_COUNTS,
               "count-min sketch term counts, deterministic hash family"),
     QuerySpec("unit_text_entropy", q_text_entropy, ORACLE_TEXT_ENTROPY,
