@@ -461,7 +461,25 @@ FROM q
 
 # --- random-hyperplane (SRP) LSH ANN ------------------------------------
 
-LSH_BITS = 4  # 16 buckets over the 500-vector fixture ≈ 31 cands/bucket
+# 256 buckets; with radius-1 multi-probe the scan fraction is
+# (LSH_BITS+1)/2^LSH_BITS ≈ 3.5% of the corpus. Chosen from a measured
+# (bits × probe-radius) sweep on the sf0.01 fixture + planted near-dups:
+#
+#   bits=4 r=1: strong 1.00  bg-recall@10 0.50  fan-out 31%
+#   bits=6 r=1: strong 1.00  bg-recall@10 0.34  fan-out 12%
+#   bits=8 r=1: strong 1.00  bg-recall@10 0.20  fan-out  4%   <- knee
+#   bits=8 r=2: strong 1.00  bg-recall@10 0.42  fan-out 15%
+#
+# "strong" = recall over neighbors with cos ≥ 0.9 (the planted twins —
+# the near-dup regime an LSH index serves); "bg" = recall@10 over the
+# near-uniform background, which for EVERY config ≈ its scan fraction:
+# sublinear probing cannot beat random coverage when the "neighbors"
+# are barely above background similarity (SRP bit-agreement p =
+# 1 - θ/π ≈ 0.63 at cos 0.4). That regime belongs to the brute/IVF
+# paths; this index exists to catch high-cos duplicates cheaply.
+# At corpus scale, grow bits ≈ log2(n / target_bucket_size).
+LSH_BITS = 8
+LSH_STRONG_COS = 0.9  # twins above this must be retrieved (pinned test)
 
 
 def _srp_hyperplanes(bits: int = LSH_BITS, dims: int = 64) -> list[list[int]]:
@@ -484,20 +502,38 @@ def _srp_hyperplanes(bits: int = LSH_BITS, dims: int = 64) -> list[list[int]]:
 
 
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe SRP-LSH search: every vector gets a ``LSH_BITS``-
-    bit bucket code (sign of its dot with each fixed hyperplane);
-    each query ranks the vectors in its own bucket AND the
-    ``LSH_BITS`` Hamming-1 neighbors (one hyperplane voting the other
-    way — the standard multi-probe trade: ×(bits+1) probes instead of
-    ×(bits+1) hash tables). cos(q, v) high ⇒ few separating
-    hyperplanes ⇒ candidate with high probability — the hash-join
-    alternative to IVF's centroid probing (no training pass, pure
-    narrow map + one equi-join on the code).
+    """Multi-probe SRP-LSH search over the planted near-dup corpus:
+    every vector gets a ``LSH_BITS``-bit bucket code (sign of its dot
+    with each fixed hyperplane); each query ranks the vectors in its
+    own bucket AND the ``LSH_BITS`` Hamming-1 neighbors (one
+    hyperplane voting the other way — the standard multi-probe trade:
+    ×(bits+1) probes instead of ×(bits+1) hash tables). cos(q, v)
+    high ⇒ few separating hyperplanes ⇒ candidate with high
+    probability — the hash-join alternative to IVF's centroid probing
+    (no training pass, pure narrow map + one equi-join on the code).
+
+    The corpus is the embeddings fixture plus the deterministic
+    planted duplicates shared with ``suite.dedup`` (×2-scaled copies
+    at +1M — cos exactly 1, IDENTICAL bucket code since scaling
+    preserves every sign — and one-dim perturbations at +2M, cos ≈
+    0.998, ≤ 1 expected bit flip → covered by the Hamming-1 probes).
+    Every query's strong neighbors (cos ≥ ``LSH_STRONG_COS``) are
+    retrieved at a ~3.5% scan fraction — the measured sweep behind the
+    (bits, radius) choice is tabled above ``LSH_BITS``;
+    tests/test_ann_recall.py pins the strong-recall floor.
 
     Results are approximate by design; the oracle runs the identical
     LSH, so the check is still hash-exact."""
+    from .dedup import _vecs_with_planted_dups
+
     planes = _srp_hyperplanes()
-    u = _unit_emb(spark, sf_dir)
+    vecs = _vecs_with_planted_dups(spark, sf_dir).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+    )
+    u = spread(vecs).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("__nrm")).alias("u"),
+    )
     xu = u.select("vec_id", "u", _to_e6(F.col("u")).alias("x"))
 
     def bucket(xcol) -> F.Column:
@@ -517,7 +553,9 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
     )
     queries = (
-        coded.filter(F.col("vec_id") % QUERY_MOD == 0)
+        coded.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < 1_000_000)
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("u").alias("q_u"),
@@ -541,6 +579,8 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ann_lsh() -> str:
+    from .dedup import ALL_VECS_CTE
+
     planes = _srp_hyperplanes()
     bucket_terms = " + ".join(
         "(CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(x)), "
@@ -553,13 +593,14 @@ def _oracle_ann_lsh() -> str:
         ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(LSH_BITS)]
     )
     return f"""
-WITH {_UNITS_CTE},
+WITH {ALL_VECS_CTE},
+units AS (SELECT vec_id, {unit_sql('embedding')} AS u FROM all_vecs),
 xu AS (SELECT vec_id, u, {_to_e6_sql('u')} AS x FROM units),
 coded AS (SELECT vec_id, u, {bucket_terms} AS bucket FROM xu),
 probes AS (
   SELECT vec_id AS query_id, u AS q_u,
          unnest([{probe_list}]) AS bucket
-  FROM coded WHERE vec_id % {QUERY_MOD} = 0
+  FROM coded WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < 1000000
 )
 SELECT query_id, vec_id, cos_sim, rk FROM (
   SELECT q.query_id, v.vec_id,
