@@ -176,29 +176,43 @@ def test_url_canonicalization_idempotent_and_invariant(spark):
         min_size=1,
         max_size=200,
     ),
-    st.sampled_from([0.125, 0.25, 0.5, 0.75]),
+    st.one_of(
+        st.sampled_from([0.125, 0.25, 0.5, 0.75, 0.9]),
+        st.floats(min_value=0.001, max_value=0.999),
+    ),
 )
 @settings(max_examples=200, deadline=None)
-def test_pandas_ewm_bitwise_equals_explicit_recurrence(xs, alpha):
-    """The EWMA operator's fast-path claim: for DYADIC alpha —
-    where pandas' per-step normalization divides by exactly
-    (1-a)+a == 1.0 — the C ewm kernel is BITWISE the explicit IEEE
-    recurrence (what the DuckDB recursive CTE replays). Non-dyadic
-    alphas violate this (extra rounding in the normalize step), which
-    is why the operators fall back to the explicit loop there.
-    Subnormal inputs are excluded: pandas takes a different path at
-    the bottom of the float range (x=[5e-324]*2 flips the last ulp
-    even at dyadic alpha) — impossible for real event values, and a
-    1e-324-scale ulp sits ~300 orders of magnitude below the engine's
-    6-decimal rounding edge."""
-    assert (1.0 - alpha) + alpha == 1.0
-    import numpy as np
-    import pandas as pd
+def test_ewma_kernels_bitwise_equal_explicit_recurrence(xs, alpha):
+    """Both in-batch kernels of operators/timeseries.py::ewma — the
+    time-step-vectorized matrix path and the frompyfunc.accumulate
+    sequential fallback — must be BITWISE the explicit IEEE recurrence
+    s_i = a*x_i + (1-a)*s_{i-1} for ARBITRARY alpha (the DuckDB
+    recursive CTE replays exactly that). This held only for dyadic
+    alpha in the retired pandas-ewm fast path (its per-step normalize
+    divides by (1-a)+a, exactly 1.0 only then — hypothesis falsified
+    alpha=0.9), which is why neither kernel uses ewm.
 
+    The matrix path is exercised here the same way the operator runs
+    it: one numpy elementwise step per time index (with a second
+    group in the batch to keep the array shape honest)."""
+    import numpy as np
+
+    a, b = alpha, 1.0 - alpha
     x = np.asarray(xs, dtype=np.float64)
     s = np.empty_like(x)
     s[0] = x[0]
     for i in range(1, len(x)):
-        s[i] = alpha * x[i] + (1.0 - alpha) * s[i - 1]
-    e = pd.Series(x).ewm(alpha=alpha, adjust=False).mean().to_numpy()
-    assert np.array_equal(s.view(np.int64), e.view(np.int64))
+        s[i] = a * x[i] + b * s[i - 1]
+
+    uf = np.frompyfunc(lambda st_, v: a * v + b * st_, 2, 1)
+    seq = uf.accumulate(x.astype(object)).astype(np.float64)
+    assert np.array_equal(s.view(np.int64), seq.view(np.int64))
+
+    M = np.full((2, len(x)), np.nan)
+    M[0, :] = x
+    M[1, 0] = 42.0  # second, length-1 group sharing the batch
+    S = np.empty_like(M)
+    S[:, 0] = M[:, 0]
+    for t in range(1, M.shape[1]):
+        S[:, t] = a * M[:, t] + b * S[:, t - 1]
+    assert np.array_equal(s.view(np.int64), S[0].view(np.int64))

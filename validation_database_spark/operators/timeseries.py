@@ -2,15 +2,26 @@
 
 A recurrence s_t = f(x_t, s_{t-1}) is the one shape tidy window
 functions cannot express (Spark has no folding window aggregate), so
-it runs as an ``applyInPandas`` kernel per key — the same pattern as
-the packing operator (operators/packing.py): keys are independent, so
-the shuffle is one hash partition on the key and every group computes
-in parallel; within a group the recurrence is evaluated in C by
-pandas (``ewm(adjust=False)``), which is bitwise-identical to the
-explicit loop ``s_i = α·x_i + (1−α)·s_{i−1}`` (verified: IEEE
-multiply/add in the same order; addition commutativity makes operand
-order irrelevant). That bitwise determinism is what lets a DuckDB
-recursive CTE replay the recurrence exactly for the oracle.
+it runs as a Pandas kernel over key-partitioned, key-sorted batches.
+The kernel is TIME-STEP vectorized: rows are laid out as a
+[groups × time] matrix and the recurrence advances one time step per
+Python iteration, each step a single numpy elementwise op across ALL
+groups in the batch — so the interpreter cost is O(max series length)
+per batch, not O(rows), and the arithmetic stays C-speed for EVERY
+alpha (the round-3 implementation was only C-speed for dyadic alpha,
+via pandas ``ewm``, and fell back to a per-row Python loop
+otherwise).
+
+Bitwise contract: every produced value is EXACTLY
+``s_i = α·x_i + (1−α)·s_{i−1}`` in IEEE double — the elementwise
+numpy multiply/add is the same instruction the scalar loop runs, and
+step 0 of a fresh series is a verbatim copy of x_0 — which is what
+the DuckDB recursive-CTE oracle replays (tests/test_oracle_parity.py)
+and what the streaming twin reproduces (tests/test_streaming.py).
+(pandas ``ewm(adjust=False)`` shares this bit pattern ONLY for dyadic
+alpha — its per-step normalization divides by (1−α)+α, exact 1.0 only
+then; hypothesis falsified the blanket claim at α=0.9 — so ``ewm`` is
+no longer used at all.)
 
 Generalization of the reference's row-comparison semantics
 (running_validation.py:214-295) to ordered per-key state — none of
@@ -20,10 +31,16 @@ time-series feature pipelines.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+#: Above this many matrix cells per batch (≈ 32 MB of float64) the
+#: kernel processes groups sequentially instead — the matrix layout
+#: costs n_groups × max_len cells, which a single pathological long
+#: series next to many short ones would blow up.
+_MATRIX_CELL_CAP = 4_000_000
 
 
 def ewma(
@@ -33,47 +50,89 @@ def ewma(
     value_col: str,
     alpha: float,
     out_col: str = "ewma",
+    _matrix_cell_cap: int = _MATRIX_CELL_CAP,
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average of ``value_col``
     along ``order_cols``: s_1 = x_1, s_t = α·x_t + (1−α)·s_{t−1}
     (the ``adjust=False`` recurrence). Output schema = input schema +
     ``out_col`` double.
 
-    One shuffle (hash on the key), then embarrassingly parallel
-    across keys; each group's pass is a vectorized C loop, not
-    per-row Python.
-
-    Bitwise contract: pandas' ewm kernel normalizes each step by
-    (old_wt + new_wt) = ((1−α) + α), which equals EXACTLY 1.0 only
-    when α is dyadic (0.25, 0.5, …) — then the division is exact and
-    the C kernel is bit-identical to the recurrence (verified over
-    200k random series; property-pinned in tests). For non-dyadic α
-    the extra rounding diverges in the last ulp, so the kernel falls
-    back to the explicit loop — s_i = α·x_i + (1−α)·s_{i−1} is the
-    ONLY arithmetic either path produces, which is what the DuckDB
-    recursive-CTE oracle replays.
+    One shuffle (hash on the key) + an in-partition sort, then
+    ``mapInPandas`` batches: within each batch the recurrence is
+    vectorized ACROSS groups per time step (see module docstring), so
+    wall time per batch is ~O(max series length) numpy calls — flat
+    in the number of keys, which is the production layout (many keys,
+    bounded series). A group that spans Arrow batch boundaries
+    continues from carried per-key state, so results are independent
+    of ``spark.sql.execution.arrow.maxRecordsPerBatch``.
     """
+    import numpy as np
     from pyspark.sql import types as T
 
     schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
     keys, order = list(key_cols), list(order_cols)
-    ewm_bitsafe = (1.0 - alpha) + alpha == 1.0
+    a, b = alpha, 1.0 - alpha
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as _np
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # state of each key's last row seen so far (groups may span
+        # Arrow batches; rows arrive key-sorted, so a dict of
+        # last-values is all the state the recurrence needs).
+        carry: dict[tuple, float] = {}
+        uf = np.frompyfunc(lambda s, v: a * v + b * s, 2, 1)
 
-        pdf = pdf.sort_values(order, kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype="float64")
-        if ewm_bitsafe:
-            out = pd.Series(x).ewm(alpha=alpha, adjust=False).mean().to_numpy()
-        else:
-            out = _np.empty_like(x)
-            if len(x):
-                out[0] = x[0]
-                a, b = alpha, 1.0 - alpha
-                for i in range(1, len(x)):
-                    out[i] = a * x[i] + b * out[i - 1]
-        pdf[out_col] = out
-        return pdf
+        def seq(x: "np.ndarray", seed: float | None) -> "np.ndarray":
+            # bitwise-identical sequential fallback: frompyfunc
+            # accumulate runs the same a*v + b*s, ~2× the scalar loop
+            if seed is None:
+                return uf.accumulate(x.astype(object)).astype(np.float64)
+            full = np.concatenate(([seed], x)).astype(object)
+            return uf.accumulate(full)[1:].astype(np.float64)
 
-    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            kdf = pdf[keys]
+            prev = kdf.shift()
+            changed = (kdf.ne(prev) & ~(kdf.isna() & prev.isna())).any(axis=1)
+            change = changed.to_numpy(copy=True)
+            change[0] = True
+            starts = np.flatnonzero(change)
+            lengths = np.diff(np.append(starts, n))
+            n_g = len(starts)
+            x = pdf[value_col].to_numpy(dtype="float64")
+            first_keys = [
+                tuple(None if pd.isna(v) else v for v in row)
+                for row in kdf.iloc[starts].itertuples(index=False)
+            ]
+            L = int(lengths.max())
+            out = np.empty(n, dtype=np.float64)
+            gi = np.repeat(np.arange(n_g), lengths)
+            pos = np.arange(n) - np.repeat(starts, lengths)
+            if n_g * L <= _matrix_cell_cap:
+                M = np.full((n_g, L), np.nan)
+                M[gi, pos] = x
+                s_prev = np.array([carry.get(k, 0.0) for k in first_keys])
+                has_prev = np.array([k in carry for k in first_keys])
+                S = np.empty_like(M)
+                # fresh series start at x_0 verbatim; continued series
+                # advance one recurrence step from the carried state
+                S[:, 0] = np.where(has_prev, a * M[:, 0] + b * s_prev, M[:, 0])
+                for t in range(1, L):
+                    S[:, t] = a * M[:, t] + b * S[:, t - 1]
+                out = S[gi, pos]
+                last = S[np.arange(n_g), lengths - 1]
+            else:
+                last = np.empty(n_g)
+                for g, (s0, ln) in enumerate(zip(starts, lengths)):
+                    seg = seq(x[s0 : s0 + ln], carry.get(first_keys[g]))
+                    out[s0 : s0 + ln] = seg
+                    last[g] = seg[-1]
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            for k, v in zip(first_keys, last):
+                carry[k] = float(v)
+            yield pdf
+
+    part = df.repartition(*keys).sortWithinPartitions(*keys, *order)
+    return part.mapInPandas(fn, schema=schema)

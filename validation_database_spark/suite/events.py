@@ -377,9 +377,9 @@ EWMA_ALPHA = 0.25  # exactly representable: recurrence constants exact
 
 def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of the event value over time — the sequential
-    recurrence no window aggregate can fold, run as the
-    applyInPandas kernel (operators/timeseries.py). The kernel's C
-    loop is bitwise-identical to s_t = α·x_t + (1−α)·s_{t−1}, so the
+    recurrence no window aggregate can fold, run as the time-step-
+    vectorized mapInPandas kernel (operators/timeseries.py). Every
+    produced value is bitwise s_t = α·x_t + (1−α)·s_{t−1}, so the
     DuckDB recursive-CTE replay matches exactly; output rounded to 6
     only at the edge."""
     from ..operators.timeseries import ewma
