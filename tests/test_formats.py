@@ -90,3 +90,25 @@ def test_export_jsonl_shards_bounds_and_roundtrip(spark, sf_dir, tmp_path):
     assert max(per_shard) <= cap, per_shard
     expected = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
     assert rows == expected
+
+
+def test_export_hintless_runs_one_job(spark, sf_dir, tmp_path):
+    """The hintless path must be exactly one Spark job (the write):
+    no sizing count — which would recompute the whole upstream DAG
+    once per export. maxRecordsPerFile alone enforces the per-file
+    cap, so the extra job bought nothing."""
+    from validation_database_spark.sources import load_table
+    from validation_database_spark.sources.export import export_jsonl_shards
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    sc = spark.sparkContext
+    sc.setJobGroup("export_job_count", "hintless export")
+    try:
+        paths = export_jsonl_shards(
+            docs, str(tmp_path / "one_job"), max_records_per_shard=100
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("export_job_count")
+    assert len(jobs) == 1, f"hintless export ran {len(jobs)} jobs: {jobs}"
+    assert paths, "export must produce shards"

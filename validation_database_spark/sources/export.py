@@ -25,24 +25,28 @@ def export_jsonl_shards(
 
     Two independent controls compose the guarantee:
 
-    - ``repartition(shards_hint)`` sets a floor on file count and
-      spreads records evenly (round-robin — exports want balanced
-      shards, not clustered keys);
     - ``maxRecordsPerFile`` makes the PER-FILE cap a hard writer
       property: a task holding more than the cap rolls to a new file,
-      so the bound holds even under skewed partitions or a bad hint.
+      so the bound holds under ANY partitioning — which is why the
+      hintless path needs no sizing pass at all;
+    - ``repartition(shards_hint)``, only when a hint is given, sets a
+      floor on file count and spreads records evenly (round-robin —
+      exports want balanced shards, not clustered keys).
+
+    Hintless mode is exactly ONE Spark job (the write): shard shape
+    follows the upstream partitioning, every file still ≤ the cap
+    (pinned by tests/test_formats.py's job-count assertion; earlier
+    versions ran a ``df.count()`` sizing job here, recomputing the
+    whole upstream DAG once per export).
 
     Returns the shard paths. Columns are written as-is — serialize
     binary/array columns upstream if the consumer needs a specific
     encoding.
     """
-    n_shards = shards_hint
-    if n_shards is None:
-        # one Spark job to size the export; at known scale pass the hint
-        n_shards = max(1, -(-df.count() // max_records_per_shard))
+    if shards_hint is not None:
+        df = df.repartition(shards_hint)
     (
-        df.repartition(n_shards)
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_shard)
         .option("compression", "gzip")
         .json(out_dir)
