@@ -11,6 +11,15 @@ collect), plus ``__suite_total``.
 
 Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``.
+
+Isolation mode: ``--only name[,name...]`` (or ``$SPARK_GRAFT_ONLY``)
+times just the named queries — same warm-up, same cold+warm protocol,
+none of the other suite queries sharing the session. Use it to
+separate a real per-query regression from suite contention (the r3
+``diff_string_fuzzy`` 0.50→1.00 s question was exactly this). The
+reference-shaped e2e and baseline-match runs are skipped in this mode
+(the JSON ``value`` is null) so the isolated numbers are the only
+load in the session.
 """
 
 from __future__ import annotations
@@ -108,6 +117,11 @@ def baseline_match_point(spark, sf_dir: str) -> dict | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    only: list[str] = []
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    elif os.environ.get("SPARK_GRAFT_ONLY"):
+        only = os.environ["SPARK_GRAFT_ONLY"].split(",")
 
     from validation_database_spark.session import get_spark
     from validation_database_spark.suite import all_specs, unit_specs
@@ -137,7 +151,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     extra = [n for n in specs if n not in HEADLINE and specs[n].headline]
-    for name in HEADLINE + extra:
+    timed = only if only else HEADLINE + extra
+    for name in timed:
         if name not in specs:
             continue
         fn = specs[name].spark_fn
@@ -148,7 +163,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 4)
 
-    e2e = round(reference_shaped_e2e(spark, sf_dir), 4)
+    e2e = None if only else round(reference_shaped_e2e(spark, sf_dir), 4)
     timings["__suite_total"] = round(sum(timings.values()), 4)
     warm["__suite_total"] = round(sum(warm.values()), 4)
 
@@ -161,7 +176,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     try:
-        bm = baseline_match_point(spark, sf_dir)
+        bm = None if only else baseline_match_point(spark, sf_dir)
     except Exception:
         bm = None
     if bm is not None:
