@@ -219,3 +219,34 @@ def test_frame_checksums_single_arrow_stage(spark, sf_dir):
     # one tree node ("MapInPandas (n)"), no other Python stages
     assert plan.count("MapInPandas (") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_containment_capped_broadcasts_hot_set(spark, sf_dir):
+    """The df-capped containment's hot-shingle removal must be a
+    BROADCAST anti-join (the hot set is tiny by construction), and the
+    candidate join an equi-join on the shingle — no nested loop, no
+    cartesian, anywhere."""
+    from validation_database_spark.suite.dedup import q_dedup_containment_capped
+
+    plan = physical_plan(q_dedup_containment_capped(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_single_shuffle_then_arrow_kernel(spark, sf_dir):
+    """The EWMA plan is ONE hash exchange on the key, an in-partition
+    sort, and exactly one Arrow mapInPandas stage — no extra shuffle,
+    no per-row Python, no global sort."""
+    from validation_database_spark.suite.events import q_ewma_user_value
+
+    plan = physical_plan(q_ewma_user_value(spark, sf_dir))
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    key_exchanges = [e for e in exchanges if "user_id" in e]
+    assert len(key_exchanges) == 1, exchanges
+    assert "rangepartitioning" not in plan, plan  # no global sort
