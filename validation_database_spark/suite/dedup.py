@@ -570,6 +570,101 @@ SELECT doc_id, {simhash_bits_sql()} AS simhash FROM t
 """
 
 
+# --- SimHash Hamming-band pair detection -------------------------------
+
+SIMHASH_BANDS = 4      # bands over the 16-bit signature → 4 bits each
+SIMHASH_BAND_BITS = 4
+SIMHASH_HAM_T = 2      # pairs kept iff Hamming(sig_a, sig_b) <= 2
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR detection from SimHash signatures alone
+    (Charikar 2002; Manku, Jain & Das Sarma 2007's web-crawl dedup):
+    split each signature into ``SIMHASH_BANDS`` bit-bands; any pair
+    within Hamming distance d < bands must agree on >= 1 whole band
+    (pigeonhole), so an equi-join on (band, band_value) finds every
+    such pair without comparing all n² signatures. Candidates are
+    then verified exactly with ``bit_count(xor)`` <= ``SIMHASH_HAM_T``.
+
+    Scale: the signature is a narrow per-row map (no shuffle); the
+    band join is bucketed by (band, band_value) — fan-out is bounded
+    by bucket sizes, never all-pairs; the xor+bit_count verify is
+    integer-only JVM codegen. At 100 TB you run the same plan with a
+    64-bit signature and 16-bit bands (4 × 65536 buckets); the 16-bit
+    signature here reuses the portable :func:`simhash16` expression
+    shared with the DuckDB oracle, and its 4-bit bands give real
+    multi-doc buckets at fixture scale. Complements
+    ``unit_dedup_simhash`` (signatures only) and the MinHash-LSH path
+    (set-similarity rather than bit-distance semantics); reference
+    motivation: the fuzzy compare at running_validation.py:306-316.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+    sigs = docs.select("doc_id", D.simhash16(D.tokens("text")).alias("sig"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_T)
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dt
+  FROM documents
+),
+sigs AS (SELECT doc_id, {simhash_bits_sql()} AS sig FROM t),
+bands AS (
+  SELECT doc_id, sig, band,
+         (sig >> (band * {SIMHASH_BAND_BITS})) & {mask} AS bv
+  FROM sigs, (VALUES (0), (1), (2), (3)) AS bs(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAM_T}
+"""
+
+
 # --- embedding-cosine near-dup ----------------------------------------
 
 COSINE_THRESHOLD = 0.98
@@ -897,6 +992,8 @@ SPECS = [
 UNIT_SPECS = [
     QuerySpec("unit_dedup_simhash", q_dedup_simhash, _oracle_simhash(),
               "16-bit SimHash near-dup buckets"),
+    QuerySpec("unit_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),
+              "SimHash band-blocked pair detection, exact Hamming verify"),
     QuerySpec("unit_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
               "one representative per duplicate cluster (longest member)"),
     # uncapped containment stays as the exactness BASELINE next to the
