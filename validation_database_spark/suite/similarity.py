@@ -29,6 +29,14 @@ N_PROBE = 2
 QUERY_MOD = 100   # vec_id % 100 == 0 → query set
 CENTROID_MOD = 50
 CENTROID_OFF = 7  # vec_id % 50 == 7 → centroid set
+# IVF nlist is a FIXED index parameter, not a function of corpus size:
+# without a cap the modular selection yields n/50 centroids, making
+# the assignment pass O(n²/50) — measured 86.8 s warm at the 100×
+# replica (100k vectors × 2000 centroids). The cap keeps the fixture
+# SFs unchanged (sf0.1 has 40 modular centroids < 64) and bounds the
+# index at scale, where you would train nlist centroids, not sample
+# n/50.
+CENTROID_CAP = 64  # max centroids: vec_id DIV 50 < 64 → vec_id < 3200
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,13 +124,21 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is the approximation; the oracle runs the identical IVF."""
     emb = _unit_emb(spark, sf_dir)
     cents = emb.filter(
-        F.col("vec_id") % CENTROID_MOD == CENTROID_OFF
+        (F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
+        & (F.col("vec_id") < CENTROID_MOD * CENTROID_CAP)
     ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("c_u"))
 
-    # vector → nearest centroid (broadcast nested loop, narrow map)
-    a_w = Window.partitionBy("vec_id").orderBy(
-        F.col("a_cos").desc(), F.col("cent_id")
-    )
+    # vector → nearest centroid. NOT a row_number window: that shape
+    # shuffles all |vectors|·|centroids| scored rows (each carrying
+    # the unit vector) into a per-vector sort — measured Java-heap
+    # OOM at the 100× replica (100k vectors × 2k centroids = 200M
+    # windowed rows). A max(struct) aggregation computes the same
+    # argmax with MAP-SIDE partial combine: the 2000 candidate rows
+    # per vector collapse to one before the (tiny) shuffle. The
+    # struct field order (a_cos, -cent_id, u) reproduces the window's
+    # exact tie-break — higher cosine first, then LOWER cent_id
+    # (cent_id is unique per candidate, so comparison never reaches
+    # the u payload field).
     assigned = (
         emb.crossJoin(F.broadcast(cents))
         .select(
@@ -131,9 +147,21 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent_id",
             F.round(dot(F.col("u"), F.col("c_u")), 6).alias("a_cos"),
         )
-        .withColumn("arn", F.row_number().over(a_w))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "u", "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("a_cos"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("u").alias("u"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.u").alias("u"),
+            (-F.col("best.neg_cent")).alias("cent_id"),
+        )
     )
 
     # query → nprobe nearest centroids
@@ -183,6 +211,7 @@ WITH {_UNITS_CTE},
 cents AS (
   SELECT vec_id AS cent_id, u AS c_u FROM units
   WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}
+    AND vec_id < {CENTROID_MOD * CENTROID_CAP}
 ),
 assigned AS (
   SELECT vec_id, u, cent_id FROM (
