@@ -481,6 +481,110 @@ GROUP BY s_name
 """
 
 
+# --- RFM customer segmentation ----------------------------------------
+
+RFM_BANDS = 5
+RFM_MON_GRAIN = 10_000  # cents → $100 bands for the monetary quantile domain
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation (Hughes 1994;
+    the standard CRM scoring) with EXACT integer quantile banding
+    instead of ``ntile``: ntile(5) over all customers needs one global
+    sort — the classic scale-killer — and breaks ties by partition
+    order (nondeterministic). Here each metric's score comes from
+    cumulative counts over its DISTINCT-VALUE aggregate:
+    ``score = ((cum_start * 5) DIV total) + 1`` — pure integer
+    arithmetic, equal values always land in the same band, and the
+    only unpartitioned window runs over provably bounded domains
+    (order dates ≤ calendar span, frequency ≤ max orders/customer,
+    monetary quantized to $100 bands ≤ price-range/100 rows) — never
+    over the customer table itself. Monetary is summed in exact
+    integer cents (module float-determinism note)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(cents).alias("mon_cents"),
+        )
+        .withColumn("mon_band", F.expr(f"mon_cents DIV {RFM_MON_GRAIN}"))
+    )
+    tot = per_cust.agg(F.count("*").alias("total"))
+
+    def band(val_col: str, score_col: str) -> DataFrame:
+        vc = per_cust.groupBy(val_col).agg(F.count("*").alias("n"))
+        w = Window.orderBy(val_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            vc.withColumn("cum", F.sum("n").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                val_col,
+                (F.expr(f"((cum - n) * {RFM_BANDS}) DIV total") + 1)
+                .cast("bigint")
+                .alias(score_col),
+            )
+        )
+
+    scored = (
+        per_cust.join(band("last_order", "r_score"), "last_order")
+        .join(band("frequency", "f_score"), "frequency")
+        .join(band("mon_band", "m_score"), "mon_band")
+    )
+    return scored.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "mon_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+ORACLE_RFM_SEGMENTS = f"""
+WITH pc AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS frequency,
+         CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_cents
+  FROM orders GROUP BY o_custkey
+),
+pc2 AS (SELECT *, mon_cents // {RFM_MON_GRAIN} AS mon_band FROM pc),
+tot AS (SELECT count(*) AS total FROM pc2),
+rs AS (
+  SELECT v AS last_order, CAST(((cum - n) * {RFM_BANDS}) // total + 1 AS BIGINT) AS r_score
+  FROM (SELECT last_order AS v, count(*) AS n,
+               sum(count(*)) OVER (ORDER BY last_order ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pc2 GROUP BY last_order), tot
+),
+fs AS (
+  SELECT v AS frequency, CAST(((cum - n) * {RFM_BANDS}) // total + 1 AS BIGINT) AS f_score
+  FROM (SELECT frequency AS v, count(*) AS n,
+               sum(count(*)) OVER (ORDER BY frequency ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pc2 GROUP BY frequency), tot
+),
+ms AS (
+  SELECT v AS mon_band, CAST(((cum - n) * {RFM_BANDS}) // total + 1 AS BIGINT) AS m_score
+  FROM (SELECT mon_band AS v, count(*) AS n,
+               sum(count(*)) OVER (ORDER BY mon_band ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pc2 GROUP BY mon_band), tot
+)
+SELECT o_custkey, last_order, frequency, mon_cents, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM pc2
+JOIN rs USING (last_order) JOIN fs USING (frequency) JOIN ms USING (mon_band)
+"""
+
+
 SPECS = [
     QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
               "TPC-H Q1 measure set at every ROLLUP grouping level",
@@ -499,6 +603,8 @@ SPECS = [
 # operators. Kept as documented standalone operators;
 # tests/test_oracle_parity.py checks them with the same comparator.
 UNIT_SPECS = [
+    QuerySpec("unit_rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS,
+              "RFM segmentation via exact integer quantile banding"),
     QuerySpec("unit_rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
               "ROLLUP grouping-set aggregation"),
     QuerySpec("unit_running_order_total", q_running_order_total,

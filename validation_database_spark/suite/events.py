@@ -437,7 +437,147 @@ SPECS = [
 
 # Unit operator surface (merged into events_anomalies' prop_k column
 # for the driver window); parity-tested locally.
+def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-ORDER funnel mining: stage N counts only if it happens
+    AFTER the user's stage N-1 time (first view → first click after
+    that view → first purchase after that click). The unordered
+    variant (:func:`q_events_funnel`, folded into ``events_user_stats``)
+    over-counts users whose click predates their first view; this is
+    the semantics product analytics actually wants (cf. windowed
+    funnels in stream processors, e.g. Flink's CEP ordered-pattern
+    matching — public API semantics only).
+
+    Plan: three conditional-min aggregations, each a hash shuffle on
+    ``user_id``; the stage joins are all on that same key, so AQE
+    coalesces them into co-partitioned exchanges — no broadcast
+    needed and no window over the full event stream. Scale: per-stage
+    state is one row per user (not per event); the event scan is
+    filtered to the stage's type before the shuffle, so each stage
+    shuffles only its own event class."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("stage_reached"),
+        )
+    )
+
+
+ORACLE_FUNNEL_STRICT = f"""
+WITH {_EV_CTE},
+v AS (SELECT user_id, min(ts) AS first_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS first_click
+      FROM ev e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM ev e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id)
+SELECT v.user_id AS user_id, first_view, first_click, first_purchase,
+       CAST(1 + (CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS stage_reached
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def q_feature_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag / rolling feature engineering — the standard
+    training-feature shape over an event log: previous value, delta,
+    inter-event gap, and a trailing 3-event mean. Ordering is the
+    total order (ts, event_id) so ties are deterministic; the gap uses
+    ``timestampdiff`` (TZ-free on NTZ timestamps); the rolling mean is
+    summed in EXACT integer cents and divided once (module
+    float-determinism pattern), so both engines emit identical bits.
+
+    Scale: everything is per-user windows over one hash shuffle of the
+    event log — the feature table is the same size as the input, no
+    global sort, no driver collect; at 100 TB this partitions by
+    user_id exactly like the sessionizer."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    prev_ts = F.lag("ts").over(w)
+    prev_value = F.lag("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        prev_value.alias("prev_value"),
+        F.round(F.col("value") - prev_value, 6).alias("delta"),
+        F.expr("timestampdiff(SECOND, lag(ts) OVER "
+               "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+        .cast("bigint")
+        .alias("gap_seconds"),
+        F.round(
+            F.sum(cents).over(w3).cast("double")
+            / (F.count("*").over(w3) * F.lit(100.0)),
+            6,
+        ).alias("roll3_mean"),
+        F.count("*").over(w3).cast("bigint").alias("roll3_n"),
+    )
+
+
+ORACLE_FEATURE_LAGS = f"""
+WITH {_EV_CTE}
+SELECT user_id, event_id, ts, value,
+       lag(value) OVER w AS prev_value,
+       ROUND(value - lag(value) OVER w, 6) AS delta,
+       -- date_sub = COMPLETE elapsed seconds (matches Spark's
+       -- timestampdiff); date_diff would count boundary CROSSINGS.
+       CAST(date_sub('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_seconds,
+       ROUND(CAST(CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) OVER w3 AS BIGINT)
+                  AS DOUBLE)
+             / (count(*) OVER w3 * 100.0), 6) AS roll3_mean,
+       CAST(count(*) OVER w3 AS BIGINT) AS roll3_n
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 UNIT_SPECS = [
+    QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,
+              "strict-order funnel: stage N only after stage N-1"),
+    QuerySpec("unit_feature_lags", q_feature_lags, ORACLE_FEATURE_LAGS,
+              "per-user lag/delta/gap/rolling-mean feature table"),
     QuerySpec("unit_events_json_props", q_events_json_props,
               ORACLE_EVENTS_JSON_PROPS, "JSON prop extraction per event"),
     QuerySpec("unit_events_top_paths", q_events_top_paths,

@@ -47,6 +47,101 @@ def q_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(cust, updates, "c_custkey")
 
 
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered change-log (op ∈ {'U','D'}, monotone
+    ``seq_col`` per key) to a snapshot: last-writer-wins per key, a
+    trailing delete removes the row, anything untouched passes
+    through. This is the relational core of a lakehouse CDC MERGE
+    (Delta CDF / Debezium-style apply) without the table format.
+
+    Scale: the only window runs over the CHANGE-LOG (one batch,
+    typically ≪ snapshot — per-key rows are the batch's updates to
+    that key, never the table); the snapshot sees one anti-join on
+    the key, broadcastable when the batch is small. No full-table
+    window, no driver collect."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    live = latest.filter(F.col(op_col) != "D").drop(seq_col, op_col)
+    untouched = snapshot.join(changes.select(key).distinct(), key, "left_anti")
+    return untouched.unionByName(live)
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application with chained ops per key: every %7
+    customer gets an update (seq 1), every %21 a delete (seq 2), and
+    every %42 a re-insert (seq 3) — so %7-only keys end updated,
+    %21-not-%42 keys vanish, %42 keys come back zeroed
+    (42 = 6·7, 21 = 3·7, so the chains really nest). Extends
+    ``scd_upsert`` (pure upsert) with deletes + ordering — the missing
+    half of MERGE semantics."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 10.0, 2).alias("c_acctbal"),
+        F.lit("CDC1").alias("c_mktsegment"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = cust.filter(F.col("c_custkey") % 21 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    reins = cust.filter(F.col("c_custkey") % 42 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("CDC3").alias("c_mktsegment"),
+        F.lit(3).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(reins)
+    return apply_cdc(cust, changes, "c_custkey")
+
+
+ORACLE_CDC_MERGE = """
+WITH ch AS (
+  SELECT c_custkey, c_name, ROUND(c_acctbal + 10.0, 2) AS c_acctbal,
+         'CDC1' AS c_mktsegment, 1 AS seq, 'U' AS op
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, NULL, NULL, 2, 'D'
+  FROM customer WHERE c_custkey % 21 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, 0.0, 'CDC3', 3, 'U'
+  FROM customer WHERE c_custkey % 42 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rk
+    FROM ch
+  ) WHERE rk = 1
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM latest WHERE op <> 'D'
+UNION ALL
+SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment FROM customer t
+WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.c_custkey = t.c_custkey)
+"""
+
+
 ORACLE_SCD_UPSERT = """
 WITH updates AS (
   SELECT c_custkey, c_name, c_nationkey,
@@ -714,6 +809,8 @@ SPECS = [
 
 
 UNIT_SPECS = [
+    QuerySpec("unit_cdc_merge", q_cdc_merge, ORACLE_CDC_MERGE,
+              "ordered CDC apply: update/delete/re-insert, LWW by seq"),
     QuerySpec("unit_url_dedup", q_url_dedup, ORACLE_URL_DEDUP,
               "crawl URL canonicalization + exact dedup"),
     QuerySpec("unit_mix_rebalance", q_mix_rebalance, ORACLE_MIX_REBALANCE,

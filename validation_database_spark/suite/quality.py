@@ -403,6 +403,132 @@ FROM top CROSS JOIN totals
 """
 
 
+# --- HyperLogLog distinct-count sketch ---------------------------------
+
+HLL_M = 64          # registers (p = 6 index bits)
+HLL_RHO_MAX = 55    # rho for w = 0 (w has 54 usable bits, max rho 54)
+# alpha_64 * m^2 * 2^RHO_MAX, folded to one double literal in Python so
+# the Spark and DuckDB estimates are ONE identical IEEE division each
+# (the S-sum below is exact integer arithmetic in both engines).
+# alpha_64 = 0.709 (Flajolet et al. 2007, HyperLogLog, Table 1).
+_HLL_C = 0.709 * float(HLL_M * HLL_M) * 2.0 ** HLL_RHO_MAX
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimation (Flajolet, Fusy,
+    Gandouet & Meunier 2007) with a DETERMINISTIC md5 hash family —
+    like the CMS sketch (suite/text.py), the DuckDB oracle rebuilds
+    the identical 64-register sketch, so the comparison is hash-exact
+    where ``approx_count_distinct`` (Spark's own HLL++) could only get
+    a rows-only check.
+
+    Per value: h = first 60 bits of md5; register j = h mod 64; rho =
+    trailing-zero rank of w = h div 64 (``bit_count((w & -w) - 1) + 1``
+    — pure integer, no log2 float). Registers keep max rho. The
+    estimate sums S = Σ 2^(RHO_MAX - M[j]) as an EXACT bigint (≤ 2^61)
+    and applies one double division alpha·m²·2^RHO_MAX / S. The
+    small-range linear-counting branch is reported as the
+    ``lc_applicable`` flag rather than a value: its ``ln`` is the one
+    op whose last ulp may differ across engines (the exact failure
+    mode ADVICE r3 flagged on BM25), and the fixture group sizes
+    (≥300 distinct per priority at sf0.001) keep the branch dead.
+
+    Scale: this IS the 100 TB distinct-count shape — the sketch is a
+    map-side-combining groupBy to 64 rows per group regardless of
+    input size, partial sketches merge by elementwise max (exactly
+    what partial aggregation does), and the exact-count column exists
+    only as the fixture-scale accuracy audit."""
+    orders = load_table(spark, "orders", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"), h.alias("h")
+    )
+    w = F.expr(f"h DIV {HLL_M}")
+    jw = base.select(
+        "priority",
+        (F.col("h") % HLL_M).alias("j"),
+        F.when(w == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.bit_count(w.bitwiseAND(-w) - 1) + 1)
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = jw.groupBy("priority", "j").agg(F.max("rho").alias("m"))
+    grid = (
+        orders.select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .select("priority", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("j"))
+    )
+    full = grid.join(regs, ["priority", "j"], "left").select(
+        "priority", "j", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    sketch = full.groupBy("priority").agg(
+        F.sum(
+            # shiftleft() the SQL function takes a column shift amount;
+            # the classic-API F.shiftleft only takes a Python int.
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
+        ).alias("sketch_sum"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("bigint").alias("v_zero"),
+    )
+    exact = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count_distinct("o_orderkey").alias("n_exact")
+    )
+    est = F.round(F.lit(_HLL_C) / F.col("sketch_sum").cast("double"), 2)
+    return (
+        sketch.join(exact, "priority")
+        .select(
+            "priority",
+            "n_exact",
+            "sketch_sum",
+            "v_zero",
+            est.alias("hll_est"),
+            ((est <= 2.5 * HLL_M) & (F.col("v_zero") > 0)).alias("lc_applicable"),
+        )
+    )
+
+
+ORACLE_HLL_DISTINCT = f"""
+WITH base AS (
+  SELECT o_orderpriority AS priority,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders
+),
+jw AS (
+  SELECT priority, h % {HLL_M} AS j,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE CAST(bit_count(CAST(((h // {HLL_M}) & (-(h // {HLL_M}))) - 1
+                                       AS BIGINT)) AS INTEGER) + 1
+         END AS rho
+  FROM base
+),
+regs AS (SELECT priority, j, max(rho) AS m FROM jw GROUP BY priority, j),
+grid AS (
+  SELECT DISTINCT priority, gs.j
+  FROM base, generate_series(0, {HLL_M - 1}) AS gs(j)
+),
+filled AS (
+  SELECT grid.priority, grid.j, COALESCE(m, 0) AS m
+  FROM grid LEFT JOIN regs ON grid.priority = regs.priority AND grid.j = regs.j
+),
+sk AS (
+  SELECT priority,
+         CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m)) AS BIGINT) AS sketch_sum,
+         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+  FROM filled GROUP BY priority
+),
+ex AS (
+  SELECT o_orderpriority AS priority, count(DISTINCT o_orderkey) AS n_exact
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT sk.priority AS priority, n_exact, sketch_sum, v_zero,
+       ROUND({_HLL_C!r} / CAST(sketch_sum AS DOUBLE), 2) AS hll_est,
+       (ROUND({_HLL_C!r} / CAST(sketch_sum AS DOUBLE), 2) <= {2.5 * HLL_M}
+        AND v_zero > 0) AS lc_applicable
+FROM sk JOIN ex ON sk.priority = ex.priority
+"""
+
+
 SPECS = [
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
@@ -417,6 +543,8 @@ SPECS = [
 
 
 UNIT_SPECS = [
+    QuerySpec("unit_hll_distinct", q_hll_distinct, ORACLE_HLL_DISTINCT,
+              "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
     QuerySpec("unit_quality_funnel", q_quality_funnel, _oracle_quality_funnel(),
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
