@@ -250,3 +250,69 @@ def test_ewma_single_shuffle_then_arrow_kernel(spark, sf_dir):
     key_exchanges = [e for e in exchanges if "user_id" in e]
     assert len(key_exchanges) == 1, exchanges
     assert "rangepartitioning" not in plan, plan  # no global sort
+
+
+def test_simhash_pairs_band_equijoin_no_window(spark, sf_dir):
+    """Candidate pairs come from an equi-join on (band, band_value) —
+    never a cartesian/nested-loop pass or a rank window."""
+    from validation_database_spark.suite.dedup import q_simhash_pairs
+
+    plan = physical_plan(q_simhash_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_assignment_is_partial_agg_not_window(spark, sf_dir):
+    """The vector→centroid argmax is a max(struct) aggregation with
+    MAP-SIDE combine (the 100× OOM fix) — the shuffle carries one
+    partial max per vector, not |centroids| scored rows."""
+    from validation_database_spark.suite.similarity import q_ann_ivf_cosine
+
+    plan = physical_plan(q_ann_ivf_cosine(spark, sf_dir))
+    assert "partial_max" in plan, plan
+
+
+def test_rfm_banding_no_global_ntile(spark, sf_dir):
+    """RFM scores come from integer banding over bounded distinct-value
+    aggregates — no ntile over the customer table."""
+    from validation_database_spark.suite.analytics import q_rfm_segments
+
+    plan = physical_plan(q_rfm_segments(spark, sf_dir))
+    assert "ntile" not in plan, plan
+    # per-customer metrics partial-aggregate before their exchange
+    assert "partial_max" in plan and "partial_count" in plan, plan
+
+
+def test_feature_lags_single_user_shuffle(spark, sf_dir):
+    """One hash exchange on user_id feeds every window — no second
+    shuffle, no global sort, no Python stage."""
+    import re
+
+    from validation_database_spark.suite.events import q_feature_lags
+
+    plan = physical_plan(q_feature_lags(spark, sf_dir))
+    exchanges = {e for e in re.findall(r"hashpartitioning\(([^)]*)\)", plan)}
+    assert all("user_id" in e for e in exchanges), exchanges
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_sketch_partial_agg(spark, sf_dir):
+    """HLL register maxes combine map-side: the shuffle is O(groups ×
+    64 registers), independent of input row count."""
+    from validation_database_spark.suite.quality import q_hll_distinct
+
+    plan = physical_plan(q_hll_distinct(spark, sf_dir))
+    assert "partial_max" in plan, plan
+
+
+def test_cdc_window_partitioned_by_key(spark, sf_dir):
+    """The LWW window runs hash-partitioned by the merge key over the
+    change batch — never a single-partition global sort."""
+    from validation_database_spark.suite.pipeline import q_cdc_merge
+
+    plan = physical_plan(q_cdc_merge(spark, sf_dir))
+    assert "hashpartitioning(c_custkey" in plan, plan
+    assert "SinglePartition" not in plan, plan
