@@ -340,7 +340,122 @@ FROM (
 """
 
 
+# --- probabilistic record linkage ---------------------------------------
+
+# Fellegi–Sunter agreement weights in integer deci-units (log-odds
+# scaled ×10 and rounded — fixed constants so the score sum is exact
+# integer arithmetic on both engines).
+RL_W_NAME_AGREE, RL_W_NAME_DISAGREE = 40, -15
+RL_W_BAL_AGREE, RL_W_BAL_DISAGREE = 20, -10
+RL_BAL_TOL = 1.0
+RL_MATCH_MIN = 40  # score threshold for a declared match
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969): match
+    records ACROSS datasets without a shared key — the generalization
+    of this engine's key-equality reconciliation to the dirty-key
+    world. A deterministic perturbed snapshot of ``customer`` (new
+    ids; every %10 name lower-cased, every %7 balance nudged +0.5,
+    every %13 balance shifted +100) is linked back: candidate pairs
+    come from BLOCKING on (nation, segment) — never the cross
+    product — each pair scores field agreements with fixed integer
+    log-odds weights, and the best candidate per left record is an
+    argmax ``max(struct)`` aggregation (map-side combining, the same
+    no-rank-window shape as the IVF assignment).
+
+    Scale: pair space is Σ block², controlled by blocking-key
+    cardinality exactly like the shingle/LSH buckets in the dedup
+    family (production uses finer keys — phonetic codes,
+    sorted-neighborhood windows); scoring is pure JVM integer/string
+    comparison; no window over the pair table."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 5_000_000).alias("r_id"),
+        F.when(F.col("c_custkey") % 10 == 0, F.lower("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("r_name"),
+        F.col("c_nationkey").alias("r_nationkey"),
+        F.when(F.col("c_custkey") % 13 == 0, F.round(F.col("c_acctbal") + 100.0, 2))
+        .when(F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 0.5, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("r_acctbal"),
+        F.col("c_mktsegment").alias("r_mktsegment"),
+    )
+    pairs = cust.join(
+        right,
+        (F.col("c_nationkey") == F.col("r_nationkey"))
+        & (F.col("c_mktsegment") == F.col("r_mktsegment")),
+    )
+    score = (
+        F.when(F.col("c_name") == F.col("r_name"), RL_W_NAME_AGREE)
+        .otherwise(RL_W_NAME_DISAGREE)
+        + F.when(
+            F.abs(F.col("c_acctbal") - F.col("r_acctbal")) <= RL_BAL_TOL,
+            RL_W_BAL_AGREE,
+        ).otherwise(RL_W_BAL_DISAGREE)
+    ).cast("bigint")
+    scored = pairs.select("c_custkey", "r_id", score.alias("score"))
+    # Injective argmax encoding shared with the oracle: score steps are
+    # multiples of 5 (×10^7 ≥ 5·10^7) while r_id spans < 10^7, so
+    # maximizing (score·10^7 − r_id) is exactly (max score, min r_id).
+    combined = F.col("score") * F.lit(10_000_000).cast("bigint") - F.col("r_id")
+    return (
+        scored.groupBy("c_custkey")
+        .agg(
+            F.max_by("r_id", combined).alias("matched_id"),
+            F.max("score").alias("score"),
+            F.count("*").alias("n_candidates"),
+        )
+        .select(
+            "c_custkey",
+            "matched_id",
+            "score",
+            "n_candidates",
+            (F.col("score") >= RL_MATCH_MIN).alias("is_match"),
+        )
+    )
+
+
+ORACLE_RECORD_LINKAGE = f"""
+WITH r AS (
+  SELECT c_custkey + 5000000 AS r_id,
+         CASE WHEN c_custkey % 10 = 0 THEN lower(c_name) ELSE c_name END AS r_name,
+         c_nationkey AS r_nationkey,
+         CASE WHEN c_custkey % 13 = 0 THEN ROUND(c_acctbal + 100.0, 2)
+              WHEN c_custkey % 7 = 0 THEN ROUND(c_acctbal + 0.5, 2)
+              ELSE c_acctbal END AS r_acctbal,
+         c_mktsegment AS r_mktsegment
+  FROM customer
+),
+scored AS (
+  SELECT l.c_custkey, r.r_id,
+         CAST((CASE WHEN l.c_name = r.r_name
+                    THEN {RL_W_NAME_AGREE} ELSE {RL_W_NAME_DISAGREE} END)
+              + (CASE WHEN abs(l.c_acctbal - r.r_acctbal) <= {RL_BAL_TOL}
+                      THEN {RL_W_BAL_AGREE} ELSE {RL_W_BAL_DISAGREE} END)
+              AS BIGINT) AS score
+  FROM customer l JOIN r
+    ON l.c_nationkey = r.r_nationkey AND l.c_mktsegment = r.r_mktsegment
+),
+best AS (
+  SELECT c_custkey,
+         max_by(r_id, score * 10000000 - r_id) AS matched_id,
+         max(score) AS score,
+         count(*) AS n_candidates
+  FROM scored GROUP BY c_custkey
+)
+SELECT c_custkey, matched_id, score, n_candidates,
+       score >= {RL_MATCH_MIN} AS is_match
+FROM best
+"""
+
+
 UNIT_SPECS = [
+    QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
+              "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
     QuerySpec("unit_session_week_overlap", q_session_week_overlap,
               _oracle_session_week_overlap(),
               "interval × interval overlap join via daily-bin explosion"),

@@ -619,6 +619,81 @@ SELECT doc_id, shard, n_tokens, pack_id FROM packed
 """
 
 
+# --- Z-order data layout ------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_BUCKET_SHIFT = 24  # top 8 of the 32 z-bits → 256 layout buckets
+
+
+def _z_interleave_spark(x: str, y: str) -> str:
+    """Spark SQL expression interleaving the low 16 bits of two bigint
+    columns into a 32-bit Morton (Z-order) value: bit i of x → bit 2i,
+    bit i of y → bit 2i+1."""
+    terms = [
+        f"shiftleft((shiftright({x}, {i}) & 1), {2 * i}) + "
+        f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _z_interleave_duck(x: str, y: str) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout — the clustering primitive
+    behind lakehouse `OPTIMIZE ZORDER BY` (Delta/Iceberg public docs;
+    Morton 1966): interleave the bits of two filter dimensions so
+    rows close in EITHER dimension land in the same layout bucket,
+    letting min/max file statistics prune scans on both columns at
+    once (a single-column sort prunes only its own column). Output is
+    the per-bucket layout AUDIT: row count + min/max of each
+    dimension — the narrow per-dim ranges per bucket ARE the pruning
+    guarantee, and the result is bounded at 256 rows.
+
+    Scale: the z-value is a pure integer narrow map (32 bit-ops per
+    row, whole-stage codegen); the bucket agg partial-combines
+    map-side to ≤256 rows. In a real deployment the bucket id feeds
+    `repartitionByRange(z)` + per-file stats; here the audit table is
+    the checkable artifact."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        (F.col("l_partkey") % (1 << ZORDER_BITS)).cast("bigint").alias("x"),
+        (F.col("l_suppkey") % (1 << ZORDER_BITS)).cast("bigint").alias("y"),
+    )
+    z = F.expr(_z_interleave_spark("x", "y"))
+    return (
+        li.select("x", "y", z.alias("z"))
+        .groupBy(F.expr(f"z >> {ZORDER_BUCKET_SHIFT}").cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_part"),
+            F.max("x").alias("max_part"),
+            F.min("y").alias("min_supp"),
+            F.max("y").alias("max_supp"),
+        )
+    )
+
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH base AS (
+  SELECT CAST(l_partkey % {1 << ZORDER_BITS} AS BIGINT) AS x,
+         CAST(l_suppkey % {1 << ZORDER_BITS} AS BIGINT) AS y
+  FROM lineitem
+),
+zz AS (SELECT x, y, {_z_interleave_duck('x', 'y')} AS z FROM base)
+SELECT CAST(z >> {ZORDER_BUCKET_SHIFT} AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       min(x) AS min_part, max(x) AS max_part,
+       min(y) AS min_supp, max(y) AS max_supp
+FROM zz GROUP BY 1
+"""
+
+
 # --- crawl URL canonicalization + dedup ---------------------------------
 
 def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,6 +886,8 @@ SPECS = [
 UNIT_SPECS = [
     QuerySpec("unit_cdc_merge", q_cdc_merge, ORACLE_CDC_MERGE,
               "ordered CDC apply: update/delete/re-insert, LWW by seq"),
+    QuerySpec("unit_zorder_layout", q_zorder_layout, ORACLE_ZORDER_LAYOUT,
+              "Z-order layout buckets with per-dimension pruning audit"),
     QuerySpec("unit_url_dedup", q_url_dedup, ORACLE_URL_DEDUP,
               "crawl URL canonicalization + exact dedup"),
     QuerySpec("unit_mix_rebalance", q_mix_rebalance, ORACLE_MIX_REBALANCE,
