@@ -1433,6 +1433,128 @@ FROM pii
 """
 
 
+# --- BPE merge learning -------------------------------------------------
+
+BPE_STEPS = 3
+BPE_MAX_WORD = 12  # bounds symbol count per word (and oracle recursion)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich, Haddow & Birch
+    2016 — the subword tokenizer trainer): ``BPE_STEPS`` rounds of
+    (count adjacent symbol pairs weighted by word frequency → take the
+    most frequent pair → merge its non-overlapping left-to-right
+    occurrences in every word), starting from characters. Output is
+    the learned merge table (step, pa, pb, pair_count) — the artifact
+    a tokenizer ships.
+
+    Fully declarative fixed-iteration build (the PageRank / Lloyd
+    pattern): each round's argmax pair is a 1-row TakeOrdered
+    broadcast-joined into the next round's merge lambda — NO driver
+    collect; the whole 3-round trainer is one lazy DAG. The
+    left-to-right merge is an ``aggregate`` fold over the symbol
+    array (a merged symbol can't re-merge in the same round because
+    its VALUE is the concatenation, matching BPE's definition), and
+    ties pick the lexicographically smallest pair — deterministic on
+    both engines.
+
+    Scale: this is how production BPE trainers actually run — one
+    corpus scan builds the word-FREQUENCY table (map-side combining,
+    O(vocab) not O(corpus tokens)), and every iteration touches only
+    that vocab table; the corpus is never re-scanned. The oracle
+    replays the identical rounds with recursive-CTE folds."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") <= BPE_MAX_WORD)
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    syms = words.select("word", "wf", F.split("word", "").alias("syms"))
+    outs = []
+    for step in range(1, BPE_STEPS + 1):
+        pairs = syms.filter(F.size("syms") >= 2).select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS pa, "
+                    "element_at(syms, i + 1) AS pb))"
+                )
+            ).alias("pr"),
+        )
+        pc = (
+            pairs.groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+            .agg(F.sum("wf").cast("bigint").alias("cnt"))
+        )
+        best = pc.orderBy(F.col("cnt").desc(), "pa", "pb").limit(1)
+        outs.append(
+            best.select(
+                F.lit(step).cast("bigint").alias("step"), "pa", "pb",
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        merged = F.aggregate(
+            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+            F.array(F.element_at(F.col("syms"), 1)),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.col("pa")) & (s == F.col("pb")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("pa"), F.col("pb"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = (
+            syms.crossJoin(F.broadcast(best.select("pa", "pb")))
+            .select("word", "wf", merged.alias("syms"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _oracle_bpe_merges() -> str:
+    ctes = [
+        f"""w AS (
+  SELECT word, count(*) AS wf FROM (
+    SELECT unnest({_tokens_sql('text')}) AS word FROM documents
+  ) WHERE len(word) <= {BPE_MAX_WORD} GROUP BY word
+),
+s0 AS (SELECT word, wf, string_split(word, '') AS syms FROM w)"""
+    ]
+    for k in range(1, BPE_STEPS + 1):
+        prev = f"s{k - 1}"
+        ctes.append(f"""pr{k} AS (
+  SELECT wf, unnest(list_transform(generate_series(1, len(syms) - 1),
+                    i -> struct_pack(pa := syms[i], pb := syms[i + 1]))) AS pr
+  FROM {prev} WHERE len(syms) >= 2
+),
+pc{k} AS (SELECT pr.pa AS pa, pr.pb AS pb, CAST(sum(wf) AS BIGINT) AS cnt
+          FROM pr{k} GROUP BY 1, 2),
+best{k} AS (SELECT pa, pb, cnt FROM pc{k} ORDER BY cnt DESC, pa, pb LIMIT 1),
+s{k} AS (
+  WITH RECURSIVE r{k} AS (
+    SELECT word, wf, 1 AS i, [syms[1]] AS acc FROM {prev}
+    UNION ALL
+    SELECT r.word, r.wf, r.i + 1,
+      CASE WHEN r.acc[-1] = (SELECT pa FROM best{k})
+                AND p.syms[r.i + 1] = (SELECT pb FROM best{k})
+           THEN list_append(r.acc[:-2], (SELECT pa || pb FROM best{k}))
+           ELSE list_append(r.acc, p.syms[r.i + 1]) END
+    FROM r{k} r JOIN {prev} p ON r.word = p.word WHERE r.i < len(p.syms)
+  )
+  SELECT r.word, r.wf, r.acc AS syms
+  FROM r{k} r JOIN {prev} p ON r.word = p.word WHERE r.i = len(p.syms)
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, pa, pb, cnt AS pair_count FROM best{k}"
+        for k in range(1, BPE_STEPS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
 SPECS = [
     QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
               "one-scan document profiler: tokens/quality/lang/fingerprints/"
@@ -1452,6 +1574,8 @@ SPECS = [
 # doc_profile for the driver window. Parity-tested locally so each
 # standalone operator stays executable and oracle-true.
 UNIT_SPECS = [
+    QuerySpec("unit_bpe_merges", q_bpe_merges, _oracle_bpe_merges(),
+              "BPE merge learning: 3 declarative rounds, no collect"),
     QuerySpec("unit_text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
               "whitespace + BPE-ish token counts"),
     QuerySpec("unit_text_quality", q_text_quality, ORACLE_TEXT_QUALITY,
