@@ -403,6 +403,67 @@ FROM top CROSS JOIN totals
 """
 
 
+# --- pre-join cardinality / fan-out audit -------------------------------
+
+def q_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join diagnostic for lineitem ⋈ orders on the order key: key
+    overlap (matched / left-only / right-only), per-side max fan-out,
+    and the EXACT join output cardinality Σ |L(k)|·|R(k)| — computed
+    from per-key COUNT aggregates, never by running the join. This is
+    the guardrail you run before an expensive production join: a fan-
+    out explosion or an unexpected m:n shows up here as one cheap row
+    (complements `unit_key_skew_stats`, which ranks the heavy keys).
+
+    Scale: two map-side-combining per-key counts (shuffle is
+    O(distinct keys), not rows), one full-outer merge on the key, one
+    final scalar aggregate. All integer arithmetic."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("lc"))
+    )
+    od = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("rc"))
+    )
+    both = li.join(od, "k", "full_outer")
+    return both.agg(
+        F.sum(F.when(F.col("lc").isNotNull() & F.col("rc").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("matched_keys"),
+        F.sum(F.when(F.col("rc").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("left_only_keys"),
+        F.sum(F.when(F.col("lc").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("right_only_keys"),
+        F.max(F.coalesce("lc", F.lit(0))).cast("bigint").alias("max_fanout_left"),
+        F.max(F.coalesce("rc", F.lit(0))).cast("bigint").alias("max_fanout_right"),
+        F.sum(
+            F.coalesce("lc", F.lit(0)) * F.coalesce("rc", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("est_output_rows"),
+    )
+
+
+ORACLE_JOIN_AUDIT = """
+WITH li AS (SELECT l_orderkey AS k, count(*) AS lc FROM lineitem GROUP BY 1),
+od AS (SELECT o_orderkey AS k, count(*) AS rc FROM orders GROUP BY 1),
+b AS (SELECT li.k AS lk, od.k AS rk, lc, rc
+      FROM li FULL OUTER JOIN od ON li.k = od.k)
+SELECT CAST(sum(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS matched_keys,
+       CAST(sum(CASE WHEN rc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_only_keys,
+       CAST(sum(CASE WHEN lc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_only_keys,
+       CAST(max(COALESCE(lc, 0)) AS BIGINT) AS max_fanout_left,
+       CAST(max(COALESCE(rc, 0)) AS BIGINT) AS max_fanout_right,
+       CAST(sum(COALESCE(lc, 0) * COALESCE(rc, 0)) AS BIGINT) AS est_output_rows
+FROM b
+"""
+
+
 # --- HyperLogLog distinct-count sketch ---------------------------------
 
 HLL_M = 64          # registers (p = 6 index bits)
@@ -545,6 +606,8 @@ SPECS = [
 UNIT_SPECS = [
     QuerySpec("unit_hll_distinct", q_hll_distinct, ORACLE_HLL_DISTINCT,
               "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
+    QuerySpec("unit_join_audit", q_join_audit, ORACLE_JOIN_AUDIT,
+              "pre-join key-overlap / fan-out / cardinality audit"),
     QuerySpec("unit_quality_funnel", q_quality_funnel, _oracle_quality_funnel(),
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
