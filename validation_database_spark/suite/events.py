@@ -573,9 +573,78 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the standard product-analytics
+    matrix: users are cohorted by the ISO week of their first
+    ``signup`` event; each later week of ANY activity marks them
+    retained at ``weeks_since`` = (activity_week − cohort_week)/7
+    (both weeks are Mondays via ``date_trunc``, so the division is
+    exact). Output: (cohort_week, weeks_since, n_active, cohort_size,
+    retention) — retention is one IEEE division of exact integers.
+
+    Scale: two aggregations on user_id (signup min + distinct
+    activity weeks, both map-side combining), one join on user_id,
+    then a groupBy whose result is bounded by weeks² — the matrix is
+    tiny no matter the event volume."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    # weeks stay TIMESTAMP: the fixtures store dates as timestamps and
+    # pandas folds DuckDB DATE into Timestamp anyway — a cast-to-date
+    # on one side only would render asymmetrically in the comparator.
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week(F.col("ts"))).alias("cohort_week"))
+    )
+    activity = ev.select("user_id", week(F.col("ts")).alias("act_week")).distinct()
+    joined = activity.join(signup, "user_id").filter(
+        F.col("act_week") >= F.col("cohort_week")
+    )
+    ret = joined.groupBy(
+        "cohort_week",
+        (F.datediff("act_week", "cohort_week") / 7).cast("bigint").alias("weeks_since"),
+    ).agg(F.count_distinct("user_id").alias("n_active"))
+    size = signup.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return ret.join(size, "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH {_EV_CTE},
+signup AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM ev
+),
+ret AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS weeks_since,
+         count(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN signup s ON a.user_id = s.user_id
+  WHERE act_week >= cohort_week
+  GROUP BY 1, 2
+),
+sz AS (SELECT cohort_week, count(*) AS cohort_size FROM signup GROUP BY 1)
+SELECT ret.cohort_week AS cohort_week, weeks_since, n_active, cohort_size,
+       ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM ret JOIN sz ON ret.cohort_week = sz.cohort_week
+"""
+
+
 UNIT_SPECS = [
     QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,
               "strict-order funnel: stage N only after stage N-1"),
+    QuerySpec("unit_cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
+              "weekly signup-cohort retention matrix"),
     QuerySpec("unit_feature_lags", q_feature_lags, ORACLE_FEATURE_LAGS,
               "per-user lag/delta/gap/rolling-mean feature table"),
     QuerySpec("unit_events_json_props", q_events_json_props,

@@ -1433,6 +1433,63 @@ FROM pii
 """
 
 
+# --- positional phrase search -------------------------------------------
+
+PHRASE = ("spark", "join")
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional posting-list intersection —
+    the inverted-index primitive under every search engine (and under
+    n-gram-level benchmark decontamination): tokenize with positions,
+    take the two query terms' posting lists, and equi-join them on
+    (doc_id, adjacent position). Output: per matching doc, occurrence
+    count and first match position (1-based).
+
+    Scale: at 100 TB the positional postings table IS the materialized
+    index (built once — one posexplode scan, partitioned by token);
+    a phrase query then joins only the query terms' lists — fan-out
+    bounded by term frequency, never a corpus scan. The adjacency is
+    part of the equi-join KEY (p2 = p1+1 folded into the join), so
+    the pair space is matched positions, not |list_a| × |list_b| per
+    doc."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    post = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = post.filter(F.col("tok") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1"), (F.col("pos") + 1).alias("p2")
+    )
+    b = post.filter(F.col("tok") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        a.join(b, ["doc_id", "p2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("p1").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+ORACLE_PHRASE_SEARCH = f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+post AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks)),
+                i -> struct_pack(pos := i, tok := toks[i]))) AS p
+  FROM t
+),
+a AS (SELECT doc_id, p.pos AS p1 FROM post WHERE p.tok = '{PHRASE[0]}'),
+b AS (SELECT doc_id, p.pos AS p2 FROM post WHERE p.tok = '{PHRASE[1]}')
+SELECT a.doc_id AS doc_id, count(*) AS n_occurrences,
+       CAST(min(p1) AS BIGINT) AS first_pos
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.p2 = a.p1 + 1
+GROUP BY a.doc_id
+"""
+
+
 # --- BPE merge learning -------------------------------------------------
 
 BPE_STEPS = 3
@@ -1576,6 +1633,8 @@ SPECS = [
 UNIT_SPECS = [
     QuerySpec("unit_bpe_merges", q_bpe_merges, _oracle_bpe_merges(),
               "BPE merge learning: 3 declarative rounds, no collect"),
+    QuerySpec("unit_phrase_search", q_phrase_search, ORACLE_PHRASE_SEARCH,
+              "positional posting-list phrase search"),
     QuerySpec("unit_text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
               "whitespace + BPE-ish token counts"),
     QuerySpec("unit_text_quality", q_text_quality, ORACLE_TEXT_QUALITY,
