@@ -340,3 +340,82 @@ def streaming_incremental_dedup(
         .filter(F.col("doc_id") != F.col("candidate_doc_id"))
         .select(F.col("doc_id").alias("new_doc_id"), "candidate_doc_id")
     )
+
+
+def streaming_cdc_apply(
+    spark: SparkSession,
+    changes: DataFrame,
+    initial_snapshot_path: str,
+    out_dir: str,
+    key: str,
+    checkpoint: str,
+):
+    """Continuously apply an ordered CDC change stream to a snapshot —
+    the streaming twin of ``suite.pipeline.apply_cdc`` (and of a
+    lakehouse ``MERGE INTO`` fed by Debezium): each micro-batch is
+    merged against the latest committed snapshot version with the
+    same LWW/delete semantics, and the new snapshot lands in a
+    batchId-versioned directory sealed by a ``_CDC_COMMITTED``
+    marker.
+
+    Exactly-once without sink transactions: ``foreachBatch`` may
+    REPLAY a batch after checkpoint recovery, so the apply is
+    idempotent — a replayed batchId finds its marker and returns
+    without touching anything (the idempotent-write recipe from the
+    public Structured Streaming docs). Sequential batch application
+    equals one global LWW pass when sequence numbers are monotone
+    across batches, which is pinned against the oracle-checked batch
+    operator in ``tests/test_streaming_cdc.py``.
+
+    On a real deployment the versioned-directory dance is replaced by
+    the table format's ACID commit (sources/lakehouse.py) — the merge
+    plan itself is unchanged."""
+    import os
+
+    from ..suite.pipeline import apply_cdc
+
+    def _committed_versions() -> list[int]:
+        if not os.path.isdir(out_dir):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(out_dir)
+            if d.startswith("v")
+            and os.path.exists(os.path.join(out_dir, d, "_CDC_COMMITTED"))
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        dest = os.path.join(out_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(dest, "_CDC_COMMITTED")):
+            return  # replayed after recovery — already applied
+        prior = [v for v in _committed_versions() if v < batch_id]
+        src = (
+            os.path.join(out_dir, f"v{max(prior)}")
+            if prior
+            else initial_snapshot_path
+        )
+        snap = spark.read.parquet(src)
+        apply_cdc(snap, batch_df, key).write.mode("overwrite").parquet(dest)
+        with open(os.path.join(dest, "_CDC_COMMITTED"), "w"):
+            pass
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_cdc_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the highest committed snapshot version written by
+    :func:`streaming_cdc_apply`."""
+    import os
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(out_dir)
+        if d.startswith("v")
+        and os.path.exists(os.path.join(out_dir, d, "_CDC_COMMITTED"))
+    )
+    return spark.read.parquet(os.path.join(out_dir, f"v{versions[-1]}"))
