@@ -585,6 +585,116 @@ JOIN rs USING (last_order) JOIN fs USING (frequency) JOIN ms USING (mon_band)
 """
 
 
+# --- A/B test z-statistic ----------------------------------------------
+
+AB_SPLIT_HEX = "8000"  # md5-prefix split ≈ 50/50
+AB_Z_CRIT = 1.96
+
+
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test for an A/B experiment readout: orders are
+    split into arms by the deterministic md5-prefix hash (the same
+    reproducible-assignment primitive as the sampling suite — never
+    ``rand()``), the metric is o_totalprice, and the z-statistic for
+    the difference of means is computed from EXACT decimal moments:
+    per-arm n, Σcents and Σcents² are DECIMAL aggregates
+    (order-independent, bit-identical on both engines), and only the
+    final mean/variance/z derivation happens in float — a short fixed
+    chain of IEEE ops written identically in both engines.
+
+    Scale: one scan, one two-group aggregate with map-side combine —
+    the full experiment readout is a single row no matter how many
+    events the experiment logged."""
+    orders = load_table(spark, "orders", sf_dir)
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(19,0)")
+    per = (
+        orders.groupBy(
+            F.when(h < AB_SPLIT_HEX, "A").otherwise("B").alias("arm")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents * cents).alias("ss"),
+        )
+    )
+
+    def pick(col, arm):
+        return F.min(F.when(F.col("arm") == arm, F.col(col)))
+
+    wide = per.agg(
+        pick("n", "A").alias("n_a"),
+        pick("n", "B").alias("n_b"),
+        pick("s", "A").alias("s_a"),
+        pick("s", "B").alias("s_b"),
+        pick("ss", "A").alias("ss_a"),
+        pick("ss", "B").alias("ss_b"),
+    )
+    # identical derivation chain on both engines: decimal → double
+    # conversions, then (num / (n·(n−1))) / 1e4 for dollars².
+    def mean(s, n):
+        return F.col(s).cast("double") / (F.col(n) * F.lit(100.0))
+
+    def var(n, s, ss):
+        num = (
+            F.col(n).cast("decimal(19,0)") * F.col(ss)
+            - F.col(s).cast("decimal(19,0)") * F.col(s).cast("decimal(19,0)")
+        ).cast("double")
+        return num / (F.col(n) * (F.col(n) - F.lit(1.0))) / F.lit(10000.0)
+
+    m_a, m_b = mean("s_a", "n_a"), mean("s_b", "n_b")
+    v_a, v_b = var("n_a", "s_a", "ss_a"), var("n_b", "s_b", "ss_b")
+    z = (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(v_a, 4).alias("var_a"),
+        F.round(v_b, 4).alias("var_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+ORACLE_AB_ZTEST = f"""
+WITH base AS (
+  SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0)) AS cents
+  FROM orders
+),
+per AS (
+  SELECT arm, count(*) AS n, sum(cents) AS s, sum(cents * cents) AS ss
+  FROM base GROUP BY arm
+),
+wide AS (
+  SELECT min(n) FILTER (arm = 'A') AS n_a, min(n) FILTER (arm = 'B') AS n_b,
+         min(s) FILTER (arm = 'A') AS s_a, min(s) FILTER (arm = 'B') AS s_b,
+         min(ss) FILTER (arm = 'A') AS ss_a, min(ss) FILTER (arm = 'B') AS ss_b
+  FROM per
+),
+d AS (
+  SELECT n_a, n_b,
+         CAST(s_a AS DOUBLE) / (n_a * 100.0) AS m_a,
+         CAST(s_b AS DOUBLE) / (n_b * 100.0) AS m_b,
+         CAST(CAST(n_a AS DECIMAL(19,0)) * ss_a
+              - CAST(s_a AS DECIMAL(19,0)) * CAST(s_a AS DECIMAL(19,0)) AS DOUBLE)
+           / (n_a * (n_a - 1.0)) / 10000.0 AS v_a,
+         CAST(CAST(n_b AS DECIMAL(19,0)) * ss_b
+              - CAST(s_b AS DECIMAL(19,0)) * CAST(s_b AS DECIMAL(19,0)) AS DOUBLE)
+           / (n_b * (n_b - 1.0)) / 10000.0 AS v_b
+  FROM wide
+)
+SELECT n_a, n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND(v_a, 4) AS var_a, ROUND(v_b, 4) AS var_b,
+       ROUND((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS z_stat,
+       abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > {AB_Z_CRIT} AS significant
+FROM d
+"""
+
+
 SPECS = [
     QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
               "TPC-H Q1 measure set at every ROLLUP grouping level",
@@ -605,6 +715,8 @@ SPECS = [
 UNIT_SPECS = [
     QuerySpec("unit_rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS,
               "RFM segmentation via exact integer quantile banding"),
+    QuerySpec("unit_ab_ztest", q_ab_ztest, ORACLE_AB_ZTEST,
+              "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
               "ROLLUP grouping-set aggregation"),
     QuerySpec("unit_running_order_total", q_running_order_total,
