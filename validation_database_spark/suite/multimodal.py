@@ -138,8 +138,70 @@ SPECS = [
               headline=True),
 ]
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media deduplication on the BINARY payload column —
+    content-hash groupBy, the first dedup pass every multimodal
+    training pipeline runs (identical bytes from mirror crawls):
+    planted duplicate assets (modular copies, ids +1M) collapse onto
+    their originals via ``md5(payload)``. The hash is computed over
+    the real binary column JVM-side; the DuckDB oracle hashes the
+    source text instead (DuckDB's md5 is VARCHAR-only), which is
+    byte-identical here because the corpus is ASCII and the payload
+    is its utf-8 encoding.
+
+    Scale: a narrow per-row hash then one map-side-combining groupBy
+    on the 128-bit key — O(distinct assets) shuffle, payload bytes
+    never shuffled (only their hash and length)."""
+    docs = load_table(spark, "documents", sf_dir)
+    assets = assets_from_documents(docs)
+    copies = assets.filter(F.col("asset_id") % 10 == 0).select(
+        (F.col("asset_id") + 1_000_000).alias("asset_id"), "payload", "meta"
+    )
+    both = assets.unionByName(copies)
+    return (
+        both.select(
+            "asset_id",
+            F.md5("payload").alias("content_key"),
+            F.col("meta.modality").alias("modality"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("asset_id").alias("canonical_asset_id"),
+            F.min("modality").alias("modality"),
+            F.min("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
+ORACLE_MEDIA_DEDUP = """
+WITH assets AS (
+  SELECT doc_id AS asset_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_key,
+       count(*) AS n_copies,
+       min(asset_id) AS canonical_asset_id,
+       min(modality) AS modality,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+FROM assets GROUP BY md5(text)
+"""
+
+
 UNIT_SPECS = [
     QuerySpec("unit_frame_checksums", q_frame_checksums,
               ORACLE_FRAME_CHECKSUMS,
               "video frame sampling + per-frame stub decode, value-checked"),
+    QuerySpec("unit_media_dedup", q_media_dedup, ORACLE_MEDIA_DEDUP,
+              "binary-payload content-hash dedup with planted copies"),
 ]

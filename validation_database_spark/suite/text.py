@@ -1520,6 +1520,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(vocab) not O(corpus tokens)), and every iteration touches only
     that vocab table; the corpus is never re-scanned. The oracle
     replays the identical rounds with recursive-CTE folds."""
+    outs, _ = _bpe_chain(spark, sf_dir)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """Shared BPE training DAG: returns (per-round best-pair DFs, the
+    final per-word symbol table after all merges)."""
     docs = spread(load_table(spark, "documents", sf_dir))
     words = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
@@ -1566,13 +1576,46 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             syms.crossJoin(F.broadcast(best.select("pa", "pb")))
             .select("word", "wf", merged.alias("syms"))
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    return outs, syms
 
 
-def _oracle_bpe_merges() -> str:
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the
+    just-learned BPE merges (same declarative training DAG as
+    ``unit_bpe_merges``) and report per-doc char count, subword-token
+    count and the compression ratio chars/subtokens — the number a
+    tokenizer's quality is judged by. Words longer than
+    ``BPE_MAX_WORD`` chars are outside the trained vocab and count as
+    their raw character symbols (documented training filter).
+
+    Scale: the encoder is a broadcast-out word→|symbols| DICTIONARY
+    join (the vocab table is corpus-size-independent) over the token
+    stream — at 100 TB this is exactly how you tokenize: join the
+    frozen vocab, never re-run merges per document."""
+    _, syms = _bpe_chain(spark, sf_dir)
+    word_len = syms.select(
+        "word",
+        F.size("syms").alias("n_sub"),
+        F.length("word").alias("n_chr"),
+    )
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+    enc = tok.join(F.broadcast(word_len), "word", "left").select(
+        "doc_id",
+        F.coalesce("n_sub", F.length("word")).alias("n_sub"),
+        F.coalesce("n_chr", F.length("word")).alias("n_chr"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_chr").cast("bigint").alias("n_chars"),
+        F.sum("n_sub").cast("bigint").alias("n_subtokens"),
+        F.round(
+            F.sum("n_chr").cast("double") / F.sum("n_sub"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_ctes() -> str:
     ctes = [
         f"""w AS (
   SELECT word, count(*) AS wf FROM (
@@ -1605,11 +1648,34 @@ s{k} AS (
   SELECT r.word, r.wf, r.acc AS syms
   FROM r{k} r JOIN {prev} p ON r.word = p.word WHERE r.i = len(p.syms)
 )""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _oracle_bpe_merges() -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS step, pa, pb, cnt AS pair_count FROM best{k}"
         for k in range(1, BPE_STEPS + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return _bpe_ctes() + "\n" + unions
+
+
+def _oracle_bpe_encode() -> str:
+    return f"""{_bpe_ctes()},
+wl AS (SELECT word, len(syms) AS n_sub, len(word) AS n_chr FROM s{BPE_STEPS}),
+tok AS (SELECT doc_id, unnest({_tokens_sql('text')}) AS word FROM documents),
+enc AS (
+  SELECT doc_id,
+         COALESCE(n_sub, len(word)) AS n_sub,
+         COALESCE(n_chr, len(word)) AS n_chr
+  FROM tok LEFT JOIN wl USING (word)
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+       ROUND(CAST(CAST(sum(n_chr) AS BIGINT) AS DOUBLE)
+             / CAST(sum(n_sub) AS BIGINT), 6) AS chars_per_token
+FROM enc GROUP BY doc_id
+"""
 
 
 SPECS = [
@@ -1635,6 +1701,8 @@ UNIT_SPECS = [
               "BPE merge learning: 3 declarative rounds, no collect"),
     QuerySpec("unit_phrase_search", q_phrase_search, ORACLE_PHRASE_SEARCH,
               "positional posting-list phrase search"),
+    QuerySpec("unit_bpe_encode", q_bpe_encode, _oracle_bpe_encode(),
+              "tokenizer application: per-doc subword counts + ratio"),
     QuerySpec("unit_text_tokens", q_text_tokens, ORACLE_TEXT_TOKENS,
               "whitespace + BPE-ish token counts"),
     QuerySpec("unit_text_quality", q_text_quality, ORACLE_TEXT_QUALITY,
