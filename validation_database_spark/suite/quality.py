@@ -475,6 +475,26 @@ HLL_RHO_MAX = 55    # rho for w = 0 (w has 54 usable bits, max rho 54)
 _HLL_C = 0.709 * float(HLL_M * HLL_M) * 2.0 ** HLL_RHO_MAX
 
 
+def hll_registers(df: DataFrame) -> DataFrame:
+    """(priority, j, m): HLL register table of a (priority, k) frame —
+    max trailing-zero rank per md5-derived register. Partial register
+    tables over disjoint slices merge by elementwise max, which is
+    also what Spark's partial aggregation does with this very plan
+    (mergeability pinned by tests/test_hll_properties.py)."""
+    h = F.conv(F.substring(F.md5(F.col("k")), 1, 15), 16, 10).cast("bigint")
+    base = df.select("priority", h.alias("h"))
+    w = F.expr(f"h DIV {HLL_M}")
+    jw = base.select(
+        "priority",
+        (F.col("h") % HLL_M).alias("j"),
+        F.when(w == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.bit_count(w.bitwiseAND(-w) - 1) + 1)
+        .cast("int")
+        .alias("rho"),
+    )
+    return jw.groupBy("priority", "j").agg(F.max("rho").alias("m"))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count estimation (Flajolet, Fusy,
     Gandouet & Meunier 2007) with a DETERMINISTIC md5 hash family —
@@ -500,22 +520,12 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     what partial aggregation does), and the exact-count column exists
     only as the fixture-scale accuracy audit."""
     orders = load_table(spark, "orders", sf_dir)
-    h = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    base = orders.select(
-        F.col("o_orderpriority").alias("priority"), h.alias("h")
+    regs = hll_registers(
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").cast("string").alias("k"),
+        )
     )
-    w = F.expr(f"h DIV {HLL_M}")
-    jw = base.select(
-        "priority",
-        (F.col("h") % HLL_M).alias("j"),
-        F.when(w == 0, F.lit(HLL_RHO_MAX))
-        .otherwise(F.bit_count(w.bitwiseAND(-w) - 1) + 1)
-        .cast("int")
-        .alias("rho"),
-    )
-    regs = jw.groupBy("priority", "j").agg(F.max("rho").alias("m"))
     grid = (
         orders.select(F.col("o_orderpriority").alias("priority"))
         .distinct()
