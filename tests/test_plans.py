@@ -316,3 +316,50 @@ def test_cdc_window_partitioned_by_key(spark, sf_dir):
     plan = physical_plan(q_cdc_merge(spark, sf_dir))
     assert "hashpartitioning(c_custkey" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_simhash60_band_equijoin_no_window(spark, sf_dir):
+    from validation_database_spark.suite.dedup import q_simhash60_pairs
+
+    plan = physical_plan(q_simhash60_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_phrase_search_posting_equijoin(spark, sf_dir):
+    """Both term lists partial-aggregate; candidates come from an
+    equi-join keyed on (doc_id, adjacent position), never a per-doc
+    cross of the two lists."""
+    from validation_database_spark.suite.text import q_phrase_search
+
+    plan = physical_plan(q_phrase_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan, plan
+
+
+def test_cohort_retention_agg_only(spark, sf_dir):
+    from validation_database_spark.suite.events import q_cohort_retention
+
+    plan = physical_plan(q_cohort_retention(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan  # signup min combines map-side
+
+
+def test_zorder_narrow_map_partial_agg(spark, sf_dir):
+    from validation_database_spark.suite.pipeline import q_zorder_layout
+
+    plan = physical_plan(q_zorder_layout(spark, sf_dir))
+    assert "Window" not in plan and "EvalPython" not in plan
+    assert "partial_count" in plan, plan  # bucket agg combines map-side
+
+
+def test_bpe_chain_no_cartesian_no_python(spark, sf_dir):
+    """Per-round best-pair joins are 1-row broadcasts (BNLJ by design);
+    nothing in the trainer is a real cross product or a Python stage."""
+    from validation_database_spark.suite.text import q_bpe_merges
+
+    plan = physical_plan(q_bpe_merges(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
