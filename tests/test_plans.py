@@ -363,3 +363,19 @@ def test_bpe_chain_no_cartesian_no_python(spark, sf_dir):
     plan = physical_plan(q_bpe_merges(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_filter_never_shuffles_fact(spark, sf_dir):
+    """The ≤66-row (word, bits) filter table reaches the probe as a
+    broadcast; the orders scan reads only the key columns; nothing in
+    the probe is a cartesian or a Python stage."""
+    from validation_database_spark.plans import read_schema_columns
+    from validation_database_spark.suite.quality import q_bloom_prune
+
+    df = q_bloom_prune(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    for cols in read_schema_columns(df):
+        assert cols <= {"o_orderkey", "o_custkey", "c_custkey", "c_mktsegment"}, cols

@@ -866,6 +866,89 @@ FROM ranked JOIN quotas USING (lang) WHERE rk <= quota
 
 # Unit operator surface (sampling variants merged into doc_sampling
 # for the driver window); parity-tested locally.
+# --- incremental aggregate (materialized-view) maintenance --------------
+
+INCR_CUT = "1997-07-01"   # base snapshot / delta batch boundary
+INCR_DEL_MOD = 97         # base orders with key % 97 == 0 arrive as deletes
+
+
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-customer order aggregate
+    (n_orders, sum_cents) under a CDC delta batch — the materialized-
+    view delta-apply primitive: inserts are orders on/after the cut
+    date, deletes are the %97 base orders (the delete record carries
+    the before-image, as a CDC stream does). The delta batch reduces
+    to per-group (Δn, Δcents) partials, and the refreshed view is the
+    stored view FULL OUTER the partials with group-wise addition;
+    groups whose count reaches zero drop out.
+
+    Correctness is the incremental-view-maintenance theorem for
+    abelian-group aggregates (COUNT/SUM are subtractable; MIN/MAX are
+    NOT delete-incremental — they'd need a rescan of the affected
+    group): the oracle recomputes the view from scratch on
+    (base \\ deletes) ∪ inserts and the match is hash-exact on integer
+    cents.
+
+    Scale: refresh cost is O(|delta| + |touched groups|) — one
+    map-side-combining agg over the batch and one outer join against
+    the view — never a rescan of the 100 TB fact history. Here the
+    base view is derived in-DAG from the same fixture scan for
+    determinism; in production it is the stored table."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.filter(F.col("o_orderdate") < INCR_CUT)
+    base_mv = base.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum(cents).alias("sum_cents")
+    )
+    deletes = base.filter(F.col("o_orderkey") % INCR_DEL_MOD == 0).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-cents).alias("dc")
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= INCR_CUT).select(
+        "o_custkey", F.lit(1).alias("dn"), cents.alias("dc")
+    )
+    delta = (
+        deletes.unionByName(inserts)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").cast("bigint").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    merged = base_mv.join(delta, "o_custkey", "full_outer").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.col("dn").isNotNull().alias("touched"),
+    )
+    return merged.filter(F.col("n_orders") > 0)
+
+
+ORACLE_INCR_AGG = f"""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{INCR_CUT}'
+),
+kept AS (
+  SELECT * FROM base WHERE o_orderkey % {INCR_DEL_MOD} != 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{INCR_CUT}'
+),
+touched_keys AS (
+  SELECT DISTINCT o_custkey FROM base WHERE o_orderkey % {INCR_DEL_MOD} = 0
+  UNION
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{INCR_CUT}'
+)
+SELECT k.o_custkey AS custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(CASE WHEN t.o_custkey IS NOT NULL THEN TRUE ELSE FALSE END) AS touched
+FROM kept k LEFT JOIN touched_keys t ON k.o_custkey = t.o_custkey
+GROUP BY k.o_custkey
+"""
+
+
 SPECS = [
     QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
               "MERGE INTO emulation: anti-join + union upsert"),
@@ -903,4 +986,6 @@ UNIT_SPECS = [
     QuerySpec("unit_sample_reservoir_weighted", q_sample_reservoir_weighted,
               ORACLE_SAMPLE_RESERVOIR_WEIGHTED,
               "A-ES weighted reservoir: K per stratum by -ln(u)/w race"),
+    QuerySpec("unit_incr_agg", q_incr_agg, ORACLE_INCR_AGG,
+              "incremental materialized-view maintenance under a CDC delta"),
 ]

@@ -600,6 +600,193 @@ FROM sk JOIN ex ON sk.priority = ex.priority
 """
 
 
+# --- Bloom-filter join pruning ------------------------------------------
+
+BLOOM_M = 4096       # filter bits, packed 63 per signed-64 word
+                     # (bit 63 would overflow DuckDB's checked <<)
+BLOOM_K = 4          # hash probes per key
+BLOOM_SEGMENT = "BUILDING"
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning audit (Bloom 1970): build an m=4096-bit
+    filter over the BUILDING-segment customer keys, probe every order's
+    o_custkey through it, and report the pruning quality against the
+    exact semi-join — bloom passes, true matches, false positives, the
+    guaranteed-zero false negatives, and the fraction of the fact table
+    the filter would prune before the join.
+
+    This is the row-level pre-join filter Spark itself injects at
+    runtime (``spark.sql.optimizer.runtime.bloomFilter.enabled``); the
+    declarative rebuild makes the mechanism auditable and the fp-rate
+    measurable. Hash family is DETERMINISTIC double hashing
+    (Kirsch & Mitzenmacher 2006): h_i = (h1 + i*h2) mod m with h1/h2
+    two 60-bit md5 slices — so the DuckDB oracle rebuilds the IDENTICAL
+    filter and the check is hash-exact (the HLL/CMS pattern).
+
+    Scale: the filter is a ≤64-row (word, bits) table built by one
+    map-side-combining groupBy over the DIM side only, broadcast to the
+    fact scan; the probe is k bit-tests per row via a broadcast join —
+    the 100 TB fact table is never shuffled. The audit aggregate is the
+    measurement you run before trusting the pruned plan."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+
+    def hashed(df: DataFrame, key) -> DataFrame:
+        m = F.md5(key.cast("string"))
+        return df.select(
+            "*",
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint").alias("h2"),
+        )
+
+    keys = (
+        cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    kpos = hashed(keys, F.col("k")).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+                lambda i: (F.col("h1") + i * F.col("h2")) % BLOOM_M,
+            )
+        ).alias("pos")
+    )
+    filt = (
+        kpos.select(
+            F.expr("pos DIV 63").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probes = (
+        hashed(orders.select(F.col("o_orderkey"), F.col("o_custkey").alias("k")), F.col("k"))
+        .select(
+            "o_orderkey",
+            "k",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+                    lambda i: (F.col("h1") + i * F.col("h2")) % BLOOM_M,
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "o_orderkey",
+            "k",
+            F.expr("pos DIV 63").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("mask"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(filt), "word", "left")
+        .groupBy("o_orderkey", "k")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False))
+            ).alias("bloom_pass")
+        )
+    )
+    mem = hits.join(
+        keys.select("k", F.lit(True).alias("is_member")), "k", "left"
+    ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    n_keys = keys.agg(F.count("*").alias("n_keys"))
+    bits_set = filt.agg(F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set"))
+    audit = mem.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.col("bloom_pass").cast("bigint")).alias("n_bloom_pass"),
+        F.sum(F.col("is_member").cast("bigint")).alias("n_true"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("bigint")).alias("n_false_pos"),
+        F.sum((~F.col("bloom_pass") & F.col("is_member")).cast("bigint")).alias("n_false_neg"),
+    )
+    return (
+        audit.crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            F.lit(BLOOM_SEGMENT).alias("segment"),
+            "n_keys",
+            "bits_set",
+            "n_probed",
+            "n_bloom_pass",
+            "n_true",
+            "n_false_pos",
+            "n_false_neg",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / F.greatest(F.col("n_probed") - F.col("n_true"), F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+            F.round(
+                F.lit(1.0) - F.col("n_bloom_pass").cast("double") / F.col("n_probed"), 6
+            ).alias("pruned_frac"),
+        )
+    )
+
+
+ORACLE_BLOOM_PRUNE = f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+),
+kh AS (
+  SELECT k,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 15)) AS BIGINT) AS h2
+  FROM keys
+),
+kp AS (
+  SELECT (h1 + gs.i * h2) % {BLOOM_M} AS pos
+  FROM kh, generate_series(0, {BLOOM_K - 1}) AS gs(i)
+),
+filt AS (
+  SELECT pos // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+  FROM kp GROUP BY 1
+),
+oh AS (
+  SELECT o_orderkey, o_custkey AS k,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 17, 15)) AS BIGINT) AS h2
+  FROM orders
+),
+opr AS (
+  SELECT o_orderkey, k,
+         (h1 + gs.i * h2) % {BLOOM_M} AS pos
+  FROM oh, generate_series(0, {BLOOM_K - 1}) AS gs(i)
+),
+hits AS (
+  SELECT o_orderkey, k,
+         bool_and(COALESCE(
+           (f.bits & (CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER))) != 0, FALSE))
+           AS bloom_pass
+  FROM opr LEFT JOIN filt f ON opr.pos // 63 = f.word
+  GROUP BY 1, 2
+),
+mem AS (
+  SELECT h.o_orderkey, h.bloom_pass, keys.k IS NOT NULL AS is_member
+  FROM hits h LEFT JOIN keys ON h.k = keys.k
+),
+a AS (
+  SELECT count(*) AS n_probed,
+         CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+         CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos,
+         CAST(sum(CASE WHEN NOT bloom_pass AND is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_neg
+  FROM mem
+)
+SELECT '{BLOOM_SEGMENT}' AS segment,
+       (SELECT count(*) FROM keys) AS n_keys,
+       (SELECT CAST(sum(bit_count(bits)) AS BIGINT) FROM filt) AS bits_set,
+       n_probed, n_bloom_pass, n_true, n_false_pos, n_false_neg,
+       ROUND(CAST(n_false_pos AS DOUBLE) / greatest(n_probed - n_true, 1), 6) AS fp_rate,
+       ROUND(1.0 - CAST(n_bloom_pass AS DOUBLE) / n_probed, 6) AS pruned_frac
+FROM a
+"""
+
+
 SPECS = [
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
@@ -622,4 +809,6 @@ UNIT_SPECS = [
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
               "join-key skew diagnostics: top-N heavy keys + shares"),
+    QuerySpec("unit_bloom_prune", q_bloom_prune, ORACLE_BLOOM_PRUNE,
+              "Bloom-filter join pruning audit, deterministic hash-exact filter"),
 ]
