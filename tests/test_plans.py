@@ -379,3 +379,34 @@ def test_bloom_probe_broadcasts_filter_never_shuffles_fact(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     for cols in read_schema_columns(df):
         assert cols <= {"o_orderkey", "o_custkey", "c_custkey", "c_mktsegment"}, cols
+
+
+def test_exact_substr_span_shuffle_is_hashes_only(spark, sf_dir):
+    """The hot-span groupBy partial-aggregates map-side and shuffles
+    hashes, not text; no cartesian, no Python stage."""
+    from validation_database_spark.suite.text import q_exact_substr_spans
+
+    df = q_exact_substr_spans(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_triangle_wedges_equijoin_only(spark, sf_dir):
+    """Degree-oriented wedge enumeration is equi-joins end to end —
+    no cartesian / nested-loop stage anywhere in the kernel."""
+    from validation_database_spark.suite.advanced import q_triangle_counts
+
+    plan = physical_plan(q_triangle_counts(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_psi_counts_combine_map_side(spark, sf_dir):
+    from validation_database_spark.suite.quality import q_psi_drift
+
+    plan = physical_plan(q_psi_drift(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -453,7 +453,125 @@ FROM best
 """
 
 
+# --- triangle counting over the co-purchase graph ------------------------
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting + local clustering coefficient on
+    the part co-purchase graph (parts are adjacent when some order
+    contains both) — with PageRank (`operators/graph.py`) and connected
+    components (`dedup_clusters`), the third classic graph kernel.
+
+    Spark plan is the DEGREE-ORIENTED algorithm (Suri &
+    Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
+    Reducer"): orient every edge toward the (degree, id)-larger
+    endpoint, enumerate wedges only at each triangle's SMALLEST vertex,
+    and close them against the oriented edge list. Wedge count drops
+    from Σ deg² to Σ d_out² with d_out ≤ O(√|E|) — the hub that ruins
+    the naive plan fans out by its degree, not degree². The oracle is
+    the naive a<b<c triple self-join: same triangles, independently
+    derived.
+
+    Scale: edges are distinct (min,max) part pairs per order — the
+    per-order pair fan-out is bounded by order size². Two equi-joins on
+    vertex keys (AQE-planned), one broadcast of the O(V) degree table;
+    the final per-vertex rollup unions each triangle's three vertices.
+    All-integer except the rounded coefficient."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    e1 = li.alias("x").join(li.alias("y"), "l_orderkey").select(
+        F.least("x.l_partkey", "y.l_partkey").alias("a"),
+        F.greatest("x.l_partkey", "y.l_partkey").alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+    deg = (
+        e1.select(F.col("a").alias("v"))
+        .unionAll(e1.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total order on vertices: rank key = (deg, v) folded to one bigint
+    rk = deg.select("v", (F.col("deg") * F.lit(10_000_000) + F.col("v")).alias("r"))
+    ranked = (
+        e1.join(F.broadcast(rk).withColumnRenamed("v", "a").withColumnRenamed("r", "ra"), "a")
+        .join(F.broadcast(rk).withColumnRenamed("v", "b").withColumnRenamed("r", "rb"), "b")
+    )
+    oriented = ranked.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.least("ra", "rb").alias("ru"),
+        F.greatest("ra", "rb").alias("rw"),
+    )
+    wedges = (
+        oriented.alias("p")
+        .join(oriented.alias("q"), F.col("p.u") == F.col("q.u"))
+        .filter(F.col("p.rw") < F.col("q.rw"))
+        .select(
+            F.col("p.u").alias("t1"),
+            F.col("p.w").alias("t2"),
+            F.col("q.w").alias("t3"),
+        )
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("t2"), F.col("w").alias("t3")),
+        ["t2", "t3"],
+    )
+    per_vertex = (
+        tri.select(F.col("t1").alias("v"))
+        .unionAll(tri.select(F.col("t2").alias("v")))
+        .unionAll(tri.select(F.col("t3").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_vertex, "v", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("v").alias("partkey"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                (F.coalesce("n_triangles", F.lit(0)) * 2).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+ORACLE_TRIANGLE_COUNTS = """
+WITH e AS (
+  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                  greatest(x.l_partkey, y.l_partkey) AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey OR y.l_partkey < x.l_partkey
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+),
+tri AS (
+  SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pv AS (
+  SELECT v, count(*) AS n_triangles FROM (
+    SELECT t1 AS v FROM tri UNION ALL SELECT t2 FROM tri UNION ALL SELECT t3 FROM tri
+  ) GROUP BY v
+)
+SELECT deg.v AS partkey,
+       CAST(deg AS BIGINT) AS degree,
+       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CAST(COALESCE(n_triangles, 0) * 2 AS DOUBLE) / (deg * (deg - 1)), 6)
+         AS clustering
+FROM deg LEFT JOIN pv ON deg.v = pv.v
+WHERE deg >= 2
+"""
+
+
 UNIT_SPECS = [
+    QuerySpec("unit_triangle_counts", q_triangle_counts, ORACLE_TRIANGLE_COUNTS,
+              "degree-oriented triangle counting + clustering coefficient"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
               "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
     QuerySpec("unit_session_week_overlap", q_session_week_overlap,

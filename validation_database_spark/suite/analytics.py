@@ -211,6 +211,43 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE(order_year, status): all four grouping levels —
+    (year, status), per-year, per-status, grand total — in one pass,
+    each row tagged with the 2-bit grouping id (year bit 2, status
+    bit 1), completing the rollup/pivot family with the full lattice.
+    Exact integer cents; one map-side-combining aggregate (Spark
+    expands the cube BEFORE the shuffle, so the exchange carries 4×
+    group partials, never 4× rows)."""
+    orders = load_table(spark, "orders", sf_dir)
+    pre = orders.select(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return pre.cube("order_year", "status").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        (F.grouping("order_year") * 2 + F.grouping("status"))
+        .cast("bigint")
+        .alias("gid"),
+    )
+
+
+ORACLE_CUBE_SALES = """
+WITH pre AS (
+  SELECT year(o_orderdate) AS order_year, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT order_year, status, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(GROUPING(order_year) * 2 + GROUPING(status) AS BIGINT) AS gid
+FROM pre
+GROUP BY CUBE(order_year, status)
+"""
+
+
 # --- distinct aggregation ---------------------------------------------
 
 def q_distinct_parts_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,6 +756,8 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
               "ROLLUP grouping-set aggregation"),
+    QuerySpec("unit_cube_sales", q_cube_sales, ORACLE_CUBE_SALES,
+              "CUBE full grouping lattice with grouping-id tags"),
     QuerySpec("unit_running_order_total", q_running_order_total,
               ORACLE_RUNNING_ORDER_TOTAL, "per-customer running total window"),
     # rotated out of the driver window in round 4 (driver-green r1-r3):

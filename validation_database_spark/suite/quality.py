@@ -787,6 +787,114 @@ FROM a
 """
 
 
+# --- distribution drift: PSI between two snapshots -----------------------
+
+PSI_YEAR_A = 1995
+PSI_YEAR_B = 1998
+PSI_BAND = 50_000  # o_totalprice band width
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two yearly order snapshots —
+    the standard ML-monitoring drift screen (PSI < 0.1 stable, > 0.25
+    drifted) run over fixed price bands: psi = Σ (p_a − p_b)·ln(p_a/p_b).
+    Complements `unit_ab_ztest` (mean shift) with a full-distribution
+    comparison, and `dq_benford` (one snapshot vs a law) with
+    snapshot-vs-snapshot.
+
+    Determinism: bands are fixed-width (no quantile sort); shares use
+    add-one smoothing over the observed band grid so empty bands stay
+    finite; each band's psi term is rounded to 6 decimals and the total
+    is an exact DECIMAL(18,6) sum of the rounded terms — float ln/÷ are
+    written in identical textual order in both engines, and no
+    order-dependent float accumulation exists anywhere.
+
+    Scale: two map-side-combining counts into O(bands) rows, a tiny
+    full-outer band merge, one broadcast of the two totals — input size
+    only touches the first aggregation."""
+    orders = load_table(spark, "orders", sf_dir)
+    band = F.floor(F.col("o_totalprice") / PSI_BAND).cast("bigint")
+
+    def counts(year: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy(band.alias("band"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = counts(PSI_YEAR_A, "n_a")
+    b = counts(PSI_YEAR_B, "n_b")
+    grid = a.join(b, "band", "full_outer").select(
+        "band",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = grid.agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count("*").alias("n_bands"),
+    )
+    w = grid.crossJoin(F.broadcast(tot))
+    p_a = (F.col("n_a") + 1).cast("double") / (F.col("tot_a") + F.col("n_bands")).cast("double")
+    p_b = (F.col("n_b") + 1).cast("double") / (F.col("tot_b") + F.col("n_bands")).cast("double")
+    term = F.round((p_a - p_b) * F.log(p_a / p_b), 6)
+    per_band = w.select(
+        "band",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        term.alias("psi_term"),
+    )
+    total = per_band.agg(
+        F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double").alias("psi_total")
+    )
+    return per_band.crossJoin(F.broadcast(total)).select(
+        "band", "n_a", "n_b", "p_a", "p_b", "psi_term",
+        "psi_total", (F.col("psi_total") > 0.25).alias("drifted"),
+    )
+
+
+ORACLE_PSI_DRIFT = f"""
+WITH a AS (
+  SELECT CAST(floor(o_totalprice / {PSI_BAND}) AS BIGINT) AS band, count(*) AS n_a
+  FROM orders WHERE year(o_orderdate) = {PSI_YEAR_A} GROUP BY 1
+),
+b AS (
+  SELECT CAST(floor(o_totalprice / {PSI_BAND}) AS BIGINT) AS band, count(*) AS n_b
+  FROM orders WHERE year(o_orderdate) = {PSI_YEAR_B} GROUP BY 1
+),
+grid AS (
+  SELECT COALESCE(a.band, b.band) AS band,
+         CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL OUTER JOIN b ON a.band = b.band
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b,
+         count(*) AS n_bands
+  FROM grid
+),
+per_band AS (
+  SELECT band, n_a, n_b,
+         ROUND(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_bands AS DOUBLE), 6) AS p_a,
+         ROUND(CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bands AS DOUBLE), 6) AS p_b,
+         ROUND((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_bands AS DOUBLE)
+                - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bands AS DOUBLE))
+               * ln((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_bands AS DOUBLE))
+                    / (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bands AS DOUBLE))), 6)
+           AS psi_term
+  FROM grid CROSS JOIN tot
+),
+total AS (
+  SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE) AS psi_total
+  FROM per_band
+)
+SELECT band, n_a, n_b, p_a, p_b, psi_term, psi_total, psi_total > 0.25 AS drifted
+FROM per_band CROSS JOIN total
+"""
+
+
 SPECS = [
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
@@ -811,4 +919,6 @@ UNIT_SPECS = [
               "join-key skew diagnostics: top-N heavy keys + shares"),
     QuerySpec("unit_bloom_prune", q_bloom_prune, ORACLE_BLOOM_PRUNE,
               "Bloom-filter join pruning audit, deterministic hash-exact filter"),
+    QuerySpec("unit_psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,
+              "PSI distribution-drift screen between two snapshots"),
 ]

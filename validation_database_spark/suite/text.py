@@ -1678,6 +1678,150 @@ FROM enc GROUP BY doc_id
 """
 
 
+# --- ExactSubstr-style duplicated-span accounting ------------------------
+
+ESS_L = 16  # span length in tokens (Lee et al. 2021 use 50; fixture docs are short)
+
+
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN accounting — the fixed-window
+    approximation of ExactSubstr dedup (Lee, Ippolito et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes any ≥50-token span occurring twice in the corpus; their
+    suffix array is replaced here by stride-1 rolling window hashes,
+    the distributable form of the same predicate: a duplicated span of
+    length ≥ L+k implies k+1 duplicated L-windows). Every L=16-token
+    window is md5-hashed; windows whose hash occurs in ≥2 distinct
+    docs are duplicate positions; per doc, overlapping duplicate
+    windows merge into maximal islands (gaps-and-islands: break when
+    the next start clears the previous window), and the report is
+    (n_spans, n_dup_spans, n_islands, dup_tokens, dup_ratio) — the
+    snip-these-ranges work order ExactSubstr hands the trainer,
+    where `unit_boilerplate_blocks` only scores coarse 32-token
+    aligned blocks.
+
+    Scale: spans are a narrow map (hash + position, text not carried);
+    the hot-hash groupBy shuffles O(spans) 16-byte hashes with
+    map-side combine; island windows run per doc over only its
+    duplicate positions. Stride-1 costs L× the block variant's span
+    count — the price of unaligned detection; at 100 TB you shard the
+    hash space (the groupBy key) and both stages stay linear."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tok")
+    )
+    spans = base.filter(F.col("n_tok") >= ESS_L).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_tok") - ESS_L + 1)).alias("p"),
+        F.col("toks"),
+    ).select(
+        "doc_id", "p",
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("p"), ESS_L), " ")).alias("h"),
+    )
+    hot = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    from pyspark.sql import Window
+
+    dup = spans.join(hot, "h").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = (
+        dup.withColumn("lag_p", F.lag("p").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("lag_p").isNull() | (F.col("p") - F.col("lag_p") > ESS_L), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_island = isl.groupBy("doc_id", "island").agg(
+        (F.max("p") - F.min("p") + ESS_L).alias("tok_span")
+    )
+    per_doc_dup = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
+    per_doc_isl = per_island.groupBy("doc_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("tok_span").cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tok")
+        .withColumn(
+            "n_spans",
+            F.greatest(F.col("n_tok") - ESS_L + 1, F.lit(0)).cast("bigint"),
+        )
+        .join(per_doc_dup, "doc_id", "left")
+        .join(per_doc_isl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tok"), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+ORACLE_EXACT_SUBSTR_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
+),
+base AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+spans AS (
+  SELECT doc_id, p,
+         md5(array_to_string(list_slice(toks, p, p + {ESS_L} - 1), ' ')) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, n_tok - {ESS_L} + 2)) AS p
+    FROM base WHERE n_tok >= {ESS_L}
+  )
+),
+hot AS (
+  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT doc_id, p FROM spans JOIN hot USING (h)),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN lag_p IS NULL OR p - lag_p > {ESS_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lag_p
+    FROM dup
+  )
+),
+per_island AS (
+  SELECT doc_id, island, max(p) - min(p) + {ESS_L} AS tok_span
+  FROM isl GROUP BY doc_id, island
+),
+pdd AS (SELECT doc_id, count(*) AS n_dup_spans FROM dup GROUP BY doc_id),
+pdi AS (
+  SELECT doc_id, count(*) AS n_islands,
+         CAST(sum(tok_span) AS BIGINT) AS dup_tokens
+  FROM per_island GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(greatest(n_tok - {ESS_L} + 1, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(n_islands, 0) AS BIGINT) AS n_islands,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / greatest(n_tok, 1), 6)
+         AS dup_ratio
+FROM base b
+LEFT JOIN pdd ON b.doc_id = pdd.doc_id
+LEFT JOIN pdi ON b.doc_id = pdi.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
               "one-scan document profiler: tokens/quality/lang/fingerprints/"
@@ -1730,6 +1874,9 @@ UNIT_SPECS = [
     QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
               ORACLE_BOILERPLATE_BLOCKS,
               "cross-document boilerplate block detection (block-hash dedup)"),
+    QuerySpec("unit_exact_substr_spans", q_exact_substr_spans,
+              ORACLE_EXACT_SUBSTR_SPANS,
+              "ExactSubstr-style duplicated-span islands per doc"),
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
