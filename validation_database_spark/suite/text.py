@@ -1678,6 +1678,251 @@ FROM enc GROUP BY doc_id
 """
 
 
+# --- linear quality-classifier application --------------------------------
+
+QC_DIM = 64
+# "Pretrained" fasttext-style linear model over the 64 hashing-trick
+# buckets, embedded as integer milli-logit literals (Knuth-hash spread,
+# zero-mean-ish). Production shape: train offline, ship the weight
+# vector as literals / a broadcast array, score with pure JVM ops.
+QC_WEIGHTS = [((b * 2654435761) % 4001) - 2000 for b in range(QC_DIM)]
+QC_THRESH_MILLI = 0  # keep iff avg token milli-logit > 0
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words quality classifier APPLICATION — the
+    fasttext-style model-scoring primitive of a crawl pipeline (score
+    every doc with a tiny linear model, keep the high-logit ones; cf.
+    the CCNet/GPT-3 quality-filter setup). Each token hashes to one of
+    64 buckets (the `unit_text_hash_embeddings` feature space); the
+    doc score is the mean bucket weight of its tokens.
+
+    Exactness: weights are integer milli-logits, the doc sum is an
+    exact bigint, and the keep decision is the integer
+    cross-multiplication ``sum_w > thresh · n_tok`` — no float
+    boundary anywhere; the reported mean is one shared-shape division
+    rounded to 6. (A sigmoid would add nothing: it is monotone, and
+    its exp() is exactly the last-ulp cross-engine hazard the suite
+    avoids by policy.)
+
+    Scale: narrow map over the token array — one md5 + one broadcast
+    64-int lookup per token, zero shuffles before the final (absent
+    here) filter; the weight vector rides in the plan as a literal
+    array exactly like a broadcast model would."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    warr = F.array(*[F.lit(w) for w in QC_WEIGHTS])
+    per_tok = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr, (F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int") % QC_DIM) + 1
+        ).cast("bigint"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.aggregate(per_tok, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "sum_w_milli"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "sum_w_milli",
+        F.round(
+            F.col("sum_w_milli").cast("double") / F.greatest("n_tokens", F.lit(1)), 6
+        ).alias("avg_w_milli"),
+        (F.col("sum_w_milli") > QC_THRESH_MILLI * F.col("n_tokens")).alias("keep"),
+    )
+
+
+def _oracle_quality_classifier() -> str:
+    weights = ", ".join(str(w) for w in QC_WEIGHTS)
+    return f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_aggregate(list_transform(toks,
+           tok -> [{weights}][
+             (((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+              % {QC_DIM}) + 1]), 'sum') AS BIGINT) AS sum_w_milli
+  FROM t
+)
+SELECT doc_id, n_tokens, COALESCE(sum_w_milli, 0) AS sum_w_milli,
+       ROUND(CAST(COALESCE(sum_w_milli, 0) AS DOUBLE) / greatest(n_tokens, 1), 6)
+         AS avg_w_milli,
+       COALESCE(sum_w_milli, 0) > {QC_THRESH_MILLI} * n_tokens AS keep
+FROM s
+"""
+
+
+# --- crawl-order n-gram novelty -------------------------------------------
+
+NOV_N = 8  # shingle width
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-order novelty curve: for each doc (in doc_id = arrival
+    order), the fraction of its distinct 8-gram shingles whose FIRST
+    corpus occurrence is this doc — the marginal-new-content measure a
+    curation pipeline uses to decide when a source is mined out
+    (complement of the dedup family: dedup asks "is this a copy?",
+    novelty asks "how much of this is new at all?").
+
+    One shingle scan → per-shingle min(doc_id) (map-side combining
+    groupBy on the md5 key) → join back → per-doc ratio. Shuffles
+    carry 16-byte hashes only; ties are impossible (min over the
+    arrival order is unique per shingle)."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    sh = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= NOV_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - NOV_N + 1),
+                        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, NOV_N), " ")),
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias(
+            "novelty_ratio"
+        ),
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH t AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + {NOV_N} - 1), ' ')) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - {NOV_N} + 2)) AS i
+    FROM t WHERE len(toks) >= {NOV_N}
+  )
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty_ratio
+FROM sh JOIN first USING (h)
+GROUP BY doc_id
+"""
+
+
+# --- Zipf's-law fit over the corpus vocabulary ----------------------------
+
+ZIPF_TOP = 100  # fit over the top-K terms by frequency
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS fit of ln(freq) against ln(rank)
+    over the top-100 corpus terms — natural text slopes ≈ −1; a
+    synthetic or template-heavy corpus shows up as a flat or kinked
+    curve. The corpus-statistics sibling of `unit_text_entropy`
+    (per-doc) at whole-corpus grain.
+
+    Determinism: ranks are unique (freq desc, term asc); per-term
+    ln(rank)/ln(freq) are rounded to 6 and the five OLS moments are
+    EXACT DECIMAL sums of the rounded terms; only the final
+    slope/intercept expressions are float, written identically in both
+    engines. The top-K select is TakeOrdered (bounded), never a global
+    sort of the vocabulary."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    top = vocab.orderBy(F.desc("freq"), "tok").limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("freq"), "tok")
+    xy = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(F.col(c).cast("decimal(28,6)")).cast("double")
+
+    moments = xy.select(
+        "x", "y",
+        F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,6)").alias("xy"),
+        F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,6)").alias("xx"),
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return moments.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH vocab AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({_tokens_sql('text')}) AS tok FROM documents)
+  GROUP BY tok
+),
+top AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rk
+  FROM vocab ORDER BY freq DESC, tok LIMIT {ZIPF_TOP}
+),
+xy AS (
+  SELECT ROUND(ln(CAST(rk AS DOUBLE)), 6) AS x,
+         ROUND(ln(CAST(freq AS DOUBLE)), 6) AS y
+  FROM top
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept
+FROM m
+"""
+
+
 # --- ExactSubstr-style duplicated-span accounting ------------------------
 
 ESS_L = 16  # span length in tokens (Lee et al. 2021 use 50; fixture docs are short)
@@ -1877,6 +2122,13 @@ UNIT_SPECS = [
     QuerySpec("unit_exact_substr_spans", q_exact_substr_spans,
               ORACLE_EXACT_SUBSTR_SPANS,
               "ExactSubstr-style duplicated-span islands per doc"),
+    QuerySpec("unit_quality_classifier", q_quality_classifier,
+              _oracle_quality_classifier(),
+              "linear BoW quality-model scoring, integer-exact logits"),
+    QuerySpec("unit_ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
+              "crawl-order marginal-novelty ratio per doc"),
+    QuerySpec("unit_zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
+              "Zipf's-law OLS fit over the top-100 corpus terms"),
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
