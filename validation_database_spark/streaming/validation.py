@@ -419,3 +419,98 @@ def latest_cdc_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
         and os.path.exists(os.path.join(out_dir, d, "_CDC_COMMITTED"))
     )
     return spark.read.parquet(os.path.join(out_dir, f"v{versions[-1]}"))
+
+
+def streaming_mv_maintain(
+    spark: SparkSession,
+    deltas: DataFrame,
+    initial_view_path: str,
+    out_dir: str,
+    key: str,
+    checkpoint: str,
+):
+    """Continuously maintain a (key, n_orders, sum_cents) aggregate
+    view under a CDC delta stream — the streaming twin of
+    ``suite.pipeline.q_incr_agg`` and the foreachBatch form of a
+    streaming materialized view: each micro-batch reduces to per-group
+    (Δn, Δcents) partials (map-side combining, O(batch) work), which
+    FULL-OUTER-merge into the latest committed view version; groups
+    whose count reaches zero drop out. Valid because COUNT/SUM are
+    abelian-group aggregates — the same algebra that makes the batch
+    operator's oracle a from-scratch recompute.
+
+    Exactly-once exactly as ``streaming_cdc_apply``: versioned output
+    directories sealed by a ``_MV_COMMITTED`` marker make replayed
+    batchIds no-ops after checkpoint recovery. Batch-split invariance
+    (any partitioning of the delta stream into micro-batches yields
+    the same final view) holds because group-wise addition is
+    associative and commutative; ``tests/test_streaming_mv.py`` pins
+    the 1-batch vs many-batch equivalence and the recovery replay.
+
+    Delta rows carry (key, dn, dc): dn=+1/dc=+cents for an insert,
+    dn=-1/dc=-cents for a delete of a row whose before-image the CDC
+    stream provides (the Debezium shape)."""
+    import os
+
+    def _committed() -> list[int]:
+        if not os.path.isdir(out_dir):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(out_dir)
+            if d.startswith("v")
+            and os.path.exists(os.path.join(out_dir, d, "_MV_COMMITTED"))
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        dest = os.path.join(out_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(dest, "_MV_COMMITTED")):
+            return  # replayed after recovery — already applied
+        prior = [v for v in _committed() if v < batch_id]
+        src = (
+            os.path.join(out_dir, f"v{max(prior)}")
+            if prior
+            else initial_view_path
+        )
+        view = spark.read.parquet(src)
+        partial = batch_df.groupBy(key).agg(
+            F.sum("dn").cast("bigint").alias("dn"),
+            F.sum("dc").cast("bigint").alias("dc"),
+        )
+        merged = (
+            view.join(partial, key, "full_outer")
+            .select(
+                F.col(key),
+                (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                .cast("bigint")
+                .alias("n_orders"),
+                (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .filter(F.col("n_orders") > 0)
+        )
+        merged.write.mode("overwrite").parquet(dest)
+        with open(os.path.join(dest, "_MV_COMMITTED"), "w"):
+            pass
+
+    return (
+        deltas.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_mv_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the highest committed view version written by
+    :func:`streaming_mv_maintain`."""
+    import os
+
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(out_dir)
+        if d.startswith("v")
+        and os.path.exists(os.path.join(out_dir, d, "_MV_COMMITTED"))
+    )
+    return spark.read.parquet(os.path.join(out_dir, f"v{versions[-1]}"))
