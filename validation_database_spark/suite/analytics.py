@@ -248,6 +248,93 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+_CORR_VARS = ["qty", "price", "disc", "tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (upper triangle) over the lineitem
+    measures — the feature-screening pass before any modeling step —
+    from EXACT integer moments: quantity/price/discount/tax are
+    integerized (units/cents/bp), every Σx, Σxy, Σx² accumulates in
+    DECIMAL(38,0) (Σ price² overflows int64 past ~sf0.05 — the decimal
+    lattice is the point, not pedantry), and only the final shared-
+    shape corr formula is float, rounded to 6. One single-pass
+    aggregation (all 14 moments map-side-combine in one scan); the
+    6-row matrix is a stack over that one row."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ints = {
+        "qty": F.round(F.col("l_quantity")).cast("bigint"),
+        "price": F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+        "disc": F.round(F.col("l_discount") * 100).cast("bigint"),
+        "tax": F.round(F.col("l_tax") * 100).cast("bigint"),
+    }
+    pre = li.select(*[v.alias(k) for k, v in ints.items()])
+    aggs = [F.count("*").cast("double").alias("n")]
+    for v in _CORR_VARS:
+        aggs.append(F.sum(F.col(v).cast("decimal(38,0)")).cast("double").alias(f"s_{v}"))
+        aggs.append(
+            F.sum((F.col(v) * F.col(v)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{v}{v}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_VARS) for b in _CORR_VARS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}{b}")
+        )
+    one = pre.agg(*aggs)
+
+    def corr_sql(a: str, b: str) -> str:
+        return (
+            f"ROUND((n * s_{a}{b} - s_{a} * s_{b}) / "
+            f"(sqrt(n * s_{a}{a} - s_{a} * s_{a}) * "
+            f"sqrt(n * s_{b}{b} - s_{b} * s_{b})), 6)"
+        )
+
+    rows = ", ".join(f"'{a}', '{b}', {corr_sql(a, b)}" for a, b in pairs)
+    return one.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"stack({len(pairs)}, {rows}) AS (var_x, var_y, corr)",
+    ).select("var_x", "var_y", "n_rows", "corr")
+
+
+def _oracle_corr_matrix() -> str:
+    ints = {
+        "qty": "CAST(round(l_quantity) AS BIGINT)",
+        "price": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "disc": "CAST(round(l_discount * 100) AS BIGINT)",
+        "tax": "CAST(round(l_tax * 100) AS BIGINT)",
+    }
+    moments = ["CAST(count(*) AS DOUBLE) AS n"]
+    for v in _CORR_VARS:
+        moments.append(f"CAST(sum(CAST({v} AS DECIMAL(38,0))) AS DOUBLE) AS s_{v}")
+        moments.append(
+            f"CAST(sum(CAST({v} * {v} AS DECIMAL(38,0))) AS DOUBLE) AS s_{v}{v}"
+        )
+    pairs = [(a, b) for i, a in enumerate(_CORR_VARS) for b in _CORR_VARS[i + 1:]]
+    for a, b in pairs:
+        moments.append(
+            f"CAST(sum(CAST({a} * {b} AS DECIMAL(38,0))) AS DOUBLE) AS s_{a}{b}"
+        )
+    sel = ", ".join(f"{e} AS {k}" for k, e in ints.items())
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS var_x, '{b}' AS var_y, CAST(n AS BIGINT) AS n_rows, "
+        f"ROUND((n * s_{a}{b} - s_{a} * s_{b}) / "
+        f"(sqrt(n * s_{a}{a} - s_{a} * s_{a}) * sqrt(n * s_{b}{b} - s_{b} * s_{b})), 6)"
+        f" AS corr FROM m"
+        for a, b in pairs
+    )
+    return f"""
+WITH pre AS (SELECT {sel} FROM lineitem),
+m AS (SELECT {', '.join(moments)} FROM pre)
+{branches}
+"""
+
+
 # --- distinct aggregation ---------------------------------------------
 
 def q_distinct_parts_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +845,8 @@ UNIT_SPECS = [
               "ROLLUP grouping-set aggregation"),
     QuerySpec("unit_cube_sales", q_cube_sales, ORACLE_CUBE_SALES,
               "CUBE full grouping lattice with grouping-id tags"),
+    QuerySpec("unit_corr_matrix", q_corr_matrix, _oracle_corr_matrix(),
+              "Pearson correlation matrix from exact decimal moments"),
     QuerySpec("unit_running_order_total", q_running_order_total,
               ORACLE_RUNNING_ORDER_TOTAL, "per-customer running total window"),
     # rotated out of the driver window in round 4 (driver-green r1-r3):

@@ -640,7 +640,108 @@ FROM ret JOIN sz ON ret.cohort_week = sz.cohort_week
 """
 
 
+# --- robust (median/MAD) outlier detection -------------------------------
+
+MAD_K = 0.6745      # Φ⁻¹(0.75): scales MAD to σ under normality
+MAD_CUT = 3.5       # Iglewicz–Hoaglin modified-z threshold
+
+
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: modified z-score
+    0.6745·(x − median)/MAD flagged at |z| > 3.5 (Iglewicz & Hoaglin
+    1993) — the heavy-tail-safe sibling of `events_anomalies`' mean/σ
+    z-score, whose moments a single extreme value can drag.
+
+    Exact order statistics, no approx-percentile: the median is the
+    element at position ⌈n/2⌉ under the total order (value, event_id)
+    — deterministic under ties — and the MAD repeats the same trick on
+    |x − median|; both engines pick the identical element, so the only
+    float ops are the final shared-shape scale/divide, rounded to 6.
+
+    Scale: two per-type window passes (hash-partitioned by the
+    16-value type column, never a global sort) + one broadcast of the
+    16-row median table. The rank-based exact median is the fixture
+    posture; at 100 TB the same operator runs on remote-error-tolerant
+    approx medians or a t-digest — flagged here as the deliberate
+    exactness choice that makes the oracle hash-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        ev.withColumn("rk", F.row_number().over(wt))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+        .filter(F.col("rk") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("rk", F.row_number().over(wd))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+        .filter(F.col("rk") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    z = F.round(
+        F.lit(MAD_K) * (F.col("value") - F.col("med")) / F.nullif("mad", F.lit(0.0)), 6
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            z.alias("robust_z"),
+            (F.abs(z) > MAD_CUT).alias("is_outlier"),
+        )
+    )
+
+
+ORACLE_MAD_ANOMALIES = f"""
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+rk1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type, value AS med FROM rk1 WHERE rk = (n + 1) // 2
+),
+dev AS (
+  SELECT ev.event_id, ev.event_type, ev.value, med,
+         abs(ev.value - med) AS adev
+  FROM ev JOIN med USING (event_type)
+),
+rk2 AS (
+  SELECT event_type, adev,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, adev AS mad FROM rk2 WHERE rk = (n + 1) // 2
+)
+SELECT event_id, d.event_type AS event_type, value,
+       ROUND(med, 6) AS median_value,
+       ROUND(mad, 6) AS mad,
+       ROUND({MAD_K} * (value - med) / nullif(mad, 0.0), 6) AS robust_z,
+       abs(ROUND({MAD_K} * (value - med) / nullif(mad, 0.0), 6)) > {MAD_CUT}
+         AS is_outlier
+FROM dev d JOIN mad USING (event_type)
+"""
+
+
 UNIT_SPECS = [
+    QuerySpec("unit_mad_anomalies", q_mad_anomalies, ORACLE_MAD_ANOMALIES,
+              "median/MAD modified-z robust outlier flags per type"),
     QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,
               "strict-order funnel: stage N only after stage N-1"),
     QuerySpec("unit_cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
