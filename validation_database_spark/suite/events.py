@@ -739,7 +739,119 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- watermark tuning: out-of-orderness audit ----------------------------
+
+LATE_BANDS_S = [0, 60, 300, 1800, 3600]  # lateness band edges (seconds)
+
+
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time out-of-orderness audit — the measurement you run
+    BEFORE choosing a streaming watermark delay (`withWatermark`):
+    per event type, each event's lateness is how far it arrives behind
+    the running event-time maximum in arrival order. The fixture's
+    event_id order is perfectly time-sorted (zero disorder — a dead
+    audit), so arrival is modeled as hash-shuffled WITHIN 10-minute
+    ingest buckets (md5(event_id) order inside each bucket): the
+    deterministic stand-in for network/partition jitter that bounds
+    disorder at the bucket width, exactly the regime a watermark must
+    absorb;
+    reported as a fixed lateness-band histogram (on-time, ≤1m, ≤5m,
+    ≤30m, ≤1h, >1h) plus the exact max and the exact-rank p95. A
+    watermark of the p95 band bounds dropped-late-data to 5% — turning
+    the delay knob from folklore into a measured quantity; the
+    `tests/test_streaming*` watermarks are the consumers of exactly
+    this number.
+
+    Determinism: running max is a per-type window in (event_id) total
+    order; lateness is integer seconds (`timestampdiff`); p95 is the
+    element at ⌈0.95·n⌉ under the (lateness, event_id) order — the
+    exact-order-statistic trick shared with `unit_mad_anomalies`.
+
+    Scale: one per-type window pass + one map-side-combining histogram
+    agg; the rank-select runs over the same shuffle. Nothing global."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "event_type", "ts")
+        .withColumn("bucket", F.expr("timestampdiff(MICROSECOND, timestamp_ntz'2000-01-01', ts) DIV 600000000"))
+        .withColumn("arr", F.md5(F.col("event_id").cast("string")))
+    )
+    wa = Window.partitionBy("event_type").orderBy("bucket", "arr")
+    late = ev.withColumn(
+        "run_max", F.max("ts").over(wa.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "late_us", F.expr("timestampdiff(MICROSECOND, ts, run_max)")
+    ).withColumn("late_s", F.expr("late_us DIV 1000000"))
+    wr = Window.partitionBy("event_type").orderBy("late_us", "event_id")
+    ranked = late.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    p95 = ranked.filter(
+        F.col("rk") == F.expr("CAST(ceil(0.95 * n) AS BIGINT)")
+    ).select("event_type", F.col("late_s").alias("p95_late_s"))
+    b = F.col("late_s")
+    hist = late.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((b <= LATE_BANDS_S[0]).cast("bigint")).alias("on_time"),
+        F.sum(((b > LATE_BANDS_S[0]) & (b <= LATE_BANDS_S[1])).cast("bigint")).alias("late_1m"),
+        F.sum(((b > LATE_BANDS_S[1]) & (b <= LATE_BANDS_S[2])).cast("bigint")).alias("late_5m"),
+        F.sum(((b > LATE_BANDS_S[2]) & (b <= LATE_BANDS_S[3])).cast("bigint")).alias("late_30m"),
+        F.sum(((b > LATE_BANDS_S[3]) & (b <= LATE_BANDS_S[4])).cast("bigint")).alias("late_1h"),
+        F.sum((b > LATE_BANDS_S[4]).cast("bigint")).alias("late_over_1h"),
+        F.max("late_s").alias("max_late_s"),
+    )
+    return hist.join(p95, "event_type")
+
+
+ORACLE_WATERMARK_AUDIT = f"""
+WITH {{EV}},
+late AS (
+  SELECT event_id, event_type,
+         (epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY bucket, arr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          - epoch_us(ts)) AS late_us,
+         (epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY bucket, arr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          - epoch_us(ts)) // 1000000 AS late_s
+  FROM (
+    SELECT event_id, event_type, ts,
+           (epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 600000000 AS bucket,
+           md5(CAST(event_id AS VARCHAR)) AS arr
+    FROM ev
+  )
+),
+ranked AS (
+  SELECT event_type, late_s,
+         row_number() OVER (PARTITION BY event_type ORDER BY late_us, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM late
+),
+p95 AS (
+  SELECT event_type, late_s AS p95_late_s
+  FROM ranked WHERE rk = CAST(ceil(0.95 * n) AS BIGINT)
+),
+hist AS (
+  SELECT event_type, count(*) AS n_events,
+         CAST(sum(CASE WHEN late_s <= {LATE_BANDS_S[0]} THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+         CAST(sum(CASE WHEN late_s > {LATE_BANDS_S[0]} AND late_s <= {LATE_BANDS_S[1]} THEN 1 ELSE 0 END) AS BIGINT) AS late_1m,
+         CAST(sum(CASE WHEN late_s > {LATE_BANDS_S[1]} AND late_s <= {LATE_BANDS_S[2]} THEN 1 ELSE 0 END) AS BIGINT) AS late_5m,
+         CAST(sum(CASE WHEN late_s > {LATE_BANDS_S[2]} AND late_s <= {LATE_BANDS_S[3]} THEN 1 ELSE 0 END) AS BIGINT) AS late_30m,
+         CAST(sum(CASE WHEN late_s > {LATE_BANDS_S[3]} AND late_s <= {LATE_BANDS_S[4]} THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+         CAST(sum(CASE WHEN late_s > {LATE_BANDS_S[4]} THEN 1 ELSE 0 END) AS BIGINT) AS late_over_1h,
+         max(late_s) AS max_late_s
+  FROM late GROUP BY event_type
+)
+SELECT hist.event_type AS event_type, n_events, on_time, late_1m, late_5m,
+       late_30m, late_1h, late_over_1h, max_late_s, p95_late_s
+FROM hist JOIN p95 ON hist.event_type = p95.event_type
+"""
+
+
 UNIT_SPECS = [
+    QuerySpec("unit_watermark_audit", q_watermark_audit,
+              ORACLE_WATERMARK_AUDIT.replace("{EV}", _EV_CTE),
+              "lateness histogram + exact p95 for watermark tuning"),
     QuerySpec("unit_mad_anomalies", q_mad_anomalies, ORACLE_MAD_ANOMALIES,
               "median/MAD modified-z robust outlier flags per type"),
     QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,

@@ -949,6 +949,122 @@ GROUP BY k.o_custkey
 """
 
 
+# --- small-file compaction planner ---------------------------------------
+
+COMPACT_TARGET = 4096  # target bucket size (bytes of n_chars, fixture scale)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse ``OPTIMIZE``
+    bin-packing step: within each table partition (source), files
+    (docs, sized by n_chars) are packed in file-id order into target-
+    size output buckets by the running-sum rule ``bucket = (cumsum −
+    size) DIV target`` — a bucket closes once it reaches the target,
+    overflowing by at most one file (the classic streaming first-fit
+    that needs ONE window pass, no iterative assignment). Output is
+    the per-bucket work order: file count, bytes, id range, fill
+    ratio.
+
+    Scale: one per-partition cumsum window + one groupBy — O(files),
+    never O(files × buckets); the planner output (not the rewritten
+    data) is what the driver hands to compaction executors. Exact
+    integers throughout."""
+    from pyspark.sql import Window
+
+    files = load_table(spark, "documents", sf_dir).select(
+        "source", F.col("doc_id").alias("file_id"), F.col("n_chars").alias("bytes")
+    )
+    w = Window.partitionBy("source").orderBy("file_id")
+    assigned = files.withColumn(
+        "cum", F.sum("bytes").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("bucket", F.expr(f"(cum - bytes) DIV {COMPACT_TARGET}"))
+    return assigned.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+        F.round(
+            F.sum("bytes").cast("double") / COMPACT_TARGET, 6
+        ).alias("fill_ratio"),
+    )
+
+
+ORACLE_COMPACTION_PLAN = f"""
+WITH assigned AS (
+  SELECT source, doc_id AS file_id, n_chars AS bytes,
+         CAST((CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          - n_chars) // {COMPACT_TARGET} AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT source, bucket, count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       min(file_id) AS first_file,
+       max(file_id) AS last_file,
+       ROUND(CAST(sum(bytes) AS DOUBLE) / {COMPACT_TARGET}, 6) AS fill_ratio
+FROM assigned GROUP BY source, bucket
+"""
+
+
+# --- rendezvous-hash shard assignment -------------------------------------
+
+HRW_K1 = 8
+HRW_K2 = 9  # the resharded cluster: k1 → k2 shards
+
+
+def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998) — the stable-routing primitive consistent
+    hashing competes with: each doc goes to the shard whose
+    md5(doc_id # shard) score is highest. Computed for an 8-shard and
+    a 9-shard cluster side by side with a ``moved`` flag per doc: HRW
+    guarantees only ~1/k2 of keys move on reshard (vs ~all for mod-k
+    routing) — the property `tests/test_plans.py` asserts on this
+    output, measured not asserted.
+
+    Scale: a narrow map (k md5s per row, argmax over a k-literal
+    array), zero shuffles; this is how you route 100 TB of docs to
+    embedding/index workers and KEEP the routing when the fleet
+    grows."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def shard(k: int):
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda s: F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#"), s.cast("string"))),
+        )
+        return (F.array_position(arr, F.array_max(arr)) - 1).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        shard(HRW_K1).alias("shard_k8"),
+        shard(HRW_K2).alias("shard_k9"),
+    ).withColumn("moved", F.col("shard_k8") != F.col("shard_k9"))
+
+
+def _hrw_sql(k: int) -> str:
+    return (
+        f"CAST(list_indexof(l{k}, list_aggregate(l{k}, 'max')) - 1 AS BIGINT)"
+    )
+
+
+ORACLE_SHARD_RENDEZVOUS = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(0, {HRW_K1}),
+           s -> md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR))) AS l{HRW_K1},
+         list_transform(range(0, {HRW_K2}),
+           s -> md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR))) AS l{HRW_K2}
+  FROM documents
+)
+SELECT doc_id,
+       {_hrw_sql(HRW_K1)} AS shard_k8,
+       {_hrw_sql(HRW_K2)} AS shard_k9,
+       {_hrw_sql(HRW_K1)} != {_hrw_sql(HRW_K2)} AS moved
+FROM h
+"""
+
+
 SPECS = [
     QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
               "MERGE INTO emulation: anti-join + union upsert"),
@@ -988,4 +1104,8 @@ UNIT_SPECS = [
               "A-ES weighted reservoir: K per stratum by -ln(u)/w race"),
     QuerySpec("unit_incr_agg", q_incr_agg, ORACLE_INCR_AGG,
               "incremental materialized-view maintenance under a CDC delta"),
+    QuerySpec("unit_compaction_plan", q_compaction_plan, ORACLE_COMPACTION_PLAN,
+              "small-file compaction bin-packing plan per partition"),
+    QuerySpec("unit_shard_rendezvous", q_shard_rendezvous, ORACLE_SHARD_RENDEZVOUS,
+              "rendezvous-hash shard routing, 8-vs-9-shard movement audit"),
 ]
