@@ -410,3 +410,26 @@ def test_psi_counts_combine_map_side(spark, sf_dir):
     plan = physical_plan(q_psi_drift(spark, sf_dir))
     assert "partial_count" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_line_dedup_rewrite_hash_shuffles_and_anti_join(spark, sf_dir):
+    """Hot-line detection partial-aggregates 16-byte hashes; the drop
+    is an anti-join; the rebuild sorts within the collected per-doc
+    array, never globally. No Python stage."""
+    from validation_database_spark.suite.text import q_line_dedup_rewrite
+
+    plan = physical_plan(q_line_dedup_rewrite(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_attribution_single_user_window_no_self_join(spark, sf_dir):
+    """Last-touch carry is ONE per-user window pass — no events×events
+    self-join, no range explosion."""
+    from validation_database_spark.suite.events import q_attribution_last_touch
+
+    plan = physical_plan(q_attribution_last_touch(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") >= 1, plan

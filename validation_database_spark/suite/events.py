@@ -739,6 +739,97 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- last-touch marketing attribution ------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+ATTR_TOUCH_TYPES = ("view", "click")
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent view/click at-or-before it, but only within a
+    7-day window — the standard marketing-attribution join, and the
+    business twin of `asof_view_before_purchase` with the
+    lookback-horizon condition real attribution adds.
+
+    One per-user window pass (last_value IGNORE NULLS over
+    conditionally-projected touch columns — all three NULL together,
+    so they always come from the SAME touch row), then the window
+    horizon nulls out stale touches. Gap computed in exact epoch
+    microseconds (second-grain datediffs disagree across engines on
+    sub-second timestamps). No self-join, no range explosion."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+
+    def carry(col, name):
+        return F.last(F.when(is_touch, col), ignorenulls=True).over(w).alias(name)
+
+    enriched = ev.select(
+        "*",
+        carry(F.col("event_id"), "touch_id_raw"),
+        carry(F.col("event_type"), "touch_type_raw"),
+        carry(F.col("ts"), "touch_ts_raw"),
+    ).filter(F.col("event_type") == "purchase")
+    gap_us = F.expr("timestampdiff(MICROSECOND, touch_ts_raw, ts)")
+    in_window = F.col("touch_ts_raw").isNotNull() & (
+        gap_us <= ATTR_WINDOW_DAYS * 86400 * 1000000
+    )
+    return enriched.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("touch_id_raw")).alias("touch_id"),
+        F.when(in_window, F.col("touch_type_raw")).alias("touch_type"),
+        F.when(in_window, F.col("touch_ts_raw")).alias("touch_ts"),
+        F.when(
+            in_window,
+            F.expr("timestampdiff(MICROSECOND, touch_ts_raw, ts) DIV 1000000"),
+        ).alias("gap_s"),
+        in_window.alias("attributed"),
+    )
+
+
+ORACLE_ATTRIBUTION_LAST_TOUCH = f"""
+WITH {{EV}},
+carried AS (
+  SELECT event_id, user_id, event_type, ts,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END IGNORE NULLS)
+           OVER w AS touch_id_raw,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type_raw,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END IGNORE NULLS)
+           OVER w AS touch_ts_raw
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+p AS (
+  SELECT *,
+         (touch_ts_raw IS NOT NULL AND
+          epoch_us(ts) - epoch_us(touch_ts_raw) <= {ATTR_WINDOW_DAYS * 86400 * 1000000})
+           AS in_window,
+         (epoch_us(ts) - epoch_us(touch_ts_raw)) AS gap_us
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN in_window THEN touch_id_raw END AS touch_id,
+       CASE WHEN in_window THEN touch_type_raw END AS touch_type,
+       CASE WHEN in_window THEN touch_ts_raw END AS touch_ts,
+       CAST(CASE WHEN in_window THEN gap_us // 1000000 END AS BIGINT) AS gap_s,
+       in_window AS attributed
+FROM p
+"""
+
+
 # --- watermark tuning: out-of-orderness audit ----------------------------
 
 LATE_BANDS_S = [0, 60, 300, 1800, 3600]  # lateness band edges (seconds)
@@ -849,6 +940,9 @@ FROM hist JOIN p95 ON hist.event_type = p95.event_type
 
 
 UNIT_SPECS = [
+    QuerySpec("unit_attribution_last_touch", q_attribution_last_touch,
+              ORACLE_ATTRIBUTION_LAST_TOUCH.replace("{EV}", _EV_CTE),
+              "7-day last-touch purchase attribution, one window pass"),
     QuerySpec("unit_watermark_audit", q_watermark_audit,
               ORACLE_WATERMARK_AUDIT.replace("{EV}", _EV_CTE),
               "lateness histogram + exact p95 for watermark tuning"),

@@ -1757,6 +1757,118 @@ FROM s
 """
 
 
+# --- C4-style cross-corpus line dedup with document rewrite ---------------
+
+LINE_MIN_OCCUR = 2  # a line occurring in >= 2 docs is boilerplate
+LINE_TOKS = 12      # fixture docs have no sentence delimiters: a "line"
+                    # is a fixed 12-token segment (the mechanism is
+                    # delimiter-agnostic; C4 splits on newlines)
+
+
+def q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level dedup (Raffel et al. 2020 §2.2: lines occurring
+    more than once in the dataset are discarded) WITH the rewrite step
+    the scoring ops stop short of: docs split into lines (fixed
+    12-token segments here — the fixture corpus has no newline/period
+    structure; swap the splitter for `split(text, '\n')` on real
+    crawl), lines whose hash occurs in ≥2 distinct docs dropped
+    corpus-wide, and each doc REASSEMBLED from its surviving lines in
+    order. Output per doc: line counts, the cleaned text's length and
+    md5 (the rewrite, hash-verified cross-engine), kept ratio.
+
+    Scale: lines are a narrow map; the hot-line table is a map-side-
+    combining groupBy on 16-byte hashes; the rewrite is one shuffle
+    keyed by doc_id with order restored from the carried line index
+    (array_sort over the collected struct list), never a global sort.
+    Distinct-doc ≥2 (not total ≥2) keeps within-doc repetition — that
+    is `unit_text_repetition`'s department."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(LINE_TOKS))
+    lines = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode(starts).alias("idx", "st"), F.col("toks"))
+        .select(
+            "doc_id",
+            "idx",
+            F.array_join(F.slice(F.col("toks"), F.col("st"), LINE_TOKS), " ").alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("lkey", F.md5("line"))
+    )
+    hot = (
+        lines.groupBy("lkey")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= LINE_MIN_OCCUR)
+        .select("lkey")
+    )
+    kept = lines.join(hot, "lkey", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("line").alias("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.length(F.coalesce("clean_text", F.lit(""))).cast("bigint").alias("clean_chars"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_lines"), 6
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+ORACLE_LINE_DEDUP_REWRITE = f"""
+WITH t AS (SELECT doc_id, {{_tokens_sql_text}} AS toks FROM documents),
+lines AS (
+  SELECT doc_id,
+         CAST((st - 1) // {LINE_TOKS} AS BIGINT) AS idx,
+         array_to_string(list_slice(toks, st, st + {LINE_TOKS} - 1), ' ') AS line
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks), 1) + 1, {LINE_TOKS})) AS st
+    FROM t
+  )
+  WHERE array_to_string(list_slice(toks, st, st + {LINE_TOKS} - 1), ' ') <> ''
+),
+keyed AS (SELECT *, md5(line) AS lkey FROM lines),
+hot AS (
+  SELECT lkey FROM keyed GROUP BY lkey HAVING count(DISTINCT doc_id) >= {LINE_MIN_OCCUR}
+),
+kept AS (
+  SELECT * FROM keyed WHERE lkey NOT IN (SELECT lkey FROM hot)
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM keyed GROUP BY doc_id)
+SELECT t2.doc_id,
+       n_lines,
+       COALESCE(n_kept, 0) AS n_kept,
+       n_lines - COALESCE(n_kept, 0) AS n_dropped,
+       CAST(length(COALESCE(clean_text, '')) AS BIGINT) AS clean_chars,
+       md5(COALESCE(clean_text, '')) AS clean_md5,
+       ROUND(CAST(COALESCE(n_kept, 0) AS DOUBLE) / n_lines, 6) AS kept_ratio
+FROM totals t2 LEFT JOIN rebuilt r ON t2.doc_id = r.doc_id
+""".replace("{_tokens_sql_text}", _tokens_sql('text'))
+
+
 # --- crawl-order n-gram novelty -------------------------------------------
 
 NOV_N = 8  # shingle width
@@ -2127,6 +2239,9 @@ UNIT_SPECS = [
               "linear BoW quality-model scoring, integer-exact logits"),
     QuerySpec("unit_ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
               "crawl-order marginal-novelty ratio per doc"),
+    QuerySpec("unit_line_dedup_rewrite", q_line_dedup_rewrite,
+              ORACLE_LINE_DEDUP_REWRITE,
+              "C4 line dedup with hash-verified document rewrite"),
     QuerySpec("unit_zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
               "Zipf's-law OLS fit over the top-100 corpus terms"),
     QuerySpec("unit_source_reputation", q_source_reputation,
