@@ -739,6 +739,61 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- first-order behavioral Markov model ----------------------------------
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next_type | cur_type) with exact transition counts —
+    the behavioral model `unit_events_top_paths` (raw 3-step paths)
+    feeds; the matrix is the |types|² ≤ 25-row summary a product team
+    actually monitors, plus each state's self-loop probability and its
+    entropy-free row sanity (probs sum to 1 by construction).
+
+    One lead window per user (the top-paths shuffle, reused shape),
+    one map-side-combining pair count, one broadcast of the per-state
+    totals. The single division per row is shared-shape, rounded 6."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur_type"), "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("cur_type").agg(F.sum("n").alias("n_cur"))
+    return pairs.join(F.broadcast(totals), "cur_type").select(
+        "cur_type",
+        "next_type",
+        "n",
+        "n_cur",
+        F.round(F.col("n").cast("double") / F.col("n_cur"), 6).alias("prob"),
+        (F.col("cur_type") == F.col("next_type")).alias("self_loop"),
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = f"""
+WITH {{EV}},
+pairs AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM ev
+),
+cnt AS (
+  SELECT cur_type, next_type, count(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+),
+tot AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS n_cur FROM cnt GROUP BY cur_type)
+SELECT cnt.cur_type AS cur_type, next_type, n, n_cur,
+       ROUND(CAST(n AS DOUBLE) / n_cur, 6) AS prob,
+       cnt.cur_type = next_type AS self_loop
+FROM cnt JOIN tot ON cnt.cur_type = tot.cur_type
+"""
+
+
 # --- last-touch marketing attribution ------------------------------------
 
 ATTR_WINDOW_DAYS = 7
@@ -940,6 +995,9 @@ FROM hist JOIN p95 ON hist.event_type = p95.event_type
 
 
 UNIT_SPECS = [
+    QuerySpec("unit_markov_transitions", q_markov_transitions,
+              ORACLE_MARKOV_TRANSITIONS.replace("{EV}", _EV_CTE),
+              "first-order Markov transition matrix over user streams"),
     QuerySpec("unit_attribution_last_touch", q_attribution_last_touch,
               ORACLE_ATTRIBUTION_LAST_TOUCH.replace("{EV}", _EV_CTE),
               "7-day last-touch purchase attribution, one window pass"),

@@ -1944,6 +1944,71 @@ GROUP BY doc_id
 """
 
 
+# --- vocabulary coverage / OOV-rate audit ---------------------------------
+
+OOV_VOCAB_K = 20  # keep the top-K corpus terms as the frozen vocabulary
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: freeze the top-K corpus terms (by
+    frequency, ties by term) as the in-vocab set, then report each
+    doc's OOV token count and rate — the measurement behind every
+    "what vocab size do we need" tokenizer decision, and the per-doc
+    form of the coverage curve a BPE trainer reads. K=20 on the
+    31-term fixture vocabulary leaves a real OOV tail.
+
+    The vocab is a TakeOrdered top-K broadcast to a token-grain
+    left join (the `unit_bpe_encode` dictionary-apply shape); counts
+    are exact, the rate is one shared-shape division rounded 6."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    tok_rows = docs.select("doc_id", F.explode(toks).alias("tok"))
+    vocab = (
+        tok_rows.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok_rows.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("bigint")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tok_rows AS (
+  SELECT doc_id, unnest({_tokens_sql('text')}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS freq FROM tok_rows GROUP BY tok
+    ORDER BY freq DESC, tok LIMIT {OOV_VOCAB_K}
+  )
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok_rows t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY doc_id
+"""
+
+
 # --- Zipf's-law fit over the corpus vocabulary ----------------------------
 
 ZIPF_TOP = 100  # fit over the top-K terms by frequency
@@ -2244,6 +2309,8 @@ UNIT_SPECS = [
               "C4 line dedup with hash-verified document rewrite"),
     QuerySpec("unit_zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
               "Zipf's-law OLS fit over the top-100 corpus terms"),
+    QuerySpec("unit_vocab_coverage", q_vocab_coverage, ORACLE_VOCAB_COVERAGE,
+              "frozen top-K vocab OOV-rate audit per doc"),
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
