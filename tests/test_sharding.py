@@ -56,3 +56,12 @@ def test_compaction_buckets_full_except_partition_tail(spark, sf_dir):
         & (F.col("bytes") < COMPACT_TARGET - F.col("max_file"))
     )
     assert under.count() == 0
+
+
+def test_rendezvous_moves_only_to_the_new_shard(spark, sf_dir):
+    """The exact HRW law behind the ~1/k bound: adding shard 8 can
+    only change an argmax if the NEW candidate wins, so every moved
+    key must land on shard 8 — zero lateral movement."""
+    df = q_shard_rendezvous(spark, sf_dir)
+    lateral = df.filter("moved AND shard_k9 != 8").count()
+    assert lateral == 0
