@@ -244,16 +244,6 @@ SELECT id, row_number() OVER (ORDER BY id) AS rank FROM src_a
 """
 
 
-SPECS = [
-    # price_percentiles is driver-checked via order_status_profile
-    # (suite/analytics.py); q_price_percentiles stays as the
-    # unit-tested operator surface.
-    # op-14 (global sort) is driver-checked via keys_projection's
-    # sort_rank column (suite/parity.py) — q_sorted_ids stays as the
-    # unit-tested operator surface.
-    # asof/range-join/regression rotated out of the driver window in
-    # round 4 (driver-green since r2) — see UNIT_SPECS below.
-]
 
 # --- blocked fuzzy key join ---------------------------------------------
 
@@ -570,8 +560,6 @@ WHERE deg >= 2
 
 
 UNIT_SPECS = [
-    QuerySpec("unit_triangle_counts", q_triangle_counts, ORACLE_TRIANGLE_COUNTS,
-              "degree-oriented triangle counting + clustering coefficient"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
               "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
     QuerySpec("unit_session_week_overlap", q_session_week_overlap,
@@ -586,4 +574,18 @@ UNIT_SPECS = [
               "range join rewritten as bucketed equi-join"),
     QuerySpec("regression_spend_trend", q_regression_spend_trend, ORACLE_REGRESSION,
               "exact integer-moment OLS slope per customer", headline=True),
+]
+
+
+SPECS = [
+    QuerySpec("unit_triangle_counts", q_triangle_counts, ORACLE_TRIANGLE_COUNTS,
+              "degree-oriented triangle counting + clustering coefficient"),
+    # price_percentiles is driver-checked via order_status_profile
+    # (suite/analytics.py); q_price_percentiles stays as the
+    # unit-tested operator surface.
+    # op-14 (global sort) is driver-checked via keys_projection's
+    # sort_rank column (suite/parity.py) — q_sorted_ids stays as the
+    # unit-tested operator surface.
+    # asof/range-join/regression rotated out of the driver window in
+    # round 4 (driver-green since r2) — see UNIT_SPECS below.
 ]

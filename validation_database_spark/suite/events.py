@@ -419,15 +419,6 @@ FROM r
 SPECS = [
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
               "gap-based sessionization (lag + cumsum)", headline=True),
-    QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
-              "tumbling 1h window aggregation"),
-    QuerySpec("events_user_stats", q_events_user_stats, ORACLE_EVENTS_USER_STATS,
-              "funnel + map<event_type,count> per-user stats in one join"),
-    QuerySpec("events_resample_ffill", q_events_resample_ffill,
-              ORACLE_EVENTS_RESAMPLE,
-              "daily resample + forward fill per user"),
-    QuerySpec("events_anomalies", q_events_anomalies, ORACLE_EVENTS_ANOMALIES,
-              "z-score anomaly labeling + JSON prop extraction per event"),
     # round 4 rotation into the driver window:
     QuerySpec("unit_ewma_user_value", q_ewma_user_value, ORACLE_EWMA,
               "per-user EWMA: applyInPandas recurrence, recursive-CTE oracle",
@@ -995,6 +986,15 @@ FROM hist JOIN p95 ON hist.event_type = p95.event_type
 
 
 UNIT_SPECS = [
+    QuerySpec("events_anomalies", q_events_anomalies, ORACLE_EVENTS_ANOMALIES,
+              "z-score anomaly labeling + JSON prop extraction per event"),
+    QuerySpec("events_resample_ffill", q_events_resample_ffill,
+              ORACLE_EVENTS_RESAMPLE,
+              "daily resample + forward fill per user"),
+    QuerySpec("events_user_stats", q_events_user_stats, ORACLE_EVENTS_USER_STATS,
+              "funnel + map<event_type,count> per-user stats in one join"),
+    QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
+              "tumbling 1h window aggregation"),
     QuerySpec("unit_markov_transitions", q_markov_transitions,
               ORACLE_MARKOV_TRANSITIONS.replace("{EV}", _EV_CTE),
               "first-order Markov transition matrix over user streams"),

@@ -1066,12 +1066,10 @@ FROM h
 
 
 SPECS = [
+    QuerySpec("unit_incr_agg", q_incr_agg, ORACLE_INCR_AGG,
+              "incremental materialized-view maintenance under a CDC delta"),
     QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
               "MERGE INTO emulation: anti-join + union upsert"),
-    QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
-              "per-doc split + hash/weighted keep + stratified rank in one pass"),
-    QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
-              "fixed-bin width_bucket histogram"),
     # round 4 rotations into the driver window:
     QuerySpec("unit_pack_sequences", q_pack_sequences, _oracle_pack_sequences(),
               "greedy token-budget sequence packing per hash shard"),
@@ -1083,6 +1081,10 @@ SPECS = [
 
 
 UNIT_SPECS = [
+    QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
+              "fixed-bin width_bucket histogram"),
+    QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
+              "per-doc split + hash/weighted keep + stratified rank in one pass"),
     QuerySpec("unit_cdc_merge", q_cdc_merge, ORACLE_CDC_MERGE,
               "ordered CDC apply: update/delete/re-insert, LWW by seq"),
     QuerySpec("unit_zorder_layout", q_zorder_layout, ORACLE_ZORDER_LAYOUT,
@@ -1102,8 +1104,6 @@ UNIT_SPECS = [
     QuerySpec("unit_sample_reservoir_weighted", q_sample_reservoir_weighted,
               ORACLE_SAMPLE_RESERVOIR_WEIGHTED,
               "A-ES weighted reservoir: K per stratum by -ln(u)/w race"),
-    QuerySpec("unit_incr_agg", q_incr_agg, ORACLE_INCR_AGG,
-              "incremental materialized-view maintenance under a CDC delta"),
     QuerySpec("unit_compaction_plan", q_compaction_plan, ORACLE_COMPACTION_PLAN,
               "small-file compaction bin-packing plan per partition"),
     QuerySpec("unit_shard_rendezvous", q_shard_rendezvous, ORACLE_SHARD_RENDEZVOUS,

@@ -896,6 +896,10 @@ FROM per_band CROSS JOIN total
 
 
 SPECS = [
+    QuerySpec("unit_psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,
+              "PSI distribution-drift screen between two snapshots"),
+    QuerySpec("unit_bloom_prune", q_bloom_prune, ORACLE_BLOOM_PRUNE,
+              "Bloom-filter join pruning audit, deterministic hash-exact filter"),
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
     QuerySpec("profile_orders", q_profile_orders, ORACLE_PROFILE_ORDERS,
@@ -917,8 +921,4 @@ UNIT_SPECS = [
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
               "join-key skew diagnostics: top-N heavy keys + shares"),
-    QuerySpec("unit_bloom_prune", q_bloom_prune, ORACLE_BLOOM_PRUNE,
-              "Bloom-filter join pruning audit, deterministic hash-exact filter"),
-    QuerySpec("unit_psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,
-              "PSI distribution-drift screen between two snapshots"),
 ]

@@ -2245,6 +2245,12 @@ LEFT JOIN pdi ON b.doc_id = pdi.doc_id
 
 
 SPECS = [
+    QuerySpec("unit_line_dedup_rewrite", q_line_dedup_rewrite,
+              ORACLE_LINE_DEDUP_REWRITE,
+              "C4 line dedup with hash-verified document rewrite"),
+    QuerySpec("unit_exact_substr_spans", q_exact_substr_spans,
+              ORACLE_EXACT_SUBSTR_SPANS,
+              "ExactSubstr-style duplicated-span islands per doc"),
     QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
               "one-scan document profiler: tokens/quality/lang/fingerprints/"
               "repetition/simhash/hash-embedding/unigram-LM", headline=True),
@@ -2296,17 +2302,11 @@ UNIT_SPECS = [
     QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
               ORACLE_BOILERPLATE_BLOCKS,
               "cross-document boilerplate block detection (block-hash dedup)"),
-    QuerySpec("unit_exact_substr_spans", q_exact_substr_spans,
-              ORACLE_EXACT_SUBSTR_SPANS,
-              "ExactSubstr-style duplicated-span islands per doc"),
     QuerySpec("unit_quality_classifier", q_quality_classifier,
               _oracle_quality_classifier(),
               "linear BoW quality-model scoring, integer-exact logits"),
     QuerySpec("unit_ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
               "crawl-order marginal-novelty ratio per doc"),
-    QuerySpec("unit_line_dedup_rewrite", q_line_dedup_rewrite,
-              ORACLE_LINE_DEDUP_REWRITE,
-              "C4 line dedup with hash-verified document rewrite"),
     QuerySpec("unit_zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
               "Zipf's-law OLS fit over the top-100 corpus terms"),
     QuerySpec("unit_vocab_coverage", q_vocab_coverage, ORACLE_VOCAB_COVERAGE,
