@@ -1944,6 +1944,204 @@ GROUP BY doc_id
 """
 
 
+# --- T5 span-corruption example generation --------------------------------
+
+SC_START_MOD = 20  # P(span starts at a position) = 1/20
+SC_SPAN = 3        # corrupted span length (T5 mean span length)
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption example generation (Raffel et al. 2020 §3.1.4
+    / 3.3.4): mask ~15% of each doc's tokens in spans of length 3 and
+    emit the (input, target) pair — input has each masked span replaced
+    by a ``<extra_id_k>`` sentinel, the target lists each sentinel
+    followed by the span it hid, closed by a final sentinel. This is
+    the op that PRODUCES denoising training examples, downstream of
+    everything the cleaning ops keep.
+
+    The paper samples spans iid; here span starts are the
+    deterministic hash predicate md5(doc_id:pos) % 20 == 0 (each start
+    masks 3 tokens → ≈15% corruption), which makes the examples
+    reproducible across runs/engines — a property a real pipeline
+    wants anyway for resumable preprocessing. Overlapping spans merge
+    into one sentinel (gaps-and-islands, the ExactSubstr machinery).
+    Both rendered sequences are md5-verified cross-engine.
+
+    Scale: one narrow token map + three per-doc windows + one
+    reassembly groupBy — the `unit_line_dedup_rewrite` shape with a
+    second (target) rendering."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    start = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % SC_START_MOD
+        == 0
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = tok_rows.withColumn("start", start.cast("int")).withColumn(
+        "masked",
+        F.max("start").over(wp.rowsBetween(-(SC_SPAN - 1), 0)) == 1,
+    )
+    m = flagged.filter("masked").withColumn("lag_p", F.lag("pos").over(wp))
+    isl = m.withColumn(
+        "brk", F.when(F.col("lag_p").isNull() | (F.col("pos") - F.col("lag_p") > 1), 1).otherwise(0)
+    ).withColumn(
+        "island", F.sum("brk").over(wp.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), (F.col("island") - 1).cast("string"), F.lit(">"))
+    input_pieces = flagged.filter(~F.col("masked")).select(
+        "doc_id", "pos", F.col("tok").alias("piece")
+    ).unionByName(
+        isl.filter(F.col("brk") == 1).select("doc_id", "pos", sentinel.alias("piece"))
+    )
+    input_txt = input_pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.col("piece").alias("p")))),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("input_text")
+    )
+    span_txt = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("pos0"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.col("tok").alias("t")))),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+    target_txt = span_txt.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "island",
+                                F.concat(
+                                    F.lit("<extra_id_"),
+                                    (F.col("island") - 1).cast("string"),
+                                    F.lit("> "),
+                                    F.col("span_text"),
+                                ).alias("s"),
+                            )
+                        )
+                    ),
+                    lambda s: s["s"],
+                ),
+                " ",
+            ),
+            F.lit(" <extra_id_"),
+            F.count("*").cast("string"),
+            F.lit(">"),
+        ).alias("target_text"),
+    )
+    stats = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("masked").cast("bigint")).alias("n_masked"),
+    )
+    return (
+        stats.join(input_txt, "doc_id", "left")
+        .join(target_txt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.round(F.col("n_masked").cast("double") / F.col("n_tokens"), 6).alias("mask_ratio"),
+            F.md5(F.coalesce("input_text", F.lit(""))).alias("input_md5"),
+            F.md5(F.coalesce("target_text", F.lit(""))).alias("target_md5"),
+        )
+    )
+
+
+ORACLE_SPAN_CORRUPTION = f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM t
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % {SC_START_MOD} = 0
+              THEN 1 ELSE 0 END AS start
+  FROM tok_rows
+),
+masked_t AS (
+  SELECT *,
+         max(start) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {SC_SPAN - 1} PRECEDING AND CURRENT ROW) = 1
+           AS masked
+  FROM flagged
+),
+m AS (
+  SELECT *, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_p
+  FROM masked_t WHERE masked
+),
+isl AS (
+  SELECT *, SUM(CASE WHEN lag_p IS NULL OR pos - lag_p > 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+            CASE WHEN lag_p IS NULL OR pos - lag_p > 1 THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+input_pieces AS (
+  SELECT doc_id, pos, tok AS piece FROM masked_t WHERE NOT masked
+  UNION ALL
+  SELECT doc_id, pos, '<extra_id_' || CAST(island - 1 AS VARCHAR) || '>'
+  FROM isl WHERE brk = 1
+),
+input_txt AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+  FROM input_pieces GROUP BY doc_id
+),
+span_txt AS (
+  SELECT doc_id, island,
+         '<extra_id_' || CAST(island - 1 AS VARCHAR) || '> ' ||
+           string_agg(tok, ' ' ORDER BY pos) AS s
+  FROM isl GROUP BY doc_id, island
+),
+target_txt AS (
+  SELECT doc_id, count(*) AS n_spans,
+         string_agg(s, ' ' ORDER BY island)
+           || ' <extra_id_' || CAST(count(*) AS VARCHAR) || '>' AS target_text
+  FROM span_txt GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+  FROM masked_t GROUP BY doc_id
+)
+SELECT s.doc_id, n_tokens, n_masked,
+       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       ROUND(CAST(n_masked AS DOUBLE) / n_tokens, 6) AS mask_ratio,
+       md5(COALESCE(input_text, '')) AS input_md5,
+       md5(COALESCE(target_text, '')) AS target_md5
+FROM stats s
+LEFT JOIN input_txt i ON s.doc_id = i.doc_id
+LEFT JOIN target_txt g ON s.doc_id = g.doc_id
+"""
+
+
 # --- vocabulary coverage / OOV-rate audit ---------------------------------
 
 OOV_VOCAB_K = 20  # keep the top-K corpus terms as the frozen vocabulary
@@ -2311,6 +2509,8 @@ UNIT_SPECS = [
               "Zipf's-law OLS fit over the top-100 corpus terms"),
     QuerySpec("unit_vocab_coverage", q_vocab_coverage, ORACLE_VOCAB_COVERAGE,
               "frozen top-K vocab OOV-rate audit per doc"),
+    QuerySpec("unit_span_corruption", q_span_corruption, ORACLE_SPAN_CORRUPTION,
+              "T5 span-corruption (input, target) example generation"),
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
