@@ -248,6 +248,154 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+# --- Poisson bootstrap confidence interval --------------------------------
+
+BOOT_B = 32  # bootstrap replicates
+# Cumulative Poisson(1) CDF scaled to 32-bit integers (k = 0..6; the
+# weight caps at 7, P(w>7) ≈ 1e-5): a row's replicate weight is the
+# count of thresholds <= its 32-bit hash — the inverse-CDF lookup as
+# integer comparisons, identical in both engines.
+import math as _math
+
+_POIS_CUM = []
+_acc = 0.0
+for _k in range(7):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CUM.append(int(_acc * 2**32))
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order value — the
+    resampling scheme that works at 100 TB (each row draws an iid
+    Poisson(1) weight per replicate, so no sampling pass ever
+    materializes a resample; the classic streaming bootstrap from the
+    large-scale-estimation literature). B=32 replicates in ONE scan:
+    rows explode ×B with deterministic hash-Poisson weights, partial
+    aggregation collapses everything to B weighted (n, sum) pairs
+    before the shuffle, and the CI is the exact-rank 2nd/31st
+    replicate mean. The bootstrap SE comes from DECIMAL sums of the
+    rounded replicate means (no float accumulation).
+
+    Determinism: weights are the count of fixed 32-bit thresholds ≤
+    md5(orderkey#b) — Poisson(1) inverse-CDF as integer compares —
+    so the oracle rebuilds identical replicates and the check is
+    hash-exact, which no rand()-based bootstrap could offer."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+    rep = base.select(
+        "k", "cents", F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("k").cast("string"), F.lit("#"), F.col("b").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    thr = F.array(*[F.lit(t) for t in _POIS_CUM])
+    w = F.size(F.filter(thr, lambda t: t <= u)).cast("bigint")
+    reps = (
+        rep.select("b", w.alias("w"), "cents")
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_b"),
+            F.sum(F.col("w") * F.col("cents")).alias("s_b"),
+        )
+        .select(
+            "b",
+            F.round(F.col("s_b").cast("double") / F.col("n_b") / 100, 6).alias("mean_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("mean_b", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(wr))
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("mean_b").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == BOOT_B - 1).select(F.col("mean_b").alias("ci_hi"))
+    moments = reps.agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.sum(F.col("mean_b").cast("decimal(28,6)")).cast("double").alias("sm"),
+        F.sum(
+            F.round(F.col("mean_b") * F.col("mean_b"), 6).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("smm"),
+    )
+    truth = base.agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("cents").cast("double") / F.count("*") / 100, 6).alias("mean_value"),
+    )
+    se = F.round(
+        F.sqrt(
+            (F.col("n_replicates") * F.col("smm") - F.col("sm") * F.col("sm"))
+            / (F.col("n_replicates") * (F.col("n_replicates") - 1))
+        ),
+        6,
+    )
+    return (
+        truth.crossJoin(F.broadcast(moments))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            "mean_value",
+            "n_replicates",
+            "ci_lo",
+            "ci_hi",
+            se.alias("se_boot"),
+        )
+    )
+
+
+def _oracle_poisson_bootstrap() -> str:
+    thr = ", ".join(str(t) for t in _POIS_CUM)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+rep AS (
+  SELECT k, cents, gs.b,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(gs.b AS VARCHAR)), 1, 8))
+              AS BIGINT) AS u
+  FROM base, generate_series(1, {BOOT_B}) AS gs(b)
+),
+weighted AS (
+  SELECT b, CAST(len(list_filter([{thr}], t -> t <= u)) AS BIGINT) AS w, cents
+  FROM rep
+),
+reps AS (
+  SELECT b, ROUND(CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+                  / CAST(sum(w) AS BIGINT) / 100, 6) AS mean_b
+  FROM weighted GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM reps
+),
+moments AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+         CAST(sum(CAST(mean_b AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+         CAST(sum(CAST(ROUND(mean_b * mean_b, 6) AS DECIMAL(28,6))) AS DOUBLE) AS smm
+  FROM reps
+),
+truth AS (
+  SELECT count(*) AS n_orders,
+         ROUND(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*) / 100, 6)
+           AS mean_value
+  FROM base
+)
+SELECT n_orders, mean_value, n_replicates,
+       (SELECT mean_b FROM ranked WHERE rk = 2) AS ci_lo,
+       (SELECT mean_b FROM ranked WHERE rk = {BOOT_B - 1}) AS ci_hi,
+       ROUND(sqrt((n_replicates * smm - sm * sm)
+                  / (n_replicates * (n_replicates - 1))), 6) AS se_boot
+FROM truth CROSS JOIN moments
+"""
+
+
 _CORR_VARS = ["qty", "price", "disc", "tax"]
 
 
@@ -847,6 +995,9 @@ UNIT_SPECS = [
               "CUBE full grouping lattice with grouping-id tags"),
     QuerySpec("unit_corr_matrix", q_corr_matrix, _oracle_corr_matrix(),
               "Pearson correlation matrix from exact decimal moments"),
+    QuerySpec("unit_poisson_bootstrap", q_poisson_bootstrap,
+              _oracle_poisson_bootstrap(),
+              "hash-Poisson bootstrap CI for the mean, one scan"),
     QuerySpec("unit_running_order_total", q_running_order_total,
               ORACLE_RUNNING_ORDER_TOTAL, "per-customer running total window"),
     # rotated out of the driver window in round 4 (driver-green r1-r3):
