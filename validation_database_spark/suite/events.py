@@ -730,6 +730,56 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- per-group quantile monitor -------------------------------------------
+
+QUANTILES = (50, 95, 99)
+
+
+def q_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-group latency-dashboard table: exact p50/p95/p99 of
+    value per event type, as order statistics at rank ⌈q·n/100⌉ under
+    the (value, event_id) total order — one window pass serving all
+    three quantiles (each rank filter reuses the same shuffle), where
+    `approx_percentile` would be rows-only-checkable. Completes the
+    monitoring family: `unit_mad_anomalies` flags rows, this tracks
+    the distribution the flags are judged against."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    picks = None
+    for q in QUANTILES:
+        p = ranked.filter(
+            F.col("rk") == F.expr(f"CAST(ceil({q} * n / 100.0) AS BIGINT)")
+        ).select(
+            "event_type",
+            F.lit(q).cast("bigint").alias("quantile"),
+            F.col("value").alias("value_at"),
+            F.col("n").alias("n_events"),
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return picks
+
+
+ORACLE_QUANTILE_MONITOR = f"""
+WITH {{EV}},
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+{" UNION ALL ".join(
+    f"SELECT event_type, CAST({q} AS BIGINT) AS quantile, value AS value_at, "
+    f"n AS n_events FROM ranked WHERE rk = CAST(ceil({q} * n / 100.0) AS BIGINT)"
+    for q in QUANTILES
+)}
+"""
+
+
 # --- first-order behavioral Markov model ----------------------------------
 
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,6 +1045,9 @@ UNIT_SPECS = [
               "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
+    QuerySpec("unit_quantile_monitor", q_quantile_monitor,
+              ORACLE_QUANTILE_MONITOR.replace("{EV}", _EV_CTE),
+              "exact-rank p50/p95/p99 per group (the dashboard table)"),
     QuerySpec("unit_markov_transitions", q_markov_transitions,
               ORACLE_MARKOV_TRANSITIONS.replace("{EV}", _EV_CTE),
               "first-order Markov transition matrix over user streams"),
