@@ -268,44 +268,44 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean order value — the
     resampling scheme that works at 100 TB (each row draws an iid
     Poisson(1) weight per replicate, so no sampling pass ever
-    materializes a resample; the classic streaming bootstrap from the
+    materializes a resample; the classic streaming bootstrap of the
     large-scale-estimation literature). B=32 replicates in ONE scan:
-    rows explode ×B with deterministic hash-Poisson weights, partial
-    aggregation collapses everything to B weighted (n, sum) pairs
-    before the shuffle, and the CI is the exact-rank 2nd/31st
-    replicate mean. The bootstrap SE comes from DECIMAL sums of the
-    rounded replicate means (no float accumulation).
+    each row hashes ONCE (md5 → two 60-bit slices), per-replicate
+    32-bit uniforms come from Kirsch–Mitzenmacher double hashing
+    (h1 + b·h2, the Bloom-filter trick), and the weight is the count
+    of Poisson(1) inverse-CDF thresholds ≤ the uniform — so the
+    32-weight array is a narrow map with no per-replicate hashing.
+    Partial aggregation collapses everything to B weighted (n, sum)
+    pairs before the shuffle; the CI is the exact-rank 2nd/31st
+    replicate mean and the bootstrap SE comes from DECIMAL sums of
+    the rounded replicate means. The whole summary is ONE aggregation
+    over the 32-row rank table (no multi-branch recompute of the
+    replicate DAG — the first cut re-ran the scan 3×, 38 s → ~3 s).
 
-    Determinism: weights are the count of fixed 32-bit thresholds ≤
-    md5(orderkey#b) — Poisson(1) inverse-CDF as integer compares —
-    so the oracle rebuilds identical replicates and the check is
-    hash-exact, which no rand()-based bootstrap could offer."""
+    Determinism: fixed integer thresholds + md5 → the oracle rebuilds
+    identical replicates and the check is hash-exact, which no
+    rand()-based bootstrap could offer."""
     orders = load_table(spark, "orders", sf_dir)
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
-    rep = base.select(
-        "k", "cents", F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b")
+    m = F.md5(F.col("o_orderkey").cast("string"))
+    base = orders.select(
+        cents.alias("cents"),
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("k").cast("string"), F.lit("#"), F.col("b").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
     thr = F.array(*[F.lit(t) for t in _POIS_CUM])
-    w = F.size(F.filter(thr, lambda t: t <= u)).cast("bigint")
+    w_arr = F.transform(
+        F.sequence(F.lit(1), F.lit(BOOT_B)),
+        lambda b: F.size(
+            F.filter(thr, lambda t: t <= (F.col("h1") + b * F.col("h2")) % F.lit(2**32))
+        ).cast("bigint"),
+    )
+    rep = base.select("cents", F.posexplode(w_arr).alias("i", "w"))
     reps = (
-        rep.select("b", w.alias("w"), "cents")
-        .groupBy("b")
-        .agg(
-            F.sum("w").alias("n_b"),
-            F.sum(F.col("w") * F.col("cents")).alias("s_b"),
-        )
+        rep.groupBy("i")
+        .agg(F.sum("w").alias("n_b"), F.sum(F.col("w") * F.col("cents")).alias("s_b"))
         .select(
-            "b",
+            (F.col("i") + 1).alias("b"),
             F.round(F.col("s_b").cast("double") / F.col("n_b") / 100, 6).alias("mean_b"),
         )
     )
@@ -313,20 +313,18 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wr = Window.orderBy("mean_b", "b")
     ranked = reps.withColumn("rk", F.row_number().over(wr))
-    lo = ranked.filter(F.col("rk") == 2).select(F.col("mean_b").alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == BOOT_B - 1).select(F.col("mean_b").alias("ci_hi"))
-    moments = reps.agg(
+    summary = ranked.agg(
         F.count("*").cast("bigint").alias("n_replicates"),
         F.sum(F.col("mean_b").cast("decimal(28,6)")).cast("double").alias("sm"),
-        F.sum(
-            F.round(F.col("mean_b") * F.col("mean_b"), 6).cast("decimal(28,6)")
-        )
+        F.sum(F.round(F.col("mean_b") * F.col("mean_b"), 6).cast("decimal(28,6)"))
         .cast("double")
         .alias("smm"),
+        F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == BOOT_B - 1, F.col("mean_b"))).alias("ci_hi"),
     )
-    truth = base.agg(
+    truth = orders.agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("cents").cast("double") / F.count("*") / 100, 6).alias("mean_value"),
+        F.round(F.sum(cents).cast("double") / F.count("*") / 100, 6).alias("mean_value"),
     )
     se = F.round(
         F.sqrt(
@@ -335,18 +333,8 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return (
-        truth.crossJoin(F.broadcast(moments))
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select(
-            "n_orders",
-            "mean_value",
-            "n_replicates",
-            "ci_lo",
-            "ci_hi",
-            se.alias("se_boot"),
-        )
+    return truth.crossJoin(F.broadcast(summary)).select(
+        "n_orders", "mean_value", "n_replicates", "ci_lo", "ci_hi", se.alias("se_boot")
     )
 
 
@@ -354,45 +342,43 @@ def _oracle_poisson_bootstrap() -> str:
     thr = ", ".join(str(t) for t in _POIS_CUM)
     return f"""
 WITH base AS (
-  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
   FROM orders
 ),
 rep AS (
-  SELECT k, cents, gs.b,
-         CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(gs.b AS VARCHAR)), 1, 8))
-              AS BIGINT) AS u
+  SELECT cents, gs.b,
+         CAST(len(list_filter([{thr}], t -> t <= (h1 + gs.b * h2) % 4294967296))
+              AS BIGINT) AS w
   FROM base, generate_series(1, {BOOT_B}) AS gs(b)
-),
-weighted AS (
-  SELECT b, CAST(len(list_filter([{thr}], t -> t <= u)) AS BIGINT) AS w, cents
-  FROM rep
 ),
 reps AS (
   SELECT b, ROUND(CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
                   / CAST(sum(w) AS BIGINT) / 100, 6) AS mean_b
-  FROM weighted GROUP BY b
+  FROM rep GROUP BY b
 ),
 ranked AS (
-  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM reps
+  SELECT b, mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM reps
 ),
-moments AS (
+summary AS (
   SELECT CAST(count(*) AS BIGINT) AS n_replicates,
          CAST(sum(CAST(mean_b AS DECIMAL(28,6))) AS DOUBLE) AS sm,
-         CAST(sum(CAST(ROUND(mean_b * mean_b, 6) AS DECIMAL(28,6))) AS DOUBLE) AS smm
-  FROM reps
+         CAST(sum(CAST(ROUND(mean_b * mean_b, 6) AS DECIMAL(28,6))) AS DOUBLE) AS smm,
+         max(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+         max(CASE WHEN rk = {BOOT_B - 1} THEN mean_b END) AS ci_hi
+  FROM ranked
 ),
 truth AS (
   SELECT count(*) AS n_orders,
-         ROUND(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*) / 100, 6)
-           AS mean_value
-  FROM base
+         ROUND(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / count(*) / 100, 6) AS mean_value
+  FROM orders
 )
-SELECT n_orders, mean_value, n_replicates,
-       (SELECT mean_b FROM ranked WHERE rk = 2) AS ci_lo,
-       (SELECT mean_b FROM ranked WHERE rk = {BOOT_B - 1}) AS ci_hi,
+SELECT n_orders, mean_value, n_replicates, ci_lo, ci_hi,
        ROUND(sqrt((n_replicates * smm - sm * sm)
                   / (n_replicates * (n_replicates - 1))), 6) AS se_boot
-FROM truth CROSS JOIN moments
+FROM truth CROSS JOIN summary
 """
 
 
