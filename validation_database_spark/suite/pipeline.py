@@ -949,6 +949,120 @@ GROUP BY k.o_custkey
 """
 
 
+# --- deterministic negative sampling --------------------------------------
+
+NEG_K = 4            # negatives kept per customer
+NEG_CANDIDATES = 12  # hash candidates drawn before the anti-join
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: for each customer, K=4 part ids they have NOT purchased,
+    drawn uniformly by hash — the (user, item⁻) pair generator that
+    complements `unit_hard_negatives` (embedding-space hard negatives)
+    with the classical random-negative baseline.
+
+    The scale problem: "items the user did not interact with" is the
+    complement of a sparse set over a huge catalog — never enumerable.
+    The standard fix is REJECTION sampling, done declaratively: draw
+    12 hash candidates per customer (md5 double hashing mod catalog
+    size), anti-join the purchased (customer, part) pairs, keep the
+    first 4 survivors per customer. P(candidate purchased) ≈
+    |purchases per user| / |catalog| (~2% here), so 12 draws leave ≥4
+    survivors with near-certainty; the audit column `n_found` exposes
+    any customer that fell short rather than silently under-sampling.
+
+    Scale: candidates are a narrow map (customers × 12, one md5 per
+    customer); the anti-join shuffles on the (cust, part) pair key
+    against the distinct purchase pairs; the keep-first-K window
+    partitions by customer. All equi-joins."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    n_parts = part.agg(F.count("*").alias("n_parts"))
+    purchased = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    m = F.md5(F.col("c_custkey").cast("string"))
+    seeded = cust.select(
+        "c_custkey",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    cand = (
+        seeded.crossJoin(F.broadcast(n_parts))
+        .select(
+            "c_custkey",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(NEG_CANDIDATES)),
+                    lambda i: (F.col("h1") + i * F.col("h2")) % F.col("n_parts"),
+                )
+            ).alias("draw", "p"),
+        )
+        # parts are keyed 0..n_parts-1 in the fixtures; the mod IS the
+        # catalog id. A duplicate draw is not a second distinct
+        # negative: keep each (cust, part) once at its EARLIEST draw
+        # (min-agg, not dropDuplicates — which keeps an arbitrary row).
+        .groupBy("c_custkey", "p")
+        .agg(F.min("draw").alias("draw"))
+    )
+    neg = cand.join(
+        purchased,
+        (cand.c_custkey == purchased.c) & (cand.p == purchased.p),
+        "left_anti",
+    )
+    w = Window.partitionBy("c_custkey").orderBy("draw", "p")
+    kept = (
+        neg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEG_K)
+        .select("c_custkey", F.col("p").alias("neg_partkey"), F.col("rk").cast("bigint").alias("rk"))
+    )
+    found = kept.groupBy("c_custkey").agg(F.count("*").alias("n_found"))
+    return kept.join(found, "c_custkey").select(
+        "c_custkey", "rk", "neg_partkey", "n_found"
+    )
+
+
+ORACLE_NEGATIVE_SAMPLING = f"""
+WITH np AS (SELECT count(*) AS n_parts FROM part),
+seeded AS (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT ON (c_custkey, p) c_custkey, draw, p FROM (
+    SELECT c_custkey, gs.i AS draw, (h1 + gs.i * h2) % n_parts AS p
+    FROM seeded, np, generate_series(1, {NEG_CANDIDATES}) AS gs(i)
+  ) ORDER BY c_custkey, p, draw
+),
+purchased AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+neg AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM purchased
+                    WHERE purchased.c = cand.c_custkey AND purchased.p = cand.p)
+),
+kept AS (
+  SELECT c_custkey, p AS neg_partkey,
+         CAST(row_number() OVER (PARTITION BY c_custkey ORDER BY draw, p) AS BIGINT) AS rk
+  FROM neg
+)
+SELECT c_custkey, rk, neg_partkey,
+       count(*) OVER (PARTITION BY c_custkey) AS n_found
+FROM kept WHERE rk <= {NEG_K}
+"""
+
+
 # --- small-file compaction planner ---------------------------------------
 
 COMPACT_TARGET = 4096  # target bucket size (bytes of n_chars, fixture scale)
@@ -1104,6 +1218,9 @@ UNIT_SPECS = [
     QuerySpec("unit_sample_reservoir_weighted", q_sample_reservoir_weighted,
               ORACLE_SAMPLE_RESERVOIR_WEIGHTED,
               "A-ES weighted reservoir: K per stratum by -ln(u)/w race"),
+    QuerySpec("unit_negative_sampling", q_negative_sampling,
+              ORACLE_NEGATIVE_SAMPLING,
+              "hash rejection-sampled unpurchased negatives per customer"),
     QuerySpec("unit_compaction_plan", q_compaction_plan, ORACLE_COMPACTION_PLAN,
               "small-file compaction bin-packing plan per partition"),
     QuerySpec("unit_shard_rendezvous", q_shard_rendezvous, ORACLE_SHARD_RENDEZVOUS,
