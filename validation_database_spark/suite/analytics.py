@@ -846,6 +846,73 @@ JOIN rs USING (last_order) JOIN fs USING (frequency) JOIN ms USING (mon_band)
 # --- A/B test z-statistic ----------------------------------------------
 
 AB_SPLIT_HEX = "8000"  # md5-prefix split ≈ 50/50
+SRM_CRIT_1DF = 3.841459  # chi-square 95% critical value, df = 1
+
+
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B split — the FIRST
+    check an experimentation platform runs, before any metric is read:
+    a chi-square goodness-of-fit of the observed arm counts against
+    the designed 50/50 allocation (df=1). An SRM means the assignment
+    or logging is broken and every downstream readout (incl.
+    `unit_ab_ztest`, which shares this exact arm hash) is void.
+
+    Exactness: counts are integers, expected counts are n/2 computed
+    identically, the chi-square statistic is a short shared-shape
+    float chain rounded to 6, and the flag compares against the
+    df=1 95% critical value as a literal — no p-value, no erf, no
+    cross-engine special-function hazard."""
+    orders = load_table(spark, "orders", sf_dir)
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)
+    per = orders.groupBy(
+        F.when(h < AB_SPLIT_HEX, "A").otherwise("B").alias("arm")
+    ).agg(F.count("*").alias("n"))
+    wide = per.groupBy().pivot("arm", ["A", "B"]).sum("n")
+    n_a, n_b = F.col("A").cast("bigint"), F.col("B").cast("bigint")
+    total = n_a + n_b
+    exp = total.cast("double") / 2
+    chi2 = F.round(
+        (n_a.cast("double") - exp) * (n_a.cast("double") - exp) / exp
+        + (n_b.cast("double") - exp) * (n_b.cast("double") - exp) / exp,
+        6,
+    )
+    return wide.select(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        F.round(n_a.cast("double") / total.cast("double"), 6).alias("frac_a"),
+        chi2.alias("chi2"),
+        (chi2 > SRM_CRIT_1DF).alias("srm_detected"),
+    )
+
+
+ORACLE_AB_SRM = f"""
+WITH per AS (
+  SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS arm,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+wide AS (
+  SELECT CAST(max(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+         CAST(max(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b
+  FROM per
+)
+SELECT n_a, n_b,
+       ROUND(CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6) AS frac_a,
+       ROUND((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+             * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+             / (CAST(n_a + n_b AS DOUBLE) / 2)
+             + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+             * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+             / (CAST(n_a + n_b AS DOUBLE) / 2), 6) AS chi2,
+       ROUND((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+             * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+             / (CAST(n_a + n_b AS DOUBLE) / 2)
+             + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+             * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+             / (CAST(n_a + n_b AS DOUBLE) / 2), 6) > {SRM_CRIT_1DF} AS srm_detected
+FROM wide
+"""
 AB_Z_CRIT = 1.96
 
 
@@ -975,6 +1042,8 @@ UNIT_SPECS = [
               "RFM segmentation via exact integer quantile banding"),
     QuerySpec("unit_ab_ztest", q_ab_ztest, ORACLE_AB_ZTEST,
               "two-sample z-test from exact decimal moments"),
+    QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
+              "sample-ratio-mismatch chi-square guardrail"),
     QuerySpec("unit_rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
               "ROLLUP grouping-set aggregation"),
     QuerySpec("unit_cube_sales", q_cube_sales, ORACLE_CUBE_SALES,

@@ -193,6 +193,52 @@ FROM s
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION as an operator: the confusion matrix of
+    the stopword language-ID against the documents table's `lang`
+    labels, with per-cell counts, row (true-label) totals, and recall
+    — the quality report you run before trusting a heuristic filter
+    at corpus scale (a lang-ID that silently drops one language is a
+    curation bug this table makes visible in one glance).
+
+    Reuses `q_lang_id`'s prediction verbatim (same expression tree,
+    same precedence), so the eval measures THE shipped classifier.
+    One map-side-combining groupBy on the ≤ |langs|² label pairs."""
+    pred = q_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    truth = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "lang")
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), F.col("lang_pred").alias("pred_lang"))
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = cells.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return cells.join(F.broadcast(row_tot), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        "n_true",
+        F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias("row_frac"),
+        (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
+    )
+
+
+ORACLE_LANGID_CONFUSION = f"""
+WITH pred AS ({ORACLE_LANG_ID}),
+cells AS (
+  SELECT d.lang AS true_lang, p.lang_pred AS pred_lang, count(*) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2
+),
+row_tot AS (
+  SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1
+)
+SELECT c.true_lang AS true_lang, pred_lang, n, n_true,
+       ROUND(CAST(n AS DOUBLE) / n_true, 6) AS row_frac,
+       c.true_lang = pred_lang AS correct
+FROM cells c JOIN row_tot r ON c.true_lang = r.true_lang
+"""
+
+
 # --- fingerprinting ----------------------------------------------------
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2479,6 +2525,9 @@ UNIT_SPECS = [
               "length/punct/stopword quality signals"),
     QuerySpec("unit_lang_id", q_lang_id, ORACLE_LANG_ID,
               "stopword-hit language ID"),
+    QuerySpec("unit_langid_confusion", q_langid_confusion,
+              ORACLE_LANGID_CONFUSION,
+              "confusion matrix + recall of the shipped lang-ID"),
     QuerySpec("unit_doc_fingerprint", q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
               "exact + min-shingle content fingerprints"),
     QuerySpec("unit_text_unigram_logprob", q_text_unigram_logprob,
