@@ -248,6 +248,101 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle-time SLA table: per order priority, the
+    distribution of days from order date to the LAST line shipment —
+    count, exact mean, exact-rank p50/p90, and max. The operational
+    rollup a fulfillment team watches; joins the fact pair on the
+    order key (shuffle join, AQE-planned), reduces to order grain,
+    then the per-priority stats reuse the exact-order-statistic
+    pattern (rank at ⌈q·n⌉ under (days, orderkey)).
+
+    Integer day arithmetic end-to-end; the mean is the one rounded
+    division."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.datediff(
+                F.max("l_shipdate").cast("date"), F.min("o_orderdate").cast("date")
+            )
+            .cast("bigint")
+            .alias("cycle_days")
+        )
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("cycle_days", "o_orderkey")
+    ranked = per_order.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("o_orderpriority"))
+    )
+    p50 = ranked.filter(F.col("rk") == F.expr("CAST(ceil(50 * n / 100.0) AS BIGINT)")).select(
+        "o_orderpriority", F.col("cycle_days").alias("p50_days")
+    )
+    p90 = ranked.filter(F.col("rk") == F.expr("CAST(ceil(90 * n / 100.0) AS BIGINT)")).select(
+        "o_orderpriority", F.col("cycle_days").alias("p90_days")
+    )
+    agg = per_order.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("cycle_days").cast("double") / F.count("*"), 6).alias("mean_days"),
+        F.max("cycle_days").alias("max_days"),
+    )
+    return (
+        agg.join(p50, "o_orderpriority")
+        .join(p90, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "n_orders",
+            "mean_days",
+            "p50_days",
+            "p90_days",
+            "max_days",
+        )
+    )
+
+
+ORACLE_ORDER_CYCLE_TIME = """
+WITH per_order AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                        CAST(max(l_shipdate) AS DATE)) AS BIGINT) AS cycle_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority
+),
+ranked AS (
+  SELECT o_orderpriority, o_orderkey, cycle_days,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cycle_days, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM per_order
+),
+p50 AS (
+  SELECT o_orderpriority, cycle_days AS p50_days
+  FROM ranked WHERE rk = CAST(ceil(50 * n / 100.0) AS BIGINT)
+),
+p90 AS (
+  SELECT o_orderpriority, cycle_days AS p90_days
+  FROM ranked WHERE rk = CAST(ceil(90 * n / 100.0) AS BIGINT)
+),
+agg AS (
+  SELECT o_orderpriority, count(*) AS n_orders,
+         ROUND(CAST(CAST(sum(cycle_days) AS BIGINT) AS DOUBLE) / count(*), 6)
+           AS mean_days,
+         max(cycle_days) AS max_days
+  FROM per_order GROUP BY o_orderpriority
+)
+SELECT agg.o_orderpriority AS priority, n_orders, mean_days, p50_days, p90_days,
+       max_days
+FROM agg
+JOIN p50 ON agg.o_orderpriority = p50.o_orderpriority
+JOIN p90 ON agg.o_orderpriority = p90.o_orderpriority
+"""
+
+
 # --- Poisson bootstrap confidence interval --------------------------------
 
 BOOT_B = 32  # bootstrap replicates
@@ -1044,6 +1139,9 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_order_cycle_time", q_order_cycle_time,
+              ORACLE_ORDER_CYCLE_TIME,
+              "order-to-ship cycle time SLA rollup per priority"),
     QuerySpec("unit_rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
               "ROLLUP grouping-set aggregation"),
     QuerySpec("unit_cube_sales", q_cube_sales, ORACLE_CUBE_SALES,

@@ -730,6 +730,93 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- churn-label training table -------------------------------------------
+
+CHURN_DAYS = 14  # inactive for the trailing window => churned
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-model TRAINING TABLE generation: one row per user with
+    the label (no activity in the corpus's trailing 14 days) and the
+    leakage-safe feature set computed ONLY from events before the
+    label window (activity span, event/purchase counts, exact-cents
+    mean value, events per active day). The label-window cutoff comes
+    from the global max event time — broadcast as a 1-row scalar, the
+    only non-per-user quantity.
+
+    This is the supervised companion of `unit_cohort_retention`
+    (population-level) and `unit_feature_lags` (event-grain): the
+    table a gradient-boosted churn model actually trains on. Features
+    strictly predate the label window — the temporal-leakage rule a
+    naive join gets wrong.
+
+    One scan each side of the cutoff, one per-user aggregate, one
+    broadcast join. Exact integers everywhere; the two ratio columns
+    are shared-shape rounded divisions."""
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {CHURN_DAYS} DAYS")).alias("cutoff")
+    )
+    with_cut = ev.crossJoin(F.broadcast(cutoff))
+    feat = (
+        with_cut.filter(F.col("ts") < F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("active_days"),
+            F.max("ts").alias("last_feat_ts"),
+        )
+    )
+    future = (
+        with_cut.filter(F.col("ts") >= F.col("cutoff"))
+        .select("user_id")
+        .distinct()
+        .withColumn("active_in_window", F.lit(True))
+    )
+    return (
+        feat.join(future, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "active_days",
+            F.round(F.col("sum_cents").cast("double") / F.col("n_events") / 100, 6).alias(
+                "mean_value"
+            ),
+            F.round(
+                F.col("n_events").cast("double") / F.col("active_days"), 6
+            ).alias("events_per_day"),
+            F.coalesce("active_in_window", F.lit(False)).alias("retained"),
+            (~F.coalesce("active_in_window", F.lit(False))).alias("churned"),
+        )
+    )
+
+
+ORACLE_CHURN_LABELS = f"""
+WITH {{EV}},
+cut AS (SELECT max(ts) - INTERVAL {CHURN_DAYS} DAY AS cutoff FROM ev),
+feat AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         count(DISTINCT date_trunc('day', ts)) AS active_days
+  FROM ev, cut WHERE ts < cutoff GROUP BY user_id
+),
+fut AS (
+  SELECT DISTINCT user_id FROM ev, cut WHERE ts >= cutoff
+)
+SELECT f.user_id, n_events, n_purchases, active_days,
+       ROUND(CAST(sum_cents AS DOUBLE) / n_events / 100, 6) AS mean_value,
+       ROUND(CAST(n_events AS DOUBLE) / active_days, 6) AS events_per_day,
+       fut.user_id IS NOT NULL AS retained,
+       fut.user_id IS NULL AS churned
+FROM feat f LEFT JOIN fut ON f.user_id = fut.user_id
+"""
+
+
 # --- per-group quantile monitor -------------------------------------------
 
 QUANTILES = (50, 95, 99)
@@ -1045,6 +1132,9 @@ UNIT_SPECS = [
               "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
+    QuerySpec("unit_churn_labels", q_churn_labels,
+              ORACLE_CHURN_LABELS.replace("{EV}", _EV_CTE),
+              "leakage-safe churn training table: label + features"),
     QuerySpec("unit_quantile_monitor", q_quantile_monitor,
               ORACLE_QUANTILE_MONITOR.replace("{EV}", _EV_CTE),
               "exact-rank p50/p95/p99 per group (the dashboard table)"),
