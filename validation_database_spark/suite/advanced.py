@@ -559,7 +559,101 @@ WHERE deg >= 2
 """
 
 
+# --- association rules over co-purchases ----------------------------------
+
+AR_MIN_PAIR = 5  # minimum pair support (orders containing both)
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining at the first (pairwise) Apriori level:
+    for every part pair co-occurring in ≥5 orders, both directed
+    rules a→b and b→a with support, confidence = P(b|a) and lift =
+    P(a,b)/(P(a)P(b)) — the market-basket analytics the co-purchase
+    graph kernels (triangles, PageRank) abstract away from.
+
+    The pair table is the `unit_triangle_counts` edge construction
+    WITH multiplicity (count of co-occurring orders, not distinct
+    edges); item supports broadcast back onto the pairs. The support
+    floor prunes the pair space before any ratio math — the Apriori
+    antimonotonicity argument, applied as one HAVING. Exact integer
+    counts; confidence/lift are shared-shape rounded divisions."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("n_item")
+    )
+    pairs = (
+        baskets.alias("x")
+        .join(baskets.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= AR_MIN_PAIR)
+    )
+    directed = pairs.select("a", "b", "n_pair").unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_pair"
+        )
+    )
+    ia = item.withColumnRenamed("item", "a").withColumnRenamed("n_item", "n_a")
+    ib = item.withColumnRenamed("item", "b").withColumnRenamed("n_item", "n_b")
+    return (
+        directed.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_pair").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_ASSOC_RULES = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+item AS (SELECT l_partkey AS item, count(*) AS n_item FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n_pair
+  FROM baskets x JOIN baskets y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {AR_MIN_PAIR}
+),
+directed AS (
+  SELECT a, b, n_pair FROM pairs
+  UNION ALL
+  SELECT b, a, n_pair FROM pairs
+)
+SELECT d.a AS antecedent, d.b AS consequent, n_pair,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       ROUND(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+       ROUND(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+       ROUND((CAST(n_pair AS DOUBLE) * n_orders)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+FROM directed d
+JOIN item ia ON d.a = ia.item
+JOIN item ib ON d.b = ib.item
+CROSS JOIN no
+"""
+
+
 UNIT_SPECS = [
+    QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
+              "pairwise Apriori: support/confidence/lift co-purchase rules"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
               "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
     QuerySpec("unit_session_week_overlap", q_session_week_overlap,
