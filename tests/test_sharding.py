@@ -65,3 +65,15 @@ def test_rendezvous_moves_only_to_the_new_shard(spark, sf_dir):
     df = q_shard_rendezvous(spark, sf_dir)
     lateral = df.filter("moved AND shard_k9 != 8").count()
     assert lateral == 0
+
+
+def test_kcore_three_rounds_is_the_fixed_point(spark, sf_dir):
+    """Peeling converges on the fixture within 2 rounds, so the
+    shipped 3-round unroll IS the k-core, not an approximation."""
+    from validation_database_spark.suite.advanced import q_kcore
+
+    r2 = {tuple(r) for r in q_kcore(spark, sf_dir, rounds=2).collect()}
+    r3 = {tuple(r) for r in q_kcore(spark, sf_dir, rounds=3).collect()}
+    assert r2 == r3
+    assert any(row[3] for row in r3)       # core is non-empty
+    assert not all(row[3] for row in r3)   # and some vertex was peeled

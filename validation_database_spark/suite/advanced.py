@@ -559,6 +559,96 @@ WHERE deg >= 2
 """
 
 
+# --- k-core decomposition (fixed peeling rounds) ---------------------------
+
+KCORE_K = 60
+KCORE_ROUNDS = 3
+
+
+def q_kcore(spark: SparkSession, sf_dir: str, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core membership on the part co-purchase graph via THREE
+    unrolled peeling rounds (Matula & Beck 1983: repeatedly delete
+    vertices of degree < k; survivors are the k-core): each round is
+    one degree aggregation + two semi-joins filtering the adjacency —
+    the fixed-iteration join-per-round pattern PageRank established,
+    here with k=60 (a handful of fixture vertices sit below it, so
+    peeling fires without cascading the whole graph away — k=100
+    empties the core: degree distributions concentrate, the
+    Erdos-Renyi sharp-threshold effect). Output per vertex: initial degree, surviving
+    core degree, and the in-core flag; `tests/test_plans.py` asserts
+    round 3 changed nothing (the fixture converges in ≤2, so 3 rounds
+    ARE the fixed point, not an approximation of it).
+
+    Scale: per round O(|E|) with map-side-combining degree counts —
+    the distributed k-core of the graph-processing literature; rounds
+    needed grow with the peeling depth, not the graph size."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .select(
+            F.least("x.l_partkey", "y.l_partkey").alias("a"),
+            F.greatest("x.l_partkey", "y.l_partkey").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg0 = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg0"))
+    cur = sym
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy(F.col("a").alias("v"))
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= KCORE_K)
+            .select("v")
+        )
+        cur = cur.join(
+            keep.withColumnRenamed("v", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+    deg_f = cur.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("core_deg"))
+    return deg0.join(deg_f, "v", "left").select(
+        F.col("v").alias("partkey"),
+        F.col("deg0").cast("bigint").alias("degree"),
+        F.coalesce("core_deg", F.lit(0)).cast("bigint").alias("core_degree"),
+        (F.col("core_deg").isNotNull() & (F.col("core_deg") >= KCORE_K)).alias(
+            "in_kcore"
+        ),
+    )
+
+
+def _oracle_kcore() -> str:
+    rounds = []
+    prev = "sym"
+    for r in range(KCORE_ROUNDS):
+        rounds.append(
+            f"k{r} AS (SELECT a AS v FROM {prev} GROUP BY a "
+            f"HAVING count(*) >= {KCORE_K}),\n"
+            f"s{r} AS (SELECT {prev}.a, {prev}.b FROM {prev} "
+            f"JOIN k{r} x ON {prev}.a = x.v JOIN k{r} y ON {prev}.b = y.v)"
+        )
+        prev = f"s{r}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                  greatest(x.l_partkey, y.l_partkey) AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey <> y.l_partkey
+),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg0 AS (SELECT a AS v, count(*) AS deg0 FROM sym GROUP BY a),
+{', '.join(rounds)},
+degf AS (SELECT a AS v, count(*) AS core_deg FROM {prev} GROUP BY a)
+SELECT deg0.v AS partkey,
+       CAST(deg0 AS BIGINT) AS degree,
+       CAST(COALESCE(core_deg, 0) AS BIGINT) AS core_degree,
+       core_deg IS NOT NULL AND core_deg >= {KCORE_K} AS in_kcore
+FROM deg0 LEFT JOIN degf ON deg0.v = degf.v
+"""
+
+
 # --- association rules over co-purchases ----------------------------------
 
 AR_MIN_PAIR = 5  # minimum pair support (orders containing both)
@@ -654,6 +744,8 @@ CROSS JOIN no
 UNIT_SPECS = [
     QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
               "pairwise Apriori: support/confidence/lift co-purchase rules"),
+    QuerySpec("unit_kcore", q_kcore, _oracle_kcore(),
+              "k-core peeling (3 unrolled rounds), the PageRank pattern"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
               "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
     QuerySpec("unit_session_week_overlap", q_session_week_overlap,
