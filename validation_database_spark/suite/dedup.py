@@ -1117,6 +1117,77 @@ SELECT id_a AS new_doc_id, id_b AS dup_of, jaccard FROM (
 
 # Unit operator surface (merged into doc_profile's simhash column for
 # the driver window); parity-tested locally.
+# --- dedup-recall evaluation against exact ground truth --------------------
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup EVALUATION as an operator: the MinHash-LSH pipeline's
+    verified pairs scored against the exact inverted-index Jaccard
+    ground truth — precision, recall, F1 in one row. Precision is 1 by
+    construction (the LSH path exact-verifies candidates with the same
+    threshold); recall measures exactly the BAND-MISS rate, i.e. the
+    pairs whose signatures never collided in any band — the quantity
+    the (bands × rows) S-curve trades against candidate volume, here
+    measured on the shipped config rather than read off the formula.
+    The corpus-eval sibling of `unit_langid_confusion` and the
+    recall harnesses in tests/test_ann_recall.py, but driver-checkable
+    since both sides are deterministic DataFrames.
+
+    Cost: re-runs both pair pipelines (each bench-timed ~1 s at
+    sf0.1) plus two pair-key joins — the audit you run when retuning
+    bands, not per ingest."""
+    truth = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pred = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    hit = truth.join(pred, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count("*").alias("n_true"))
+    np_ = pred.agg(F.count("*").alias("n_pred"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    prec = F.round(F.col("n_hit").cast("double") / F.greatest("n_pred", F.lit(1)), 6)
+    rec = F.round(F.col("n_hit").cast("double") / F.greatest("n_true", F.lit(1)), 6)
+    return (
+        nt.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_pred",
+            "n_hit",
+            prec.alias("precision"),
+            rec.alias("recall"),
+            F.round(
+                2
+                * (F.col("n_hit").cast("double") / F.greatest("n_pred", F.lit(1)))
+                * (F.col("n_hit").cast("double") / F.greatest("n_true", F.lit(1)))
+                / F.greatest(
+                    F.col("n_hit").cast("double") / F.greatest("n_pred", F.lit(1))
+                    + F.col("n_hit").cast("double") / F.greatest("n_true", F.lit(1)),
+                    F.lit(1e-12),
+                ),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
+def _oracle_dedup_eval() -> str:
+    return f"""
+WITH truth AS ({ORACLE_DEDUP_NGRAM_JACCARD}),
+pred AS ({_oracle_minhash()}),
+nt AS (SELECT count(*) AS n_true FROM truth),
+np AS (SELECT count(*) AS n_pred FROM pred),
+nh AS (SELECT count(*) AS n_hit FROM truth t
+       WHERE EXISTS (SELECT 1 FROM pred p
+                     WHERE p.id_a = t.id_a AND p.id_b = t.id_b))
+SELECT n_true, n_pred, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / greatest(n_pred, 1), 6) AS precision,
+       ROUND(CAST(n_hit AS DOUBLE) / greatest(n_true, 1), 6) AS recall,
+       ROUND(2 * (CAST(n_hit AS DOUBLE) / greatest(n_pred, 1))
+               * (CAST(n_hit AS DOUBLE) / greatest(n_true, 1))
+             / greatest(CAST(n_hit AS DOUBLE) / greatest(n_pred, 1)
+                        + CAST(n_hit AS DOUBLE) / greatest(n_true, 1), 1e-12), 6)
+         AS f1
+FROM nt CROSS JOIN np CROSS JOIN nh
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
               "exact dedup by normalized-content hash", headline=True),
@@ -1145,6 +1216,8 @@ SPECS = [
 
 
 UNIT_SPECS = [
+    QuerySpec("unit_dedup_eval", q_dedup_eval, _oracle_dedup_eval(),
+              "LSH dedup precision/recall vs exact-Jaccard ground truth"),
     QuerySpec("unit_dedup_simhash", q_dedup_simhash, _oracle_simhash(),
               "16-bit SimHash near-dup buckets"),
     QuerySpec("unit_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),
