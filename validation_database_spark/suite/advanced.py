@@ -765,7 +765,8 @@ UNIT_SPECS = [
 
 SPECS = [
     QuerySpec("unit_triangle_counts", q_triangle_counts, ORACLE_TRIANGLE_COUNTS,
-              "degree-oriented triangle counting + clustering coefficient"),
+              "degree-oriented triangle counting + clustering coefficient",
+              headline=True),
     # price_percentiles is driver-checked via order_status_profile
     # (suite/analytics.py); q_price_percentiles stays as the
     # unit-tested operator surface.

@@ -1150,7 +1150,8 @@ UNIT_SPECS = [
               "Pearson correlation matrix from exact decimal moments"),
     QuerySpec("unit_poisson_bootstrap", q_poisson_bootstrap,
               _oracle_poisson_bootstrap(),
-              "hash-Poisson bootstrap CI for the mean, one scan"),
+              "hash-Poisson bootstrap CI for the mean, one scan",
+              headline=True),
     QuerySpec("unit_running_order_total", q_running_order_total,
               ORACLE_RUNNING_ORDER_TOTAL, "per-customer running total window"),
     # rotated out of the driver window in round 4 (driver-green r1-r3):

@@ -2491,10 +2491,12 @@ LEFT JOIN pdi ON b.doc_id = pdi.doc_id
 SPECS = [
     QuerySpec("unit_line_dedup_rewrite", q_line_dedup_rewrite,
               ORACLE_LINE_DEDUP_REWRITE,
-              "C4 line dedup with hash-verified document rewrite"),
+              "C4 line dedup with hash-verified document rewrite",
+              headline=True),
     QuerySpec("unit_exact_substr_spans", q_exact_substr_spans,
               ORACLE_EXACT_SUBSTR_SPANS,
-              "ExactSubstr-style duplicated-span islands per doc"),
+              "ExactSubstr-style duplicated-span islands per doc",
+              headline=True),
     QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
               "one-scan document profiler: tokens/quality/lang/fingerprints/"
               "repetition/simhash/hash-embedding/unigram-LM", headline=True),
