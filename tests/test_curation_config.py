@@ -1,0 +1,79 @@
+"""Config-driven curation job: the YAML CLI UX applied to the corpus
+pipeline — stage chain executes, counts are monotone non-increasing,
+shards land on disk, and bad configs fail loudly."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+import yaml
+
+from validation_database_spark.curation import (
+    load_curation_config,
+    run_curation,
+)
+
+
+def _write(tmp_path, cfg):
+    p = tmp_path / "curation.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+def test_full_chain_runs_and_prunes_monotonically(spark, sf_dir, tmp_path):
+    cfg = load_curation_config(
+        _write(
+            tmp_path,
+            {
+                "input": {"sf_dir": sf_dir},
+                "stages": {
+                    "filter": {
+                        "min_chars": 100,
+                        "langs": ["en", "es", "de", "fr"],
+                        "classifier": True,
+                    },
+                    "line_dedup": True,
+                    "near_dedup": True,
+                    "span_corruption": True,
+                },
+                "output": {"dir": str(tmp_path / "out"), "shards": 2},
+            },
+        )
+    )
+    run = run_curation(spark, cfg)
+    c = run.counts
+    assert c["input"] >= c["filter"] >= c["line_dedup"] >= c["near_dedup"]
+    assert c["output"] == c["near_dedup"]
+    assert c["output"] > 0
+    # span-corruption output schema, exported as gzip JSONL
+    assert {"doc_id", "input_md5", "target_md5"} <= set(run.result.columns)
+    assert run.shards
+    assert glob.glob(str(tmp_path / "out" / "examples" / "*.json.gz"))
+
+
+def test_stage_subset_and_count_skip(spark, sf_dir, tmp_path):
+    cfg = load_curation_config(
+        _write(
+            tmp_path,
+            {
+                "input": {"sf_dir": sf_dir},
+                "stages": {"near_dedup": True},
+                "report_counts": False,
+            },
+        )
+    )
+    run = run_curation(spark, cfg)
+    assert run.counts == {}  # no count actions when reporting is off
+    assert run.result.count() > 0
+    assert run.shards == []  # no output dir -> no export
+
+
+def test_unknown_stage_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unknown curation stages"):
+        load_curation_config(
+            _write(
+                tmp_path,
+                {"input": {"sf_dir": "x"}, "stages": {"frobnicate": True}},
+            )
+        )
