@@ -823,6 +823,105 @@ FROM au LEFT JOIN agg ON au.vec_id = agg.id_a
 """
 
 
+# --- per-label centroid similarity matrix ----------------------------------
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class analytics: the per-label centroid table
+    and the pairwise centroid cosine matrix — the first diagnostic of
+    label quality in an embedding space (two labels whose centroids
+    cosine ≈ 1 are indistinguishable to a linear probe; a label whose
+    centroid hugs the origin has no signal). Complements the search
+    ops (ANN) and the clustering ops (k-means/SemDeDup) with the
+    LABEL-conditioned view.
+
+    Exactness: components e6-integerized per row (the k-means fixed
+    point), per-label sums exact bigints, centroid components ONE
+    shared-shape division each; the pairwise dot/norm reductions run
+    over the 64-dim LONG form with per-term rounding + DECIMAL sums
+    (no order-dependent float accumulation), and the final cosine is
+    the shared dot/(‖a‖‖b‖) chain rounded 6.
+
+    Scale: one posexplode (narrow), one (label, dim) groupBy with
+    map-side combine → 10×64 rows; the pair join is over the tiny
+    centroid table — input size touches only the first aggregation."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    long = emb.select(
+        "label", F.posexplode(_to_e6(F.col("embedding"))).alias("dim", "x")
+    )
+    cent = long.groupBy("label", "dim").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    ).select(
+        "label",
+        "dim",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("c"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("c").alias("ca"), F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim",
+        F.col("c").alias("cb"), F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.sum(F.round(F.col("ca") * F.col("cb"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum(F.round(F.col("ca") * F.col("ca"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("naa"),
+            F.sum(F.round(F.col("cb") * F.col("cb"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("nbb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("naa")) * F.sqrt(F.col("nbb"))), 6
+        ).alias("centroid_cos"),
+    )
+
+
+ORACLE_LABEL_CENTROID_SIM = """
+WITH long AS (
+  SELECT label, u.dim - 1 AS dim,
+         CAST(sign(CAST(u.x AS DOUBLE))
+              * floor(abs(CAST(u.x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim) u
+),
+cent AS (
+  SELECT label, dim, count(*) AS n,
+         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / count(*) AS c
+  FROM long GROUP BY label, dim
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+         CAST(sum(CAST(ROUND(a.c * b.c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS dot,
+         CAST(sum(CAST(ROUND(a.c * a.c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS naa,
+         CAST(sum(CAST(ROUND(b.c * b.c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS nbb
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, n_a, n_b,
+       ROUND(dot / (sqrt(naa) * sqrt(nbb)), 6) AS centroid_cos
+FROM pairs
+"""
+
+
 SPECS = [
     QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
               "brute-force baseline + IVF scale-path cosine top-10",
@@ -836,6 +935,9 @@ SPECS = [
 ]
 
 UNIT_SPECS = [
+    QuerySpec("unit_label_centroid_sim", q_label_centroid_sim,
+              ORACLE_LABEL_CENTROID_SIM,
+              "per-label centroid cosine matrix, e6-exact reductions"),
     QuerySpec("unit_embed_quantize", q_embed_quantize, ORACLE_EMBED_QUANTIZE,
               "symmetric int8 vector quantization with error audit"),
     QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
