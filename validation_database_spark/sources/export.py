@@ -52,3 +52,26 @@ def export_jsonl_shards(
         .json(out_dir)
     )
     return sorted(glob.glob(os.path.join(out_dir, "part-*.json.gz")))
+
+
+def write_partitioned_parquet(
+    df,
+    out_dir: str,
+    partition_cols: list[str],
+    *,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned parquet layout (``out_dir/col=value/...``) —
+    the lakehouse table layout that turns partition-column predicates
+    into DIRECTORY pruning: a reader filtering on a partition column
+    never opens the other partitions' files at all (visible in the
+    plan as ``PartitionFilters``, a stronger guarantee than row-group
+    ``PushedFilters``; pinned by tests/test_partition_pruning.py).
+
+    Executor-written like the JSONL exporter: no driver collect, no
+    coalesce(1); ``maxRecordsPerFile`` bounds file sizes inside each
+    partition directory."""
+    writer = df.write.mode("overwrite").partitionBy(*partition_cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(out_dir)
