@@ -730,6 +730,67 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- seasonal-naive forecast backtest --------------------------------------
+
+SN_LAG_DAYS = 7
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality floor: the seasonal-naive model (predict each
+    day's total value per event type with the value 7 days earlier)
+    backtested over the whole corpus — per type: days evaluated, MAE
+    and mean bias. Any real forecaster must beat THIS number; shipping
+    the baseline as an operator makes "is the fancy model worth it"
+    a query, not a notebook.
+
+    The 7-day-back join is a calendar equi-join (day = day − 7), not a
+    positional lag — robust to gaps in the daily grid. Daily totals
+    are exact cents; MAE/bias are exact-integer sums with one rounded
+    division each."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    actual = daily.select("event_type", "day", F.col("cents").alias("a"))
+    lagged = daily.select(
+        "event_type",
+        (F.col("day") + F.expr(f"INTERVAL {SN_LAG_DAYS} DAYS")).alias("day"),
+        F.col("cents").alias("f"),
+    )
+    joined = actual.join(lagged, ["event_type", "day"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum(F.abs(F.col("a") - F.col("f"))).cast("double") / F.count("*") / 100,
+            6,
+        ).alias("mae_value"),
+        F.round(
+            F.sum(F.col("a") - F.col("f")).cast("double") / F.count("*") / 100, 6
+        ).alias("bias_value"),
+    )
+
+
+ORACLE_SEASONAL_NAIVE = f"""
+WITH {{EV}},
+daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM ev GROUP BY 1, 2
+),
+joined AS (
+  SELECT a.event_type, a.cents AS a, f.cents AS f
+  FROM daily a JOIN daily f
+    ON a.event_type = f.event_type AND f.day + INTERVAL {SN_LAG_DAYS} DAY = a.day
+)
+SELECT event_type, count(*) AS n_days,
+       ROUND(CAST(CAST(sum(abs(a - f)) AS BIGINT) AS DOUBLE) / count(*) / 100, 6)
+         AS mae_value,
+       ROUND(CAST(CAST(sum(a - f) AS BIGINT) AS DOUBLE) / count(*) / 100, 6)
+         AS bias_value
+FROM joined GROUP BY event_type
+"""
+
+
 # --- churn-label training table -------------------------------------------
 
 CHURN_DAYS = 14  # inactive for the trailing window => churned
@@ -1132,6 +1193,9 @@ UNIT_SPECS = [
               "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
+    QuerySpec("unit_seasonal_naive_backtest", q_seasonal_naive_backtest,
+              ORACLE_SEASONAL_NAIVE.replace("{EV}", _EV_CTE),
+              "seasonal-naive forecast MAE/bias floor per event type"),
     QuerySpec("unit_churn_labels", q_churn_labels,
               ORACLE_CHURN_LABELS.replace("{EV}", _EV_CTE),
               "leakage-safe churn training table: label + features"),
