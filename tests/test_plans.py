@@ -433,3 +433,44 @@ def test_attribution_single_user_window_no_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_bootstrap_weights_combine_map_side_no_python(spark, sf_dir):
+    """480M (row, replicate) weights at scale must collapse to B
+    groups BEFORE the exchange; the weight map is pure JVM."""
+    from validation_database_spark.suite.analytics import q_poisson_bootstrap
+
+    plan = physical_plan(q_poisson_bootstrap(spark, sf_dir))
+    assert "partial_sum" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_negative_sampling_anti_join_no_cartesian(spark, sf_dir):
+    """Candidate draws anti-join the purchase pairs; the only
+    nested-loop is the 1-row catalog-size broadcast."""
+    from validation_database_spark.suite.pipeline import q_negative_sampling
+
+    plan = physical_plan(q_negative_sampling(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_corr_matrix_single_scan_partial_agg(spark, sf_dir):
+    """All 14 moments in ONE lineitem scan with map-side combine."""
+    from validation_database_spark.plans import count_occurrences
+    from validation_database_spark.suite.analytics import q_corr_matrix
+
+    df = q_corr_matrix(spark, sf_dir)
+    plan = physical_plan(df)
+    # no join anywhere -> the 14 moments really come from one scan
+    assert "Join" not in plan, plan
+    assert count_occurrences(df, "HashAggregate") >= 2
+
+
+def test_kcore_semi_joins_only(spark, sf_dir):
+    from validation_database_spark.suite.advanced import q_kcore
+
+    plan = physical_plan(q_kcore(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
