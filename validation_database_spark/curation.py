@@ -70,7 +70,14 @@ def run_curation(spark: SparkSession, config: dict[str, Any]) -> CurationRun:
     Every stage reuses the suite operator (same expression trees the
     driver hash-checks); the surviving doc-id set threads through as
     left-semi joins, so each stage prunes without rewriting the
-    upstream frames."""
+    upstream frames.
+
+    Scale note: at 100 TB each stage boundary would be materialized
+    (checkpoint / intermediate table) rather than fused — partly for
+    restartability, partly because the dedup stages' inverted indexes
+    are worth persisting; the semi-join chaining here IS the logical
+    plan either way, and swapping ``survivors`` for a written table
+    between stages changes no stage's code."""
     from .suite.dedup import q_dedup_minhash_lsh
     from .suite.text import (
         q_line_dedup_rewrite,
