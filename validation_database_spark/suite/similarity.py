@@ -823,6 +823,120 @@ FROM au LEFT JOIN agg ON au.vec_id = agg.id_a
 """
 
 
+# --- RAG-shaped chunk retrieval --------------------------------------------
+
+RAG_QUERY_MOD = 50
+RAG_TOP_K = 3
+
+
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval over the corpus, composed from the
+    suite's own primitives: documents → sliding 64-token chunks
+    (`text_chunks`' windowing) → hashed-BoW chunk embeddings
+    (`unit_text_hash_embeddings`' feature space) → cosine top-3 chunks
+    per query document (the brute scoring baseline; the IVF/LSH twins
+    are this op's serving path at scale, exactly as for `ann_topk`).
+    Queries are every 50th document embedded whole; own-document
+    chunks are excluded, so the result is "the best passages
+    elsewhere in the corpus" — the retrieval-index shape behind
+    RAG and dedup-by-retrieval alike.
+
+    Determinism: integer bucket counts, the established sequential-
+    fold dot/norm (identical IEEE order both engines), cosine rounded
+    6 with (doc, chunk) tie-breaks. At scale the chunk vectors are
+    pre-normalized once (see `_unit_emb`) and the query set joins
+    through the IVF cells; the brute pair scoring here is the
+    exactness baseline the recall tests need."""
+    from .text import CHUNK_SIZE, _STRIDE, _hash_bucket_counts, _tokens
+
+    docs = spread(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_STRIDE))
+    chunks = (
+        docs.select("doc_id", F.posexplode(starts).alias("chunk_idx", "st"), "toks")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.slice(F.col("toks"), F.col("st"), CHUNK_SIZE).alias("ctoks"),
+        )
+        .select(
+            "doc_id", "chunk_idx", _hash_bucket_counts(F.col("ctoks")).alias("cvec")
+        )
+    )
+    queries = (
+        docs.filter(F.col("doc_id") % RAG_QUERY_MOD == 0)
+        .select(
+            F.col("doc_id").alias("query_doc_id"),
+            _hash_bucket_counts(F.col("toks")).alias("qvec"),
+        )
+    )
+    from ..operators.vectors import cosine_rounded
+
+    scored = (
+        chunks.crossJoin(F.broadcast(queries))
+        .filter(F.col("doc_id") != F.col("query_doc_id"))
+        .select(
+            "query_doc_id",
+            "doc_id",
+            "chunk_idx",
+            cosine_rounded(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_doc_id").orderBy(
+        F.col("cos_sim").desc(), "doc_id", "chunk_idx"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= RAG_TOP_K)
+    )
+
+
+def _oracle_rag_retrieval() -> str:
+    from ..operators.vectors import cosine_sql
+    from .text import CHUNK_SIZE, _STRIDE, _tokens_sql
+
+    bucket = (
+        "((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64"
+    )
+    counts = (
+        f"list_transform(generate_series(0, 63), b -> "
+        f"CAST(len(list_filter({{src}}, tok -> {bucket} = b)) AS DOUBLE))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(pos - 1 AS BIGINT) AS chunk_idx,
+         toks[s:s + {CHUNK_SIZE - 1}] AS ctoks
+  FROM (
+    SELECT doc_id, toks, u.s, u.pos
+    FROM t, LATERAL (
+      SELECT unnest(range(1, greatest(len(toks), 1) + 1, {_STRIDE})) AS s,
+             generate_subscripts(range(1, greatest(len(toks), 1) + 1, {_STRIDE}), 1) AS pos
+    ) u
+  )
+),
+cvecs AS (
+  SELECT doc_id, chunk_idx, {counts.format(src='ctoks')} AS v FROM chunks
+),
+qvecs AS (
+  SELECT doc_id AS query_doc_id, {counts.format(src='toks')} AS v
+  FROM t WHERE doc_id % {RAG_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_doc_id, c.doc_id, c.chunk_idx,
+         ROUND({cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
+  FROM cvecs c JOIN qvecs q ON c.doc_id <> q.query_doc_id
+)
+SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_doc_id
+                               ORDER BY cos_sim DESC, doc_id, chunk_idx) AS rk
+  FROM scored
+) WHERE rk <= {RAG_TOP_K}
+"""
+
+
 # --- per-label centroid similarity matrix ----------------------------------
 
 def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,6 +1049,8 @@ SPECS = [
 ]
 
 UNIT_SPECS = [
+    QuerySpec("unit_rag_retrieval", q_rag_retrieval, _oracle_rag_retrieval(),
+              "RAG chunk retrieval: chunk + hash-embed + cosine top-3"),
     QuerySpec("unit_label_centroid_sim", q_label_centroid_sim,
               ORACLE_LABEL_CENTROID_SIM,
               "per-label centroid cosine matrix, e6-exact reductions"),
