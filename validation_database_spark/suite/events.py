@@ -1110,7 +1110,11 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "events", sf_dir)
         .select("event_id", "event_type", "ts")
         .withColumn("bucket", F.expr("timestampdiff(MICROSECOND, timestamp_ntz'2000-01-01', ts) DIV 600000000"))
-        .withColumn("arr", F.md5(F.col("event_id").cast("string")))
+        .withColumn(
+            "arr",
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint"),
+        )
     )
     wa = Window.partitionBy("event_type").orderBy("bucket", "arr")
     late = ev.withColumn(
@@ -1152,7 +1156,7 @@ late AS (
   FROM (
     SELECT event_id, event_type, ts,
            (epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 600000000 AS bucket,
-           md5(CAST(event_id AS VARCHAR)) AS arr
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS arr
     FROM ev
   )
 ),
