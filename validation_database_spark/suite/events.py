@@ -643,40 +643,41 @@ def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     1993) — the heavy-tail-safe sibling of `events_anomalies`' mean/σ
     z-score, whose moments a single extreme value can drag.
 
-    Exact order statistics, no approx-percentile: the median is the
-    element at position ⌈n/2⌉ under the total order (value, event_id)
-    — deterministic under ties — and the MAD repeats the same trick on
-    |x − median|; both engines pick the identical element, so the only
-    float ops are the final shared-shape scale/divide, rounded to 6.
-
-    Scale: two per-type window passes (hash-partitioned by the
-    16-value type column, never a global sort) + one broadcast of the
-    16-row median table. The rank-based exact median is the fixture
-    posture; at 100 TB the same operator runs on remote-error-tolerant
-    approx medians or a t-digest — flagged here as the deliberate
-    exactness choice that makes the oracle hash-exact."""
+    Exact order statistics, no approx-percentile — and computed as
+    value HISTOGRAMS, not rank windows: the median is the smallest
+    value whose cumulative count reaches ⌈n/2⌉ over the per-type
+    distinct-value histogram (map-side-combining groupBy, fully
+    parallel at any type cardinality — the rank-window form serializes
+    each type into one sort task, the low-cardinality ceiling SCALE.md
+    measures), and the MAD repeats the same trick on the |x − median|
+    histogram. Identical elements to the (value, event_id) rank pick —
+    the rank-r value depends only on the value multiset — so the
+    oracle stays the rank formulation and the check stays hash-exact.
+    Only the final shared-shape scale/divide is float, rounded to 6."""
     from pyspark.sql import Window
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "event_type", "value"
     )
-    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
-    med = (
-        ev.withColumn("rk", F.row_number().over(wt))
-        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
-        .filter(F.col("rk") == F.expr("(n + 1) DIV 2"))
-        .select("event_type", F.col("value").alias("med"))
-    )
+
+    def hist_pick(df, col, out):
+        """Smallest `col` whose cumulative count reaches ⌈n/2⌉."""
+        h = df.groupBy("event_type", col).agg(F.count("*").alias("n"))
+        wv = Window.partitionBy("event_type").orderBy(col)
+        c = h.withColumn(
+            "cum", F.sum("n").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+        ).withColumn("total", F.sum("n").over(Window.partitionBy("event_type")))
+        return (
+            c.filter(F.col("cum") >= F.expr("(total + 1) DIV 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = hist_pick(ev, "value", "med")
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
-    mad = (
-        dev.withColumn("rk", F.row_number().over(wd))
-        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
-        .filter(F.col("rk") == F.expr("(n + 1) DIV 2"))
-        .select("event_type", F.col("adev").alias("mad"))
-    )
+    mad = hist_pick(dev, "adev", "mad")
     z = F.round(
         F.lit(MAD_K) * (F.col("value") - F.col("med")) / F.nullif("mad", F.lit(0.0)), 6
     )
@@ -885,28 +886,41 @@ QUANTILES = (50, 95, 99)
 
 def q_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-group latency-dashboard table: exact p50/p95/p99 of
-    value per event type, as order statistics at rank ⌈q·n/100⌉ under
-    the (value, event_id) total order — one window pass serving all
-    three quantiles (each rank filter reuses the same shuffle), where
-    `approx_percentile` would be rows-only-checkable. Completes the
-    monitoring family: `unit_mad_anomalies` flags rows, this tracks
-    the distribution the flags are judged against."""
+    value per event type. The value at rank ⌈q·n/100⌉ depends only on
+    the sorted MULTISET of values, so instead of a per-type rank
+    window (one 2M-row sort task per type at 100× — the
+    low-cardinality ceiling SCALE.md measures), the plan is a value
+    HISTOGRAM: groupBy (type, value) with map-side combine — fully
+    parallel at any group cardinality — then a cumulative count over
+    the per-type DISTINCT values (a tiny window) and one min-value
+    pick per quantile. Exact, and hash-identical to the rank-window
+    oracle, where `approx_percentile` would be rows-only-checkable.
+    Completes the monitoring family: `unit_mad_anomalies` flags rows,
+    this tracks the distribution the flags are judged against."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
-    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rk", F.row_number().over(wr)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("event_type"))
-    )
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    hist = ev.groupBy("event_type", "value").agg(F.count("*").alias("n"))
+    wv = Window.partitionBy("event_type").orderBy("value")
+    cum = hist.withColumn(
+        "cum", F.sum("n").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("n").over(Window.partitionBy("event_type")))
     picks = None
     for q in QUANTILES:
-        p = ranked.filter(
-            F.col("rk") == F.expr(f"CAST(ceil({q} * n / 100.0) AS BIGINT)")
-        ).select(
-            "event_type",
-            F.lit(q).cast("bigint").alias("quantile"),
-            F.col("value").alias("value_at"),
-            F.col("n").alias("n_events"),
+        rank = F.expr(f"CAST(ceil({q} * total / 100.0) AS BIGINT)")
+        p = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy("event_type")
+            .agg(
+                F.min("value").alias("value_at"),
+                F.max("total").alias("n_events"),
+            )
+            .select(
+                "event_type",
+                F.lit(q).cast("bigint").alias("quantile"),
+                "value_at",
+                "n_events",
+            )
         )
         picks = p if picks is None else picks.unionByName(p)
     return picks
