@@ -251,14 +251,14 @@ GROUP BY CUBE(order_year, status)
 def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship cycle-time SLA table: per order priority, the
     distribution of days from order date to the LAST line shipment —
-    count, exact mean, exact-rank p50/p90, and max. The operational
-    rollup a fulfillment team watches; joins the fact pair on the
-    order key (shuffle join, AQE-planned), reduces to order grain,
-    then the per-priority stats reuse the exact-order-statistic
-    pattern (rank at ⌈q·n⌉ under (days, orderkey)).
-
-    Integer day arithmetic end-to-end; the mean is the one rounded
-    division."""
+    count, exact mean, exact-rank p50/p90, and max. The per-priority
+    quantiles use the HISTOGRAM formulation (groupBy (priority, days)
+    + cumulative counts over distinct day values + min-value pick) —
+    o_orderpriority has 5 values, so a rank window would serialize
+    each priority into one sort task (the low-cardinality ceiling
+    SCALE.md measures and fixes); the day-grain histogram is bounded
+    by the calendar, not the order count. Integer day arithmetic
+    end-to-end; the mean is the one rounded division."""
     from pyspark.sql import Window
 
     orders = load_table(spark, "orders", sf_dir).select(
@@ -276,24 +276,29 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cycle_days")
         )
     )
-    wr = Window.partitionBy("o_orderpriority").orderBy("cycle_days", "o_orderkey")
-    ranked = per_order.withColumn("rk", F.row_number().over(wr)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("o_orderpriority"))
+    hist = per_order.groupBy("o_orderpriority", "cycle_days").agg(
+        F.count("*").alias("n")
     )
-    p50 = ranked.filter(F.col("rk") == F.expr("CAST(ceil(50 * n / 100.0) AS BIGINT)")).select(
-        "o_orderpriority", F.col("cycle_days").alias("p50_days")
-    )
-    p90 = ranked.filter(F.col("rk") == F.expr("CAST(ceil(90 * n / 100.0) AS BIGINT)")).select(
-        "o_orderpriority", F.col("cycle_days").alias("p90_days")
-    )
+    wv = Window.partitionBy("o_orderpriority").orderBy("cycle_days")
+    cum = hist.withColumn(
+        "cum", F.sum("n").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("n").over(Window.partitionBy("o_orderpriority")))
+
+    def pick(q, out):
+        return (
+            cum.filter(F.col("cum") >= F.expr(f"CAST(ceil({q} * total / 100.0) AS BIGINT)"))
+            .groupBy("o_orderpriority")
+            .agg(F.min("cycle_days").alias(out))
+        )
+
     agg = per_order.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum("cycle_days").cast("double") / F.count("*"), 6).alias("mean_days"),
         F.max("cycle_days").alias("max_days"),
     )
     return (
-        agg.join(p50, "o_orderpriority")
-        .join(p90, "o_orderpriority")
+        agg.join(pick(50, "p50_days"), "o_orderpriority")
+        .join(pick(90, "p90_days"), "o_orderpriority")
         .select(
             F.col("o_orderpriority").alias("priority"),
             "n_orders",
