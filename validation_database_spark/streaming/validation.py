@@ -514,3 +514,33 @@ def latest_mv_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
         and os.path.exists(os.path.join(out_dir, d, "_MV_COMMITTED"))
     )
     return spark.read.parquet(os.path.join(out_dir, f"v{versions[-1]}"))
+
+
+def streaming_session_totals(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native stateful sessionization on the stream: Spark's
+    ``session_window`` with a watermark — the streaming twin of the
+    batch session ops (the lag+cumsum driver query and the built-in
+    session_window form it is cross-validated against in
+    tests/test_session_window.py). Append mode emits a session only
+    once the watermark passes its close — the completeness contract
+    tests/test_streaming_session.py pins: the emitted set equals the
+    batch session_window result restricted to sessions closed before
+    max(event time) − watermark, exactly.
+
+    Exact-cents session totals so the streamed rows hash-compare
+    against the batch twin."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
