@@ -895,6 +895,70 @@ FROM per_band CROSS JOIN total
 """
 
 
+# --- data freshness / staleness check -------------------------------------
+
+FRESH_REF = "2026-01-01 00:00:00"  # fixed audit instant (fixtures end 2024/2001)
+FRESH_SLA_DAYS = {"events": 600, "orders": 9500, "lineitem": 9500}
+
+
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness monitor: per fact table, the age of the newest event
+    time against a fixed audit instant, with an SLA flag — the
+    is-the-pipeline-still-landing-data check every warehouse runs
+    first. The reference instant is a config literal rather than
+    ``now()`` (a non-deterministic function would make the result
+    unverifiable and the alert un-replayable — the same determinism
+    rule as the sampling suite's no-rand policy). The events SLA is
+    deliberately tight enough to trip on the fixture (stale → false),
+    proving the flag really fires.
+
+    Three 1-row max aggregations (map-side combining; a metadata-only
+    footer read in a stats-enabled lakehouse), integer day ages."""
+    ev = load_table(spark, "events", sf_dir).agg(F.max("ts").alias("m"))
+    od = load_table(spark, "orders", sf_dir).agg(F.max("o_orderdate").alias("m"))
+    li = load_table(spark, "lineitem", sf_dir).agg(F.max("l_shipdate").alias("m"))
+
+    def row(df, name):
+        return df.select(
+            F.lit(name).alias("table_name"),
+            F.col("m").alias("max_event_time"),
+            F.datediff(F.lit(FRESH_REF).cast("date"), F.col("m").cast("date"))
+            .cast("bigint")
+            .alias("age_days"),
+            (
+                F.datediff(F.lit(FRESH_REF).cast("date"), F.col("m").cast("date"))
+                <= FRESH_SLA_DAYS[name]
+            ).alias("fresh"),
+        )
+
+    return row(ev, "events").unionByName(row(od, "orders")).unionByName(
+        row(li, "lineitem")
+    )
+
+
+ORACLE_DQ_FRESHNESS = f"""
+SELECT 'events' AS table_name,
+       make_timestamp(epoch_ns(max(ts)) // 1000) AS max_event_time,
+       CAST(date_diff('day', CAST(make_timestamp(epoch_ns(max(ts)) // 1000) AS DATE),
+                      DATE '2026-01-01') AS BIGINT) AS age_days,
+       date_diff('day', CAST(make_timestamp(epoch_ns(max(ts)) // 1000) AS DATE),
+                 DATE '2026-01-01') <= {FRESH_SLA_DAYS['events']} AS fresh
+FROM events
+UNION ALL
+SELECT 'orders', max(o_orderdate),
+       CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2026-01-01') AS BIGINT),
+       date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2026-01-01')
+         <= {FRESH_SLA_DAYS['orders']}
+FROM orders
+UNION ALL
+SELECT 'lineitem', max(l_shipdate),
+       CAST(date_diff('day', CAST(max(l_shipdate) AS DATE), DATE '2026-01-01') AS BIGINT),
+       date_diff('day', CAST(max(l_shipdate) AS DATE), DATE '2026-01-01')
+         <= {FRESH_SLA_DAYS['lineitem']}
+FROM lineitem
+"""
+
+
 SPECS = [
     QuerySpec("unit_psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,
               "PSI distribution-drift screen between two snapshots"),
@@ -921,4 +985,6 @@ UNIT_SPECS = [
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
               "join-key skew diagnostics: top-N heavy keys + shares"),
+    QuerySpec("unit_dq_freshness", q_dq_freshness, ORACLE_DQ_FRESHNESS,
+              "per-table freshness ages + SLA flags vs a fixed instant"),
 ]
