@@ -248,6 +248,107 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz/Gini) report: how much of total
+    order value the top customer deciles hold, plus the Gini
+    coefficient — the whale-dependence metric behind "top 10% of
+    customers drive X% of revenue". Output: one row per decile with
+    cumulative share, plus the Gini in every row (computed once,
+    broadcast).
+
+    Exact arithmetic: per-customer totals are integer cents; the
+    decile assignment uses the integer rank over the per-customer
+    table (customer cardinality, not order cardinality); Gini uses
+    the closed form G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over rank-ordered
+    integer totals — Σ i·xᵢ is an exact bigint (rank ≤ 15k, cents ≤
+    2^40), so the only float is the final two-term formula, shared
+    shape, rounded 6.
+
+    Scale note: the rank window over per-customer totals is a global
+    sort of the CUSTOMER dimension (not the fact table) — the same
+    deliberate trade as `keys_projection`'s sort_rank; at 100 TB the
+    dimension is still ~millions of rows, a one-partition-per-range
+    sort Spark handles routinely."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("v"))
+    w = Window.orderBy("v", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("bigint"))
+    tot = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("i") * F.col("v")).alias("siv"),
+    )
+    gini = F.round(
+        F.lit(2.0) * F.col("siv").cast("double")
+        / (F.col("n").cast("double") * F.col("sv").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+        6,
+    )
+    deciles = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", F.expr("CAST(ceil(10.0 * i / n) AS BIGINT)"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum("v").alias("decile_cents"),
+            F.max(gini).alias("gini"),
+        )
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total_cents = deciles.agg(F.sum("decile_cents").alias("tc"))
+    return (
+        deciles.crossJoin(F.broadcast(total_cents))
+        .select(
+            "decile",
+            "n_custs",
+            F.round(F.col("decile_cents").cast("double") / F.col("tc"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.sum(F.col("decile_cents").cast("double") / F.col("tc")).over(wd), 6
+            ).alias("cum_share"),
+            "gini",
+        )
+    )
+
+
+ORACLE_GINI_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY v, o_custkey) AS BIGINT) AS i
+  FROM per_cust
+),
+tot AS (
+  SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(i * v) AS BIGINT) AS siv
+  FROM ranked
+),
+deciles AS (
+  SELECT CAST(ceil(10.0 * i / n) AS BIGINT) AS decile,
+         count(*) AS n_custs,
+         CAST(sum(v) AS BIGINT) AS decile_cents,
+         max(ROUND(2.0 * CAST(siv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))
+                   - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6)) AS gini
+  FROM ranked CROSS JOIN tot
+  GROUP BY 1
+),
+tc AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS tc FROM deciles)
+SELECT decile, n_custs,
+       ROUND(CAST(decile_cents AS DOUBLE) / tc, 6) AS share,
+       ROUND(SUM(CAST(decile_cents AS DOUBLE) / tc)
+               OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_share,
+       gini
+FROM deciles CROSS JOIN tc
+"""
+
+
 def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship cycle-time SLA table: per order priority, the
     distribution of days from order date to the LAST line shipment —
@@ -1144,6 +1245,9 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_gini_concentration", q_gini_concentration,
+              ORACLE_GINI_CONCENTRATION,
+              "Lorenz deciles + exact-moment Gini revenue concentration"),
     QuerySpec("unit_order_cycle_time", q_order_cycle_time,
               ORACLE_ORDER_CYCLE_TIME,
               "order-to-ship cycle time SLA rollup per priority"),

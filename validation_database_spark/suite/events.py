@@ -731,6 +731,67 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- peak session concurrency (sweep line) ---------------------------------
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    (how many sessions were open AT ONCE, not per-day totals) — via
+    the classic sweep line over the sessionized intervals: +1 at each
+    session start, −1 at each end, a running sum in time order, then
+    the per-day maximum. Ties are totally ordered (+1 before −1 at
+    the same instant — a session ending exactly when another starts
+    overlaps it), so both engines walk the identical sweep.
+
+    The sweep's running sum is a global-order window over 2·|sessions|
+    boundary points — session grain, not event grain; at 100 TB the
+    sweep shards by day with per-day open-session carry-in (one extra
+    aggregate), the standard distributed sweep-line split. Fixture
+    scale keeps the simple global form, same deliberate trade as the
+    Gini rank."""
+    from pyspark.sql import Window
+
+    sess = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    pts = sess.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("delta"),
+        "user_id", "session_idx",
+    ).unionByName(
+        sess.select(
+            F.col("session_end").alias("ts"), F.lit(-1).alias("delta"),
+            "user_id", "session_idx",
+        )
+    )
+    w = Window.orderBy(
+        "ts", F.desc("delta"), "user_id", "session_idx"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    swept = pts.withColumn("open_sessions", F.sum("delta").over(w))
+    return (
+        swept.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max("open_sessions").cast("bigint").alias("peak_concurrency"))
+    )
+
+
+def _oracle_peak_concurrency() -> str:
+    return f"""
+WITH sessions AS ({{SESS}}),
+pts AS (
+  SELECT session_start AS ts, 1 AS delta, user_id, session_idx FROM sessions
+  UNION ALL
+  SELECT session_end, -1, user_id, session_idx FROM sessions
+),
+swept AS (
+  SELECT ts, SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open_sessions
+  FROM pts
+)
+SELECT date_trunc('day', ts) AS day,
+       CAST(max(open_sessions) AS BIGINT) AS peak_concurrency
+FROM swept GROUP BY 1
+"""
+
+
 # --- seasonal-naive forecast backtest --------------------------------------
 
 SN_LAG_DAYS = 7
@@ -1211,6 +1272,9 @@ UNIT_SPECS = [
               "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
+    QuerySpec("unit_peak_concurrency", q_peak_concurrency,
+              _oracle_peak_concurrency().replace("{SESS}", ORACLE_EVENTS_SESSIONIZE),
+              "sweep-line peak concurrent sessions per day"),
     QuerySpec("unit_seasonal_naive_backtest", q_seasonal_naive_backtest,
               ORACLE_SEASONAL_NAIVE.replace("{EV}", _EV_CTE),
               "seasonal-naive forecast MAE/bias floor per event type"),
