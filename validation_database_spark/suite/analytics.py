@@ -248,6 +248,85 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+WQ_QUANTILES = (50, 90)
+
+
+def q_weighted_delivery_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-WEIGHTED delivery-time quantiles per return flag: the
+    smallest ship delay d such that lineitems shipping within d days
+    carry ≥ q% of revenue — "half the money ships within N days",
+    which an unweighted row percentile misstates whenever order values
+    correlate with delay. The weighted generalization of the
+    histogram-quantile formulation: cumulative WEIGHT (exact cents)
+    over the per-group distinct delays replaces cumulative count;
+    rank thresholds are exact integer cents computed by ceil on the
+    group's total. Fully parallel (map-side-combining (flag, delay)
+    histogram), same shape that fixed the rank-window ceiling."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    hist = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"), delay.alias("delay_days"))
+        .agg(F.sum(cents).alias("w"))
+    )
+    wv = Window.partitionBy("flag").orderBy("delay_days")
+    cum = hist.withColumn(
+        "cum", F.sum("w").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("w").over(Window.partitionBy("flag")))
+    picks = None
+    for q in WQ_QUANTILES:
+        rank = F.expr(f"CAST(ceil({q} * total / 100.0) AS BIGINT)")
+        p = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy("flag")
+            .agg(
+                F.min("delay_days").alias("delay_days"),
+                F.max("total").alias("total_cents"),
+            )
+            .select(
+                "flag",
+                F.lit(q).cast("bigint").alias("revenue_pct"),
+                "delay_days",
+                "total_cents",
+            )
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return picks
+
+
+ORACLE_WEIGHTED_DELIVERY = f"""
+WITH hist AS (
+  SELECT l_returnflag AS flag,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, delay_days,
+         CAST(SUM(w) OVER (PARTITION BY flag ORDER BY delay_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS total
+  FROM hist
+)
+{" UNION ALL ".join(
+    f"SELECT flag, CAST({q} AS BIGINT) AS revenue_pct,"
+    f" min(delay_days) AS delay_days, max(total) AS total_cents"
+    f" FROM cum WHERE cum >= CAST(ceil({q} * total / 100.0) AS BIGINT)"
+    f" GROUP BY flag"
+    for q in WQ_QUANTILES
+)}
+"""
+
+
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Lorenz/Gini) report: how much of total
     order value the top customer deciles hold, plus the Gini
@@ -1245,6 +1324,9 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_weighted_delivery_quantiles", q_weighted_delivery_quantiles,
+              ORACLE_WEIGHTED_DELIVERY,
+              "revenue-weighted delivery-delay quantiles per flag"),
     QuerySpec("unit_gini_concentration", q_gini_concentration,
               ORACLE_GINI_CONCENTRATION,
               "Lorenz deciles + exact-moment Gini revenue concentration"),

@@ -731,6 +731,97 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- backfill planner: missing hourly partitions ----------------------------
+
+def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill work-order generation: per event type, the hour slots
+    of the corpus span with NO data, merged into contiguous ranges —
+    the output a scheduler feeds to re-ingestion jobs (one row = one
+    backfill task with its hour span), and the detector behind "the
+    error stream went dark for 6 hours on Tuesday".
+
+    Grid ∪ anti-join ∪ islands: the expected (type, hour) grid comes
+    from one sequence explode over the global span (a broadcast 1-row
+    bound), observed slots anti-join it away, and consecutive missing
+    hours merge via the gaps-and-islands window (the ExactSubstr /
+    sweep-line machinery on the calendar axis). Bounded by the
+    calendar × |types|, not the event count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    observed = ev.distinct()
+    missing = grid.join(observed, ["event_type", "h"], "left_anti")
+    w = Window.partitionBy("event_type").orderBy("h")
+    isl = (
+        missing.withColumn("lag_h", F.lag("h").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("lag_h").isNull()
+                | (F.col("h") > F.col("lag_h") + F.expr("INTERVAL 1 HOUR")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return isl.groupBy("event_type", "island").agg(
+        F.min("h").alias("backfill_start"),
+        F.max("h").alias("backfill_end"),
+        F.count("*").alias("n_hours"),
+    ).select(
+        "event_type",
+        F.col("island").cast("bigint").alias("gap_idx"),
+        "backfill_start",
+        "backfill_end",
+        "n_hours",
+    )
+
+
+ORACLE_BACKFILL_PLAN = f"""
+WITH {{EV}},
+slots AS (SELECT event_type, date_trunc('hour', ts) AS h FROM ev),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM slots),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM slots) t,
+       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds) g
+),
+observed AS (SELECT DISTINCT event_type, h FROM slots),
+missing AS (
+  SELECT grid.event_type, grid.h FROM grid
+  WHERE NOT EXISTS (SELECT 1 FROM observed o
+                    WHERE o.event_type = grid.event_type AND o.h = grid.h)
+),
+isl AS (
+  SELECT event_type, h,
+         SUM(CASE WHEN lag_h IS NULL OR h > lag_h + INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT event_type, h,
+           lag(h) OVER (PARTITION BY event_type ORDER BY h) AS lag_h
+    FROM missing
+  )
+)
+SELECT event_type, CAST(island AS BIGINT) AS gap_idx,
+       min(h) AS backfill_start, max(h) AS backfill_end,
+       count(*) AS n_hours
+FROM isl GROUP BY event_type, island
+"""
+
+
 # --- peak session concurrency (sweep line) ---------------------------------
 
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,6 +1363,9 @@ UNIT_SPECS = [
               "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
+    QuerySpec("unit_backfill_plan", q_backfill_plan,
+              ORACLE_BACKFILL_PLAN.replace("{EV}", _EV_CTE),
+              "missing-hour backfill work orders per event type"),
     QuerySpec("unit_peak_concurrency", q_peak_concurrency,
               _oracle_peak_concurrency().replace("{SESS}", ORACLE_EVENTS_SESSIONIZE),
               "sweep-line peak concurrent sessions per day"),
