@@ -248,6 +248,96 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+def q_price_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier screen for part prices per brand: exact
+    Q1/Q3 via the histogram-quantile formulation, fences at
+    Q1 − 1.5·IQR / Q3 + 1.5·IQR, and the count of parts outside them
+    — the box-plot rule as a data-quality query (complements the
+    z-score and MAD screens with the distribution-free classic).
+    Integer cents end-to-end; the fences are half-cent-exact because
+    1.5·IQR on integer cents is a multiple of 0.5."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, "part", sf_dir)
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    base = part.select(F.col("p_brand").alias("brand"), cents.alias("c"))
+    hist = base.groupBy("brand", "c").agg(F.count("*").alias("n"))
+    wv = Window.partitionBy("brand").orderBy("c")
+    cum = hist.withColumn(
+        "cum", F.sum("n").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("n").over(Window.partitionBy("brand")))
+
+    def pick(q, out):
+        return (
+            cum.filter(F.col("cum") >= F.expr(f"CAST(ceil({q} * total / 100.0) AS BIGINT)"))
+            .groupBy("brand")
+            .agg(F.min("c").alias(out))
+        )
+
+    qs = pick(25, "q1").join(pick(75, "q3"), "brand")
+    fenced = qs.select(
+        "brand",
+        "q1",
+        "q3",
+        (F.col("q1") * 2 - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (F.col("q3") * 2 + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    # fences kept in DOUBLED cents (×2) so 1.5·IQR stays integer.
+    out = (
+        base.join(F.broadcast(fenced), "brand")
+        .groupBy("brand", "q1", "q3", "lo2", "hi2")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(((F.col("c") * 2 < F.col("lo2")) | (F.col("c") * 2 > F.col("hi2"))).cast("bigint"))
+            .alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "brand",
+        "n_parts",
+        F.round(F.col("q1").cast("double") / 100, 2).alias("q1_price"),
+        F.round(F.col("q3").cast("double") / 100, 2).alias("q3_price"),
+        F.round(F.col("lo2").cast("double") / 200, 6).alias("lower_fence"),
+        F.round(F.col("hi2").cast("double") / 200, 6).alias("upper_fence"),
+        "n_outliers",
+    )
+
+
+ORACLE_PRICE_IQR_FENCES = """
+WITH base AS (
+  SELECT p_brand AS brand, CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+),
+hist AS (SELECT brand, c, count(*) AS n FROM base GROUP BY brand, c),
+cum AS (
+  SELECT brand, c,
+         CAST(SUM(n) OVER (PARTITION BY brand ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY brand) AS BIGINT) AS total
+  FROM hist
+),
+q1 AS (SELECT brand, min(c) AS q1 FROM cum
+       WHERE cum >= CAST(ceil(25 * total / 100.0) AS BIGINT) GROUP BY brand),
+q3 AS (SELECT brand, min(c) AS q3 FROM cum
+       WHERE cum >= CAST(ceil(75 * total / 100.0) AS BIGINT) GROUP BY brand),
+fenced AS (
+  SELECT q1.brand, q1, q3,
+         q1 * 2 - 3 * (q3 - q1) AS lo2,
+         q3 * 2 + 3 * (q3 - q1) AS hi2
+  FROM q1 JOIN q3 ON q1.brand = q3.brand
+)
+SELECT b.brand AS brand, count(*) AS n_parts,
+       ROUND(CAST(q1 AS DOUBLE) / 100, 2) AS q1_price,
+       ROUND(CAST(q3 AS DOUBLE) / 100, 2) AS q3_price,
+       ROUND(CAST(lo2 AS DOUBLE) / 200, 6) AS lower_fence,
+       ROUND(CAST(hi2 AS DOUBLE) / 200, 6) AS upper_fence,
+       CAST(sum(CASE WHEN b.c * 2 < lo2 OR b.c * 2 > hi2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM base b JOIN fenced f ON b.brand = f.brand
+GROUP BY b.brand, q1, q3, lo2, hi2
+"""
+
+
 WQ_QUANTILES = (50, 90)
 
 
@@ -1324,6 +1414,9 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_price_iqr_fences", q_price_iqr_fences,
+              ORACLE_PRICE_IQR_FENCES,
+              "Tukey IQR-fence outlier screen per brand, exact quartiles"),
     QuerySpec("unit_weighted_delivery_quantiles", q_weighted_delivery_quantiles,
               ORACLE_WEIGHTED_DELIVERY,
               "revenue-weighted delivery-delay quantiles per flag"),

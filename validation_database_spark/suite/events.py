@@ -731,6 +731,61 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- DAU / WAU engagement curve --------------------------------------------
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product engagement dashboard: daily active users, trailing
+    7-day active users, and stickiness (DAU/WAU) per day. WAU is the
+    distinct-user count over a trailing window — NOT a sum of DAUs
+    (users active on several days must count once), so the plan joins
+    each day to its trailing 7 calendar days at (user, day) grain and
+    re-distincts: day-grain tables throughout (the (user, day)
+    activity table is the only event-scan product), never a
+    distinct-over-range window, which Spark cannot express and a
+    micro-batch recompute would get wrong.
+
+    Exact counts; stickiness is the one rounded division."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    ud = ev.distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    days = dau.select("day")
+    trail = days.alias("d").join(
+        ud.alias("a"),
+        (F.col("a.day") <= F.col("d.day"))
+        & (F.col("a.day") > F.col("d.day") - F.expr("INTERVAL 7 DAYS")),
+    )
+    wau = (
+        trail.select(F.col("d.day").alias("day"), "a.user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+ORACLE_DAU_WAU = f"""
+WITH {{EV}},
+ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT a.user_id) AS wau
+  FROM (SELECT day FROM dau) d
+  JOIN ud a ON a.day <= d.day AND a.day > d.day - INTERVAL 7 DAY
+  GROUP BY d.day
+)
+SELECT dau.day AS day, dau, wau,
+       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
 # --- backfill planner: missing hourly partitions ----------------------------
 
 def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1363,6 +1418,9 @@ UNIT_SPECS = [
               "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
+    QuerySpec("unit_dau_wau", q_dau_wau,
+              ORACLE_DAU_WAU.replace("{EV}", _EV_CTE),
+              "DAU / trailing-7-day WAU / stickiness per day"),
     QuerySpec("unit_backfill_plan", q_backfill_plan,
               ORACLE_BACKFILL_PLAN.replace("{EV}", _EV_CTE),
               "missing-hour backfill work orders per event type"),
