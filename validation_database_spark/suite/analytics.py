@@ -248,6 +248,79 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+CHI2_CRIT_96DF = 119.871  # chi-square 95% critical value, df = (25-1)(5-1)
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the nation × market-segment
+    contingency table — "is customer segment independent of
+    geography?", the categorical-association sibling of `unit_ab_srm`
+    (goodness-of-fit, df=1) and `unit_corr_matrix` (numeric
+    association). Output: the per-cell table (observed, expected,
+    rounded χ² contribution) with the total statistic and the df=96
+    decision flag in every row.
+
+    Exact integer observed counts; expected = row·col/total is ONE
+    shared-shape float division per cell; per-cell terms are rounded
+    to 6 and totalled in exact DECIMAL (no order-dependent float sum);
+    the critical value is a literal — no p-value special functions.
+    One scan → |nations|×|segments| cells; totals broadcast."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, "customer", sf_dir)
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(F.count("*").alias("o"))
+    row_t = cells.groupBy("nation").agg(F.sum("o").alias("row_n"))
+    col_t = cells.groupBy("segment").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("total"))
+    w = cells.join(F.broadcast(row_t), "nation").join(
+        F.broadcast(col_t), "segment"
+    ).crossJoin(F.broadcast(tot))
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("total").cast("double")
+    term = F.round((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e, 6)
+    per_cell = w.select(
+        "nation", "segment", "o",
+        F.round(e, 6).alias("expected"),
+        term.alias("chi2_term"),
+    )
+    total_chi2 = per_cell.agg(
+        F.sum(F.col("chi2_term").cast("decimal(18,6)")).cast("double").alias("chi2")
+    )
+    return per_cell.crossJoin(F.broadcast(total_chi2)).select(
+        "nation", "segment", "o", "expected", "chi2_term", "chi2",
+        (F.col("chi2") > CHI2_CRIT_96DF).alias("dependent"),
+    )
+
+
+ORACLE_CHI2_INDEPENDENCE = f"""
+WITH cells AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment, count(*) AS o
+  FROM customer GROUP BY 1, 2
+),
+row_t AS (SELECT nation, CAST(sum(o) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+col_t AS (SELECT segment, CAST(sum(o) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM cells),
+per_cell AS (
+  SELECT nation, segment, o,
+         ROUND(CAST(row_n * col_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS expected,
+         ROUND((CAST(o AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / CAST(total AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / CAST(total AS DOUBLE))
+               / (CAST(row_n * col_n AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS chi2_term
+  FROM cells
+  JOIN row_t USING (nation)
+  JOIN col_t USING (segment)
+  CROSS JOIN tot
+),
+tc AS (
+  SELECT CAST(sum(CAST(chi2_term AS DECIMAL(18,6))) AS DOUBLE) AS chi2 FROM per_cell
+)
+SELECT nation, segment, o, expected, chi2_term, chi2,
+       chi2 > {CHI2_CRIT_96DF} AS dependent
+FROM per_cell CROSS JOIN tc
+"""
+
+
 def q_price_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey IQR-fence outlier screen for part prices per brand: exact
     Q1/Q3 via the histogram-quantile formulation, fences at
@@ -1414,6 +1487,9 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_chi2_independence", q_chi2_independence,
+              ORACLE_CHI2_INDEPENDENCE,
+              "chi-square independence: nation x segment contingency"),
     QuerySpec("unit_price_iqr_fences", q_price_iqr_fences,
               ORACLE_PRICE_IQR_FENCES,
               "Tukey IQR-fence outlier screen per brand, exact quartiles"),

@@ -1915,6 +1915,133 @@ FROM totals t2 LEFT JOIN rebuilt r ON t2.doc_id = r.doc_id
 """.replace("{_tokens_sql_text}", _tokens_sql('text'))
 
 
+# --- per-source corpus outlier docs ----------------------------------------
+
+DOC_MAD_K = 0.6745
+DOC_MAD_CUT = 3.5
+
+
+def q_corpus_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus anomaly surfacing: per SOURCE, each doc's token count
+    scored by the median/MAD modified z — the truncated-fetch /
+    concatenated-page / garbage-dump detector a crawl pipeline runs
+    per origin (a 3-token doc from a source whose median is 90 is a
+    fetch bug, not content). `unit_mad_anomalies`' robust-z machinery
+    applied to the corpus axis, with the medians computed as
+    value HISTOGRAMS (sources are low-cardinality — the exact regime
+    where rank windows serialize; see SCALE.md).
+
+    Only the final shared-shape scale/divide is float, rounded 6."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    # plant deterministic concatenated-page bugs (every %83 doc's text
+    # repeated 20×, re-keyed +2000000) — the fixture corpus is uniform
+    # and its natural length spread already spans 16..100 tokens, so a
+    # truncation only reaches z ≈ 1.7; the 20× concat lands z ≈ 40+
+    # and MUST come out flagged (self-checking planting, the dedup
+    # suite's convention).
+    repeated = docs.filter(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "source",
+        F.repeat(F.concat(F.col("text"), F.lit(" ")), 20).alias("text"),
+    )
+    all_docs = docs.select("doc_id", "source", "text").unionByName(repeated)
+    base = all_docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+
+    def hist_pick(df, col, out):
+        h = df.groupBy("source", col).agg(F.count("*").alias("n"))
+        wv = Window.partitionBy("source").orderBy(col)
+        c = h.withColumn(
+            "cum", F.sum("n").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+        ).withColumn("total", F.sum("n").over(Window.partitionBy("source")))
+        return (
+            c.filter(F.col("cum") >= F.expr("(total + 1) DIV 2"))
+            .groupBy("source")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = hist_pick(base, "n_tokens", "med")
+    dev = base.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    mad = hist_pick(dev, "adev", "mad")
+    # z in exact integer micro-units: 0.6745 = 6745e-4, so
+    # z·1e6 = 674500·diff / mad — computed as sign(diff) · (674500·|diff|
+    # DIV mad), pure integers (floor-div of positives is identical in
+    # both engines; signed DIV is not, hence the explicit sign split).
+    # The float rendering is then ONE exact-input division — no ROUND
+    # half-tie can differ (the exact failure this op's first cut hit:
+    # 0.6745·6/16 = 0.2529375, a 6-decimal tie).
+    z_e6 = F.when(F.col("mad") == 0, F.lit(None)).otherwise(
+        F.signum((F.col("n_tokens") - F.col("med")).cast("double")).cast("bigint")
+        * F.expr("(674500 * abs(n_tokens - med)) DIV mad")
+    )
+    return (
+        base.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("med").alias("median_tokens"),
+            F.col("mad").alias("mad_tokens"),
+            (z_e6.cast("double") / F.lit(1000000.0)).alias("robust_z"),
+            (F.abs(z_e6) > F.lit(3500000)).alias("is_outlier"),
+        )
+    )
+
+
+ORACLE_CORPUS_OUTLIER_DOCS = f"""
+WITH all_docs AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, source, repeat(text || ' ', 20)
+  FROM documents WHERE doc_id % 83 = 0
+),
+base AS (
+  SELECT doc_id, source, CAST(len({_tokens_sql('text')}) AS BIGINT) AS n_tokens
+  FROM all_docs
+),
+h1 AS (SELECT source, n_tokens AS v, count(*) AS n FROM base GROUP BY 1, 2),
+c1 AS (
+  SELECT source, v,
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM h1
+),
+med AS (SELECT source, min(v) AS med FROM c1 WHERE cum >= (total + 1) // 2 GROUP BY source),
+dev AS (
+  SELECT b.doc_id, b.source, b.n_tokens, med,
+         abs(b.n_tokens - med) AS adev
+  FROM base b JOIN med USING (source)
+),
+h2 AS (SELECT source, adev AS v, count(*) AS n FROM dev GROUP BY 1, 2),
+c2 AS (
+  SELECT source, v,
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM h2
+),
+mad AS (SELECT source, min(v) AS mad FROM c2 WHERE cum >= (total + 1) // 2 GROUP BY source)
+SELECT d.doc_id, d.source, d.n_tokens,
+       med AS median_tokens, mad AS mad_tokens,
+       CAST(CASE WHEN mad = 0 THEN NULL
+                 ELSE CAST(sign(d.n_tokens - med) AS BIGINT)
+                      * ((674500 * abs(d.n_tokens - med)) // mad)
+            END AS DOUBLE) / 1000000.0 AS robust_z,
+       abs(CASE WHEN mad = 0 THEN NULL
+                ELSE CAST(sign(d.n_tokens - med) AS BIGINT)
+                     * ((674500 * abs(d.n_tokens - med)) // mad)
+           END) > 3500000 AS is_outlier
+FROM dev d JOIN mad USING (source)
+"""
+
+
 # --- crawl-order n-gram novelty -------------------------------------------
 
 NOV_N = 8  # shingle width
@@ -2554,6 +2681,9 @@ UNIT_SPECS = [
     QuerySpec("unit_quality_classifier", q_quality_classifier,
               _oracle_quality_classifier(),
               "linear BoW quality-model scoring, integer-exact logits"),
+    QuerySpec("unit_corpus_outlier_docs", q_corpus_outlier_docs,
+              ORACLE_CORPUS_OUTLIER_DOCS,
+              "per-source robust-z token-count outlier docs"),
     QuerySpec("unit_ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
               "crawl-order marginal-novelty ratio per doc"),
     QuerySpec("unit_zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
