@@ -248,6 +248,79 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+HHI_CONCENTRATED = 2500.0  # DOJ/FTC highly-concentrated threshold
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per part
+    type: HHI = Σ (100·shareᵢ)² of supplier revenue within each
+    p_type, with the 2500 highly-concentrated flag — the
+    procurement-risk metric (one supplier owning a part category is a
+    supply-chain single point of failure), completing the
+    concentration family with `unit_gini_concentration`.
+
+    Exact integer cents for revenue; shares are rounded to 6 then
+    squared, the squares rounded to 6 and summed in exact DECIMAL —
+    the established no-order-dependent-float recipe. Two map-side
+    aggs (supplier×type, then type) + one broadcast of the type
+    totals."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    per_supp = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    tot = per_supp.groupBy("p_type").agg(
+        F.sum("rev").alias("total"), F.count("*").alias("n_suppliers")
+    )
+    share = F.round(F.col("rev").cast("double") / F.col("total") * 100, 6)
+    terms = per_supp.join(F.broadcast(tot), "p_type").select(
+        "p_type",
+        "n_suppliers",
+        F.round(share * share, 6).alias("t"),
+    )
+    return (
+        terms.groupBy("p_type", "n_suppliers")
+        .agg(F.sum(F.col("t").cast("decimal(18,6)")).cast("double").alias("hhi"))
+        .select(
+            "p_type",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round("hhi", 6).alias("hhi"),
+            (F.col("hhi") > HHI_CONCENTRATED).alias("concentrated"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_HHI = f"""
+WITH per_supp AS (
+  SELECT p_type, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT p_type, CAST(sum(rev) AS BIGINT) AS total, count(*) AS n_suppliers
+  FROM per_supp GROUP BY 1
+),
+terms AS (
+  SELECT per_supp.p_type, n_suppliers,
+         ROUND(ROUND(CAST(rev AS DOUBLE) / total * 100, 6)
+               * ROUND(CAST(rev AS DOUBLE) / total * 100, 6), 6) AS t
+  FROM per_supp JOIN tot ON per_supp.p_type = tot.p_type
+),
+h AS (
+  SELECT p_type, n_suppliers,
+         CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS hhi
+  FROM terms GROUP BY 1, 2
+)
+SELECT p_type, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       ROUND(hhi, 6) AS hhi, hhi > {HHI_CONCENTRATED} AS concentrated
+FROM h
+"""
+
+
 CHI2_CRIT_96DF = 119.871  # chi-square 95% critical value, df = (25-1)(5-1)
 
 
@@ -1487,6 +1560,8 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_supplier_hhi", q_supplier_hhi, ORACLE_SUPPLIER_HHI,
+              "Herfindahl supplier concentration per part type"),
     QuerySpec("unit_chi2_independence", q_chi2_independence,
               ORACLE_CHI2_INDEPENDENCE,
               "chi-square independence: nation x segment contingency"),

@@ -731,6 +731,125 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- new vs returning users per day -----------------------------------------
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day split of active users into NEW (first-ever active day)
+    and RETURNING — the acquisition-vs-retention decomposition every
+    growth dashboard leads with, and the daily-grain companion of
+    `unit_cohort_retention`. First-day table is one per-user min;
+    the split is an equality test on the (user, day) activity table.
+    Exact counts; the new-share ratio is the one rounded division."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    ud = ev.distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = ud.join(F.broadcast(first), "user_id").withColumn(
+        "is_new", F.col("day") == F.col("first_day")
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.sum(F.col("is_new").cast("bigint")).alias("new_users"),
+            F.sum((~F.col("is_new")).cast("bigint")).alias("returning_users"),
+        )
+        .select(
+            "day",
+            "new_users",
+            "returning_users",
+            F.round(
+                F.col("new_users").cast("double")
+                / (F.col("new_users") + F.col("returning_users")),
+                6,
+            ).alias("new_share"),
+        )
+    )
+
+
+ORACLE_NEW_VS_RETURNING = f"""
+WITH {{EV}},
+ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev),
+first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+SELECT day,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users,
+       ROUND(CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS new_share
+FROM ud JOIN first USING (user_id)
+GROUP BY day
+"""
+
+
+# --- per-user active time (interval union) ----------------------------------
+
+def q_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total ACTIVE time per user: the union length of their session
+    intervals in exact microseconds — the billable-usage / engagement-
+    depth number, where summing raw session durations double-counts
+    any overlap. Per-user sessions from the gap sessionizer cannot
+    overlap by construction, so the merge step is provably a no-op
+    here — the operator still runs the full interval-UNION algebra
+    (sort by start per user, running max of ends, island merge) so it
+    stays correct for interval sources that DO overlap (device × user
+    sessions, ad exposure windows). The islands window is per-user —
+    fully parallel, the sweep-line's partitionable sibling."""
+    from pyspark.sql import Window
+
+    sess = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "session_end"
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start", "session_end")
+    run_end = F.max("session_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = sess.withColumn("prev_end", run_end).withColumn(
+        "brk",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("session_start") > F.col("prev_end")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("session_start").alias("s"), F.max("session_end").alias("e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, s, e)")).alias("active_us"),
+    )
+
+
+def _oracle_active_time() -> str:
+    return f"""
+WITH sessions AS ({{SESS}}),
+isl AS (
+  SELECT user_id, session_start, session_end,
+         SUM(CASE WHEN prev_end IS NULL OR session_start > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY session_start, session_end
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT user_id, session_start, session_end,
+           max(session_end) OVER (PARTITION BY user_id
+                                  ORDER BY session_start, session_end
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_end
+    FROM sessions
+  )
+),
+merged AS (
+  SELECT user_id, island, min(session_start) AS s, max(session_end) AS e
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, count(*) AS n_spans,
+       CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS active_us
+FROM merged GROUP BY user_id
+"""
+
+
 # --- DAU / WAU engagement curve --------------------------------------------
 
 def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,6 +1537,12 @@ UNIT_SPECS = [
               "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
+    QuerySpec("unit_new_vs_returning", q_new_vs_returning,
+              ORACLE_NEW_VS_RETURNING.replace("{EV}", _EV_CTE),
+              "per-day new vs returning active-user split"),
+    QuerySpec("unit_active_time", q_active_time,
+              _oracle_active_time().replace("{SESS}", ORACLE_EVENTS_SESSIONIZE),
+              "per-user interval-union active time in exact micros"),
     QuerySpec("unit_dau_wau", q_dau_wau,
               ORACLE_DAU_WAU.replace("{EV}", _EV_CTE),
               "DAU / trailing-7-day WAU / stickiness per day"),
