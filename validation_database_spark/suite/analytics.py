@@ -248,6 +248,178 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+def q_return_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate trend: share of lineitem revenue flagged
+    returned (l_returnflag = 'R') per ship month, with the
+    month-over-month delta — the quality-of-fulfilment trend line.
+    Exact cents; the share and its lag delta are rounded shared-shape
+    divisions; the month lag is a calendar equi-join (gap-robust, the
+    `unit_seasonal_naive_backtest` pattern)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    monthly = li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.sum(cents).alias("rev"),
+        F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(F.lit(0))).alias(
+            "ret_rev"
+        ),
+    )
+    cur = monthly.select(
+        "month",
+        F.round(F.col("ret_rev").cast("double") / F.col("rev"), 6).alias("return_share"),
+        "rev",
+        "ret_rev",
+    )
+    prev = monthly.select(
+        (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("month"),
+        F.round(F.col("ret_rev").cast("double") / F.col("rev"), 6).alias("prev_share"),
+    )
+    return cur.join(prev, "month", "left").select(
+        "month",
+        "rev",
+        "ret_rev",
+        "return_share",
+        F.round(F.col("return_share") - F.col("prev_share"), 6).alias("mom_delta"),
+    )
+
+
+ORACLE_RETURN_RATE_TREND = """
+WITH monthly AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+         CAST(sum(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ret_rev
+  FROM lineitem GROUP BY 1
+),
+cur AS (
+  SELECT month, rev, ret_rev,
+         ROUND(CAST(ret_rev AS DOUBLE) / rev, 6) AS return_share
+  FROM monthly
+),
+prev AS (
+  SELECT month + INTERVAL 1 MONTH AS month,
+         ROUND(CAST(ret_rev AS DOUBLE) / rev, 6) AS prev_share
+  FROM monthly
+)
+SELECT cur.month AS month, rev, ret_rev, return_share,
+       ROUND(return_share - prev_share, 6) AS mom_delta
+FROM cur LEFT JOIN prev ON cur.month = prev.month
+"""
+
+
+TOP_MOVERS_K = 5
+
+
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue TOP MOVERS per nation: the ±5 largest
+    absolute swings across all (nation, month) pairs — the "what
+    changed" screen an ops review starts from. Calendar-lag equi-join
+    on the nation×month rollup (25×84 rows — dimension-bounded), exact
+    integer cent deltas, TakeOrdered top-K by |Δ| with full
+    tie-breaks."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(cents).alias("rev"))
+    )
+    prev = monthly.select(
+        "nation",
+        (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("month"),
+        F.col("rev").alias("prev_rev"),
+    )
+    deltas = monthly.join(prev, ["nation", "month"]).select(
+        "nation",
+        "month",
+        "rev",
+        "prev_rev",
+        (F.col("rev") - F.col("prev_rev")).alias("delta_cents"),
+    )
+    return (
+        deltas.orderBy(F.abs("delta_cents").desc(), "nation", "month")
+        .limit(TOP_MOVERS_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.abs("delta_cents").desc(), "nation", "month")
+            ).cast("bigint"),
+        )
+    )
+
+
+ORACLE_TOP_MOVERS = f"""
+WITH monthly AS (
+  SELECT c_nationkey AS nation, date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+deltas AS (
+  SELECT m.nation, m.month, m.rev, p.rev AS prev_rev,
+         m.rev - p.rev AS delta_cents
+  FROM monthly m
+  JOIN monthly p ON m.nation = p.nation AND p.month + INTERVAL 1 MONTH = m.month
+)
+SELECT nation, month, rev, prev_rev, delta_cents,
+       CAST(row_number() OVER (ORDER BY abs(delta_cents) DESC, nation, month)
+            AS BIGINT) AS rk
+FROM deltas
+ORDER BY abs(delta_cents) DESC, nation, month
+LIMIT {TOP_MOVERS_K}
+"""
+
+
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size distribution: how many orders have k line
+    items, with share and cumulative share — the order-shape histogram
+    behind packing, picking and join-fan-out expectations (the
+    `unit_join_audit` fan-out numbers are this table's moments).
+    Two map-side-combining counts; the cumulative window runs over the
+    ≤|max basket| distinct sizes."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    dist = per_order.groupBy("k").agg(F.count("*").alias("n_orders"))
+    tot = dist.agg(F.sum("n_orders").alias("total"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("basket_size"),
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.sum(F.col("n_orders").cast("double") / F.col("total")).over(w), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+ORACLE_BASKET_SIZE_DIST = """
+WITH per_order AS (SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1),
+dist AS (SELECT k, count(*) AS n_orders FROM per_order GROUP BY k),
+tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM dist)
+SELECT CAST(k AS BIGINT) AS basket_size, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / total, 6) AS share,
+       ROUND(SUM(CAST(n_orders AS DOUBLE) / total)
+               OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_share
+FROM dist CROSS JOIN tot
+"""
+
+
 HHI_CONCENTRATED = 2500.0  # DOJ/FTC highly-concentrated threshold
 
 
@@ -1560,6 +1732,14 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_return_rate_trend", q_return_rate_trend,
+              ORACLE_RETURN_RATE_TREND,
+              "monthly return-revenue share with MoM delta"),
+    QuerySpec("unit_top_movers", q_top_movers, ORACLE_TOP_MOVERS,
+              "top-5 month-over-month revenue swings per nation"),
+    QuerySpec("unit_basket_size_dist", q_basket_size_dist,
+              ORACLE_BASKET_SIZE_DIST,
+              "order basket-size histogram with cumulative share"),
     QuerySpec("unit_supplier_hhi", q_supplier_hhi, ORACLE_SUPPLIER_HHI,
               "Herfindahl supplier concentration per part type"),
     QuerySpec("unit_chi2_independence", q_chi2_independence,
