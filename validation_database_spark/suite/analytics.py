@@ -248,6 +248,109 @@ GROUP BY CUBE(order_year, status)
 """
 
 
+def q_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band demand readout (the business question behind
+    TPC-H Q6): per discount percentage band, line count, mean
+    quantity, total revenue and the forgone revenue the discount cost
+    — the table a pricing team reads to see whether discounts buy
+    volume. Exact: discounts are 2-dp doubles integerized to basis
+    points for banding; quantities and cents sum exactly; the two
+    means are rounded shared-shape divisions."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bp = F.round(F.col("l_discount") * 100).cast("bigint")  # discount %
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    per_band = li.groupBy(bp.alias("discount_pct")).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(qty).alias("sum_qty"),
+        F.sum(cents).alias("rev_cents"),
+        F.sum(cents * bp).alias("forgone_cents_x100"),
+    )
+    return per_band.select(
+        "discount_pct",
+        "n_lines",
+        F.round(F.col("sum_qty").cast("double") / F.col("n_lines"), 6).alias("avg_qty"),
+        "rev_cents",
+        F.expr("forgone_cents_x100 DIV 100").alias("forgone_cents"),
+    )
+
+
+ORACLE_DISCOUNT_EFFECT = """
+WITH per_band AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+         count(*) AS n_lines,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS forgone_x100
+  FROM lineitem GROUP BY 1
+)
+SELECT discount_pct, n_lines,
+       ROUND(CAST(sum_qty AS DOUBLE) / n_lines, 6) AS avg_qty,
+       rev_cents,
+       forgone_x100 // 100 AS forgone_cents
+FROM per_band
+"""
+
+
+ONTIME_SLA_DAYS = 400  # ship within 400 days of order date counts on-time
+
+
+def q_priority_ontime_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority × on-time fulfilment matrix: per order priority, the
+    share of orders whose LAST line shipped within the SLA — urgent
+    orders missing SLA more often than low-priority ones is the
+    fulfilment-process smell this one table surfaces. Order-grain max
+    shipdate (one shuffle on the order key), then a 5-row rollup;
+    integer day arithmetic, one rounded share."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.datediff(
+                F.max("l_shipdate").cast("date"), F.min("o_orderdate").cast("date")
+            ).alias("days")
+        )
+    )
+    return (
+        per_order.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("days") <= ONTIME_SLA_DAYS).cast("bigint")).alias("n_ontime"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "n_ontime",
+            F.round(F.col("n_ontime").cast("double") / F.col("n_orders"), 6).alias(
+                "ontime_share"
+            ),
+        )
+    )
+
+
+ORACLE_PRIORITY_ONTIME = f"""
+WITH per_order AS (
+  SELECT o_orderkey, o_orderpriority,
+         date_diff('day', CAST(min(o_orderdate) AS DATE),
+                   CAST(max(l_shipdate) AS DATE)) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority AS priority, count(*) AS n_orders,
+       CAST(sum(CASE WHEN days <= {ONTIME_SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ontime,
+       ROUND(CAST(sum(CASE WHEN days <= {ONTIME_SLA_DAYS} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS ontime_share
+FROM per_order GROUP BY 1
+"""
+
+
 def q_return_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly return-rate trend: share of lineitem revenue flagged
     returned (l_returnflag = 'R') per ship month, with the
@@ -1732,6 +1835,11 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_discount_effect", q_discount_effect, ORACLE_DISCOUNT_EFFECT,
+              "discount-band demand + forgone-revenue readout"),
+    QuerySpec("unit_priority_ontime_matrix", q_priority_ontime_matrix,
+              ORACLE_PRIORITY_ONTIME,
+              "priority x on-time fulfilment share matrix"),
     QuerySpec("unit_return_rate_trend", q_return_rate_trend,
               ORACLE_RETURN_RATE_TREND,
               "monthly return-revenue share with MoM delta"),

@@ -731,6 +731,45 @@ FROM dev d JOIN mad USING (event_type)
 """
 
 
+# --- hourly error-rate alert ------------------------------------------------
+
+ERR_ALERT_RATE = 0.3  # alert when errors exceed 30% of an hour's events
+
+
+def q_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate monitor with an alert flag: per hour, total
+    events, error events, the rate, and whether it crosses the 30%
+    alert line — the pager query, batch-shaped (its streaming twin is
+    the windowed-count family in `streaming/validation.py`). One
+    map-side-combining hour rollup; exact counts; one rounded
+    division compared against a literal."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_errors"),
+    )
+    rate = F.round(F.col("n_errors").cast("double") / F.col("n_events"), 6)
+    return hourly.select(
+        "hour", "n_events", "n_errors",
+        rate.alias("error_rate"),
+        (rate > ERR_ALERT_RATE).alias("alert"),
+    )
+
+
+ORACLE_ERROR_RATE_HOURLY = f"""
+WITH {{EV}}
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       ROUND(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS error_rate,
+       ROUND(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) > {ERR_ALERT_RATE} AS alert
+FROM ev GROUP BY 1
+"""
+
+
 # --- new vs returning users per day -----------------------------------------
 
 def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,6 +1576,9 @@ UNIT_SPECS = [
               "funnel + map<event_type,count> per-user stats in one join"),
     QuerySpec("events_window_agg", q_events_window_agg, ORACLE_EVENTS_WINDOW_AGG,
               "tumbling 1h window aggregation"),
+    QuerySpec("unit_error_rate_hourly", q_error_rate_hourly,
+              ORACLE_ERROR_RATE_HOURLY.replace("{EV}", _EV_CTE),
+              "hourly error-rate monitor with alert flag"),
     QuerySpec("unit_new_vs_returning", q_new_vs_returning,
               ORACLE_NEW_VS_RETURNING.replace("{EV}", _EV_CTE),
               "per-day new vs returning active-user split"),
