@@ -53,6 +53,8 @@ class CurationRun:
 def load_curation_config(path: str) -> dict[str, Any]:
     with open(path) as f:
         config = yaml.safe_load(f)
+    if not isinstance(config, dict):
+        raise ValueError("curation config must be a mapping")
     if "input" not in config or "sf_dir" not in config["input"]:
         raise ValueError("curation config needs input.sf_dir")
     if "stages" not in config or not config["stages"]:

@@ -72,6 +72,8 @@ def write_partitioned_parquet(
     coalesce(1); ``maxRecordsPerFile`` bounds file sizes inside each
     partition directory."""
     writer = df.write.mode("overwrite").partitionBy(*partition_cols)
-    if max_records_per_file:
+    if max_records_per_file is not None:
+        if max_records_per_file <= 0:
+            raise ValueError("max_records_per_file must be > 0")
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(out_dir)

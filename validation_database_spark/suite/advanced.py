@@ -477,8 +477,10 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
-    # total order on vertices: rank key = (deg, v) folded to one bigint
-    rk = deg.select("v", (F.col("deg") * F.lit(10_000_000) + F.col("v")).alias("r"))
+    # total order on vertices: lexicographic (deg, v) as a struct — a
+    # collision-free composite (folding into one bigint would alias
+    # ranks once vertex ids exceed the multiplier, mis-orienting edges)
+    rk = deg.select("v", F.struct(F.col("deg"), F.col("v")).alias("r"))
     ranked = (
         e1.join(F.broadcast(rk).withColumnRenamed("v", "a").withColumnRenamed("r", "ra"), "a")
         .join(F.broadcast(rk).withColumnRenamed("v", "b").withColumnRenamed("r", "rb"), "b")

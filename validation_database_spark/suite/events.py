@@ -1495,7 +1495,7 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
-    wa = Window.partitionBy("event_type").orderBy("bucket", "arr")
+    wa = Window.partitionBy("event_type").orderBy("bucket", "arr", "event_id")
     late = ev.withColumn(
         "run_max", F.max("ts").over(wa.rowsBetween(Window.unboundedPreceding, 0))
     ).withColumn(
@@ -1526,10 +1526,10 @@ ORACLE_WATERMARK_AUDIT = f"""
 WITH {{EV}},
 late AS (
   SELECT event_id, event_type,
-         (epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY bucket, arr
+         (epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY bucket, arr, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           - epoch_us(ts)) AS late_us,
-         (epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY bucket, arr
+         (epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY bucket, arr, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           - epoch_us(ts)) // 1000000 AS late_s
   FROM (
