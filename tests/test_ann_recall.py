@@ -71,3 +71,48 @@ def test_lsh_strong_recall_floor(spark, sf_dir):
     # bounded candidate fan-out: radius-1 multi-probe touches
     # (bits+1) of 2^bits buckets — ≤ 5% of the corpus in expectation.
     assert (LSH_BITS + 1) / (1 << LSH_BITS) <= 0.05
+
+
+def test_rag_ivf_recall_floor(spark, sf_dir):
+    """IVF-served RAG retrieval vs the brute chunk-scoring truth.
+
+    Background recall@3 tracks the scan fraction (nprobe/nlist) on the
+    near-uniform hashed-BoW fixture vectors — the same inherent-to-
+    indexing-uniform-data regime as SRP-LSH — so the hard floor is on
+    the STRONG-neighbor regime the index actually serves: brute hits
+    with cos_sim >= 0.9 (near-dup passages) must be retrieved at
+    >= 0.85; mean recall is pinned loosely to catch breakage."""
+    from validation_database_spark.suite.similarity import (
+        RAG_CENT_MOD,
+        RAG_N_PROBE,
+        q_rag_retrieval,
+        q_rag_retrieval_ivf,
+    )
+
+    exact: dict[int, list] = {}
+    for r in q_rag_retrieval(spark, sf_dir).collect():
+        exact.setdefault(r.query_doc_id, []).append(
+            (r.doc_id, r.chunk_idx, r.cos_sim)
+        )
+    approx: dict[int, set] = {}
+    for r in q_rag_retrieval_ivf(spark, sf_dir).collect():
+        approx.setdefault(r.query_doc_id, set()).add((r.doc_id, r.chunk_idx))
+
+    assert set(approx) == set(exact), "every query must return results"
+    recalls = []
+    strong_hits = strong_total = 0
+    for q, rows in exact.items():
+        got = approx.get(q, set())
+        recalls.append(sum((d, c) in got for d, c, _ in rows) / len(rows))
+        for d, c, cos in rows:
+            if cos >= 0.9:
+                strong_total += 1
+                strong_hits += (d, c) in got
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"mean recall@3 = {mean_recall:.3f}"
+    assert strong_total > 0, "fixture must contain strong (cos>=0.9) pairs"
+    strong_recall = strong_hits / strong_total
+    assert strong_recall >= 0.85, f"strong recall = {strong_recall:.3f}"
+    # bounded scan: nprobe cells of >= nlist (25 at fixture SF)
+    assert RAG_N_PROBE / 25 <= 0.15
+    assert RAG_CENT_MOD == 20

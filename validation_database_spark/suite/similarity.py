@@ -827,26 +827,33 @@ FROM au LEFT JOIN agg ON au.vec_id = agg.id_a
 
 RAG_QUERY_MOD = 50
 RAG_TOP_K = 3
+# IVF serving layer over the chunk index: centroid cells are the
+# whole-document vectors of every 20th document (capped — nlist is a
+# fixed index parameter, not a function of corpus size; cf.
+# CENTROID_CAP above), each chunk is assigned to its nearest cell
+# once at index-build time, and a query probes only its nprobe
+# nearest cells. 25 cells at sf0.01, 64 from sf0.1 up.
+RAG_CENT_MOD = 20
+RAG_CENT_OFF = 3
+RAG_CENT_CAP = 64
+# nprobe sweep at sf0.001 (25 cells, recall vs the brute truth):
+#   nprobe  scan%  mean recall@3  strong recall (cos>=0.9)
+#     2       8%      0.533            0.857
+#     3      12%      0.633            0.929   <- chosen
+#     4      16%      0.733            0.929
+# Background recall tracks scan fraction on the near-uniform fixture
+# vectors (same regime as SRP-LSH — see LSH_BITS note); the served
+# high-cos regime is what the floor pins (tests/test_ann_recall.py).
+RAG_N_PROBE = 3
 
 
-def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end RAG retrieval over the corpus, composed from the
-    suite's own primitives: documents → sliding 64-token chunks
-    (`text_chunks`' windowing) → hashed-BoW chunk embeddings
-    (`unit_text_hash_embeddings`' feature space) → cosine top-3 chunks
-    per query document (the brute scoring baseline; the IVF/LSH twins
-    are this op's serving path at scale, exactly as for `ann_topk`).
-    Queries are every 50th document embedded whole; own-document
-    chunks are excluded, so the result is "the best passages
-    elsewhere in the corpus" — the retrieval-index shape behind
-    RAG and dedup-by-retrieval alike.
-
-    Determinism: integer bucket counts, the established sequential-
-    fold dot/norm (identical IEEE order both engines), cosine rounded
-    6 with (doc, chunk) tie-breaks. At scale the chunk vectors are
-    pre-normalized once (see `_unit_emb`) and the query set joins
-    through the IVF cells; the brute pair scoring here is the
-    exactness baseline the recall tests need."""
+def _rag_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(chunks, queries, cents) — the shared corpus for both RAG
+    paths: sliding 64-token chunks with hashed-BoW vectors, every
+    50th document embedded whole as a query, every 20th (capped) as
+    an IVF centroid cell."""
     from .text import CHUNK_SIZE, _STRIDE, _hash_bucket_counts, _tokens
 
     docs = spread(load_table(spark, "documents", sf_dir)).select(
@@ -864,14 +871,130 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_idx", _hash_bucket_counts(F.col("ctoks")).alias("cvec")
         )
     )
-    queries = (
-        docs.filter(F.col("doc_id") % RAG_QUERY_MOD == 0)
+    queries = docs.filter(F.col("doc_id") % RAG_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_doc_id"),
+        _hash_bucket_counts(F.col("toks")).alias("qvec"),
+    )
+    cents = docs.filter(
+        (F.col("doc_id") % RAG_CENT_MOD == RAG_CENT_OFF)
+        & (F.col("doc_id") < RAG_CENT_MOD * RAG_CENT_CAP)
+    ).select(
+        F.col("doc_id").alias("cent_id"),
+        _hash_bucket_counts(F.col("toks")).alias("c_v"),
+    )
+    return chunks, queries, cents
+
+
+def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SERVED RAG retrieval — the scale path the brute baseline
+    (`q_rag_retrieval`) verifies: chunks are assigned once to their
+    nearest centroid cell (broadcast nested-loop + max-struct argmax,
+    map-side combine — the same no-window shape as `q_ann_ivf_cosine`,
+    which OOM'd as a row_number window at the 100× replica), and each
+    query scores only the chunks inside its nprobe nearest cells.
+    Generalizes the reference's similarity compare
+    (running_validation.py:306-316) from row-pair checking to serving
+    corpus retrieval.
+
+    Scale: the centroid table is O(nlist) and broadcast both times;
+    per-chunk assignment is a narrow map over nlist candidates with
+    the per-chunk argmax collapsed BEFORE the shuffle; query scoring
+    touches |probed cells| / nlist of the chunk index instead of all
+    of it — cost tracks cells probed, not corpus size (SCALE.md has
+    the measured 10× row). Recall vs the brute truth is pinned in
+    tests/test_ann_recall.py.
+
+    Determinism: identical hashed-BoW vectors, sequential-fold
+    cosine rounded 6, (cent_id) and (doc_id, chunk_idx) tie-breaks —
+    the oracle runs the identical IVF in SQL, so the approximation
+    itself is value-checked, exactly as for `ann_topk`'s ivf arm."""
+    from ..operators.vectors import cosine_rounded
+
+    chunks, queries, cents = _rag_frames(spark, sf_dir)
+    assigned = (
+        chunks.crossJoin(F.broadcast(cents))
         .select(
-            F.col("doc_id").alias("query_doc_id"),
-            _hash_bucket_counts(F.col("toks")).alias("qvec"),
+            "doc_id",
+            "chunk_idx",
+            "cvec",
+            "cent_id",
+            cosine_rounded(F.col("cvec"), F.col("c_v")).alias("a_cos"),
+        )
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("a_cos"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("cvec").alias("cvec"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("best.cvec").alias("cvec"),
+            (-F.col("best.neg_cent")).alias("cent_id"),
         )
     )
+    p_w = Window.partitionBy("query_doc_id").orderBy(
+        F.col("p_cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_doc_id",
+            "qvec",
+            "cent_id",
+            cosine_rounded(F.col("qvec"), F.col("c_v")).alias("p_cos"),
+        )
+        .withColumn("prn", F.row_number().over(p_w))
+        .filter(F.col("prn") <= RAG_N_PROBE)
+        .select("query_doc_id", "qvec", "cent_id")
+    )
+    # broadcast the tiny probe side (|queries|·nprobe rows) so the
+    # chunk index joins in place — it never shuffles, at any corpus
+    # size; the per-cell scan is the join's build-probe.
+    scored = (
+        F.broadcast(probes).join(assigned, "cent_id")
+        .filter(F.col("doc_id") != F.col("query_doc_id"))
+        .select(
+            "query_doc_id",
+            "doc_id",
+            "chunk_idx",
+            cosine_rounded(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_doc_id").orderBy(
+        F.col("cos_sim").desc(), "doc_id", "chunk_idx"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= RAG_TOP_K)
+    )
+
+
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval over the corpus, composed from the
+    suite's own primitives: documents → sliding 64-token chunks
+    (`text_chunks`' windowing) → hashed-BoW chunk embeddings
+    (`unit_text_hash_embeddings`' feature space) → cosine top-3 chunks
+    per query document (the brute scoring baseline; the IVF/LSH twins
+    are this op's serving path at scale, exactly as for `ann_topk`).
+    Queries are every 50th document embedded whole; own-document
+    chunks are excluded, so the result is "the best passages
+    elsewhere in the corpus" — the retrieval-index shape behind
+    RAG and dedup-by-retrieval alike.
+
+    Determinism: integer bucket counts, the established sequential-
+    fold dot/norm (identical IEEE order both engines), cosine rounded
+    6 with (doc, chunk) tie-breaks. This brute pair scoring is the
+    EXACTNESS BASELINE: `q_rag_retrieval_ivf` is the served scale
+    path, and tests/test_ann_recall.py pins its recall against this
+    truth."""
     from ..operators.vectors import cosine_rounded
+
+    chunks, queries, _ = _rag_frames(spark, sf_dir)
 
     scored = (
         chunks.crossJoin(F.broadcast(queries))
@@ -892,8 +1015,10 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_rag_retrieval() -> str:
-    from ..operators.vectors import cosine_sql
+def _rag_oracle_ctes() -> str:
+    """Shared DuckDB CTE prefix for both RAG oracles: tokenized docs,
+    sliding chunks, hashed-BoW chunk/query/centroid vectors —
+    mirroring `_rag_frames` expression for expression."""
     from .text import CHUNK_SIZE, _STRIDE, _tokens_sql
 
     bucket = (
@@ -904,8 +1029,7 @@ def _oracle_rag_retrieval() -> str:
         f"list_transform(generate_series(0, 63), b -> "
         f"CAST(len(list_filter({{src}}, tok -> {bucket} = b)) AS DOUBLE))"
     )
-    return f"""
-WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
 chunks AS (
   SELECT doc_id, CAST(pos - 1 AS BIGINT) AS chunk_idx,
          toks[s:s + {CHUNK_SIZE - 1}] AS ctoks
@@ -924,10 +1048,59 @@ qvecs AS (
   SELECT doc_id AS query_doc_id, {counts.format(src='toks')} AS v
   FROM t WHERE doc_id % {RAG_QUERY_MOD} = 0
 ),
+cents AS (
+  SELECT doc_id AS cent_id, {counts.format(src='toks')} AS c_v
+  FROM t WHERE doc_id % {RAG_CENT_MOD} = {RAG_CENT_OFF}
+    AND doc_id < {RAG_CENT_MOD * RAG_CENT_CAP}
+)"""
+
+
+def _oracle_rag_retrieval() -> str:
+    from ..operators.vectors import cosine_sql
+
+    return f"""
+WITH {_rag_oracle_ctes()},
 scored AS (
   SELECT q.query_doc_id, c.doc_id, c.chunk_idx,
          ROUND({cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
   FROM cvecs c JOIN qvecs q ON c.doc_id <> q.query_doc_id
+)
+SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_doc_id
+                               ORDER BY cos_sim DESC, doc_id, chunk_idx) AS rk
+  FROM scored
+) WHERE rk <= {RAG_TOP_K}
+"""
+
+
+def _oracle_rag_ivf() -> str:
+    from ..operators.vectors import cosine_sql
+
+    return f"""
+WITH {_rag_oracle_ctes()},
+assigned AS (
+  SELECT doc_id, chunk_idx, v, cent_id FROM (
+    SELECT c.doc_id, c.chunk_idx, c.v, ct.cent_id,
+           row_number() OVER (PARTITION BY c.doc_id, c.chunk_idx
+                              ORDER BY ROUND({cosine_sql('c.v', 'ct.c_v')}, 6) DESC,
+                                       ct.cent_id) AS arn
+    FROM cvecs c CROSS JOIN cents ct
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT query_doc_id, v, cent_id FROM (
+    SELECT q.query_doc_id, q.v, ct.cent_id,
+           row_number() OVER (PARTITION BY q.query_doc_id
+                              ORDER BY ROUND({cosine_sql('q.v', 'ct.c_v')}, 6) DESC,
+                                       ct.cent_id) AS prn
+    FROM qvecs q CROSS JOIN cents ct
+  ) WHERE prn <= {RAG_N_PROBE}
+),
+scored AS (
+  SELECT p.query_doc_id, a.doc_id, a.chunk_idx,
+         ROUND({cosine_sql('p.v', 'a.v')}, 6) AS cos_sim
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE a.doc_id <> p.query_doc_id
 )
 SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_doc_id
@@ -1044,13 +1217,17 @@ SPECS = [
     QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
               "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
               headline=True),
-    QuerySpec("unit_ann_lsh", q_ann_lsh_cosine, _oracle_ann_lsh(),
-              "SRP-LSH bucketed cosine top-K (train-free hash-join ANN)"),
+    # round 5 rotation into the driver window:
+    QuerySpec("rag_retrieval", q_rag_retrieval_ivf, _oracle_rag_ivf(),
+              "IVF-served RAG chunk retrieval: probe nprobe cells, top-3",
+              headline=True),
 ]
 
 UNIT_SPECS = [
+    QuerySpec("unit_ann_lsh", q_ann_lsh_cosine, _oracle_ann_lsh(),
+              "SRP-LSH bucketed cosine top-K (train-free hash-join ANN)"),
     QuerySpec("unit_rag_retrieval", q_rag_retrieval, _oracle_rag_retrieval(),
-              "RAG chunk retrieval: chunk + hash-embed + cosine top-3"),
+              "RAG brute chunk retrieval — exactness/recall baseline for rag_retrieval"),
     QuerySpec("unit_label_centroid_sim", q_label_centroid_sim,
               ORACLE_LABEL_CENTROID_SIM,
               "per-label centroid cosine matrix, e6-exact reductions"),
