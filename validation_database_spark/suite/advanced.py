@@ -746,8 +746,6 @@ CROSS JOIN no
 UNIT_SPECS = [
     QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
               "pairwise Apriori: support/confidence/lift co-purchase rules"),
-    QuerySpec("unit_kcore", q_kcore, _oracle_kcore(),
-              "k-core peeling (3 unrolled rounds), the PageRank pattern"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
               "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
     QuerySpec("unit_session_week_overlap", q_session_week_overlap,
@@ -773,6 +771,9 @@ SPECS = [
     # timed suite with a density artifact, not an engine signal.
     QuerySpec("unit_triangle_counts", q_triangle_counts, ORACLE_TRIANGLE_COUNTS,
               "degree-oriented triangle counting + clustering coefficient"),
+    # round 5 rotation into the driver window:
+    QuerySpec("unit_kcore", q_kcore, _oracle_kcore(),
+              "k-core peeling (3 unrolled rounds), the PageRank pattern"),
     # price_percentiles is driver-checked via order_status_profile
     # (suite/analytics.py); q_price_percentiles stays as the
     # unit-tested operator surface.

@@ -1818,6 +1818,21 @@ SPECS = [
     QuerySpec("skew_salted_revenue", q_skew_salted_revenue,
               ORACLE_SKEW_SALTED_REVENUE,
               "salted join under deliberate key skew", headline=True),
+    # round 5 rotations into the driver window:
+    QuerySpec("unit_poisson_bootstrap", q_poisson_bootstrap,
+              _oracle_poisson_bootstrap(),
+              "hash-Poisson bootstrap CI for the mean, one scan",
+              headline=True),
+    QuerySpec("unit_gini_concentration", q_gini_concentration,
+              ORACLE_GINI_CONCENTRATION,
+              "Lorenz deciles + exact-moment Gini revenue concentration"),
+    QuerySpec("unit_chi2_independence", q_chi2_independence,
+              ORACLE_CHI2_INDEPENDENCE,
+              "chi-square independence: nation x segment contingency"),
+    QuerySpec("unit_cube_sales", q_cube_sales, ORACLE_CUBE_SALES,
+              "CUBE full grouping lattice with grouping-id tags"),
+    QuerySpec("unit_rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS,
+              "RFM segmentation via exact integer quantile banding"),
 ]
 
 
@@ -1829,8 +1844,6 @@ SPECS = [
 # operators. Kept as documented standalone operators;
 # tests/test_oracle_parity.py checks them with the same comparator.
 UNIT_SPECS = [
-    QuerySpec("unit_rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS,
-              "RFM segmentation via exact integer quantile banding"),
     QuerySpec("unit_ab_ztest", q_ab_ztest, ORACLE_AB_ZTEST,
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
@@ -1850,31 +1863,19 @@ UNIT_SPECS = [
               "order basket-size histogram with cumulative share"),
     QuerySpec("unit_supplier_hhi", q_supplier_hhi, ORACLE_SUPPLIER_HHI,
               "Herfindahl supplier concentration per part type"),
-    QuerySpec("unit_chi2_independence", q_chi2_independence,
-              ORACLE_CHI2_INDEPENDENCE,
-              "chi-square independence: nation x segment contingency"),
     QuerySpec("unit_price_iqr_fences", q_price_iqr_fences,
               ORACLE_PRICE_IQR_FENCES,
               "Tukey IQR-fence outlier screen per brand, exact quartiles"),
     QuerySpec("unit_weighted_delivery_quantiles", q_weighted_delivery_quantiles,
               ORACLE_WEIGHTED_DELIVERY,
               "revenue-weighted delivery-delay quantiles per flag"),
-    QuerySpec("unit_gini_concentration", q_gini_concentration,
-              ORACLE_GINI_CONCENTRATION,
-              "Lorenz deciles + exact-moment Gini revenue concentration"),
     QuerySpec("unit_order_cycle_time", q_order_cycle_time,
               ORACLE_ORDER_CYCLE_TIME,
               "order-to-ship cycle time SLA rollup per priority"),
     QuerySpec("unit_rollup_pricing", q_rollup_pricing, ORACLE_ROLLUP_PRICING,
               "ROLLUP grouping-set aggregation"),
-    QuerySpec("unit_cube_sales", q_cube_sales, ORACLE_CUBE_SALES,
-              "CUBE full grouping lattice with grouping-id tags"),
     QuerySpec("unit_corr_matrix", q_corr_matrix, _oracle_corr_matrix(),
               "Pearson correlation matrix from exact decimal moments"),
-    QuerySpec("unit_poisson_bootstrap", q_poisson_bootstrap,
-              _oracle_poisson_bootstrap(),
-              "hash-Poisson bootstrap CI for the mean, one scan",
-              headline=True),
     QuerySpec("unit_running_order_total", q_running_order_total,
               ORACLE_RUNNING_ORDER_TOTAL, "per-customer running total window"),
     # rotated out of the driver window in round 4 (driver-green r1-r3):

@@ -572,13 +572,6 @@ SPECS = [
               "op-16 threshold=1 exact-equality fast path"),
     QuerySpec("diff_string_fuzzy_approx", q_diff_string_fuzzy_approx, None,
               "op-16 threshold<1 SequenceMatcher pandas UDF (rows-only)"),
-    QuerySpec("diff_multi_column", q_diff_multi_column, ORACLE_DIFF_MULTI_COLUMN,
-              "N-column reconciliation in one pass (long-form diff report)"),
-    QuerySpec("multi_source_consensus", q_multi_source_consensus,
-              ORACLE_MULTI_SOURCE_CONSENSUS,
-              "N-source reconciliation with majority consensus"),
-    QuerySpec("snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
-              "CDC changelog between two snapshots"),
     QuerySpec("report_summary", q_report_summary, ORACLE_REPORT_SUMMARY,
               "ops 19-20 ragged side-by-side report"),
     QuerySpec("validation_counts", q_validation_counts, ORACLE_VALIDATION_COUNTS,
@@ -589,6 +582,15 @@ SPECS = [
 # Unit operator surface (ops 9/10 merged into keys_projection for the
 # driver window); parity-tested locally.
 UNIT_SPECS = [
+    # rotated out of the driver window in round 5 (driver-green in r4;
+    # pytest oracles keep them true):
+    QuerySpec("diff_multi_column", q_diff_multi_column, ORACLE_DIFF_MULTI_COLUMN,
+              "N-column reconciliation in one pass (long-form diff report)"),
+    QuerySpec("multi_source_consensus", q_multi_source_consensus,
+              ORACLE_MULTI_SOURCE_CONSENSUS,
+              "N-source reconciliation with majority consensus"),
+    QuerySpec("snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+              "CDC changelog between two snapshots"),
     QuerySpec("unit_composite_id", q_composite_id, ORACLE_COMPOSITE_ID,
               "op-9 composite key canonicalization"),
     QuerySpec("unit_project_check", q_project_check, ORACLE_PROJECT_CHECK,

@@ -960,23 +960,24 @@ FROM lineitem
 
 
 SPECS = [
-    QuerySpec("unit_psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,
-              "PSI distribution-drift screen between two snapshots"),
-    QuerySpec("unit_bloom_prune", q_bloom_prune, ORACLE_BLOOM_PRUNE,
-              "Bloom-filter join pruning audit, deterministic hash-exact filter"),
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
     QuerySpec("profile_orders", q_profile_orders, ORACLE_PROFILE_ORDERS,
               "single-pass column profiling (nulls/distinct/min/max)"),
     QuerySpec("dq_benford", q_dq_benford, ORACLE_DQ_BENFORD,
               "Benford leading-digit distribution screening"),
-    # round 4 rotation into the driver window:
-    QuerySpec("unit_k_anonymize", q_k_anonymize, ORACLE_K_ANONYMIZE,
-              "k-anonymity release gate: QI generalization + class suppression"),
 ]
 
 
 UNIT_SPECS = [
+    # rotated out of the driver window in round 5 (driver-green in r4;
+    # pytest oracles keep them true):
+    QuerySpec("unit_psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,
+              "PSI distribution-drift screen between two snapshots"),
+    QuerySpec("unit_bloom_prune", q_bloom_prune, ORACLE_BLOOM_PRUNE,
+              "Bloom-filter join pruning audit, deterministic hash-exact filter"),
+    QuerySpec("unit_k_anonymize", q_k_anonymize, ORACLE_K_ANONYMIZE,
+              "k-anonymity release gate: QI generalization + class suppression"),
     QuerySpec("unit_hll_distinct", q_hll_distinct, ORACLE_HLL_DISTINCT,
               "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
     QuerySpec("unit_join_audit", q_join_audit, ORACLE_JOIN_AUDIT,

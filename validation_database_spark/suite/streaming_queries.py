@@ -20,7 +20,11 @@ from ..streaming import (
     streaming_window_counts,
 )
 from ..sources import load_table
-from ..streaming.validation import stream_documents, streaming_incremental_dedup
+from ..streaming.validation import (
+    stream_documents,
+    streaming_incremental_dedup,
+    streaming_session_totals,
+)
 from . import QuerySpec
 
 
@@ -141,7 +145,68 @@ FROM flagged a JOIN flagged b
 """
 
 
+def q_streaming_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful sessionization (``F.session_window`` + 1-hour
+    watermark, append mode) run to completion on the bounded event
+    stream — the streaming twin of `events_sessionize`. Append mode
+    emits a session exactly once, when the watermark passes its
+    close; on a bounded source the final watermark rests at
+    max(event time) − 1 hour, so the emitted set is precisely the
+    batch sessions whose ``session_end`` (last event + 30-minute gap)
+    is ≤ that cutoff — sessions still open at end-of-stream stay in
+    state, unemitted. The oracle replays exactly that restriction in
+    SQL (lag+cumsum sessions — equivalent to session_window's gap
+    semantics because the fixture has no exact-boundary gaps, a
+    precondition pinned by tests/test_session_window.py); totals are
+    exact integer cents so rows hash-compare. Emit-once/emit-all
+    completeness is additionally pinned by
+    tests/test_streaming_session.py."""
+    stream = stream_events(spark, sf_dir)
+    out = run_to_completion(
+        streaming_session_totals(stream),
+        "suite_stream_sess",
+        output_mode="append",
+    )
+    return out
+
+
+_SESS_GAP_MIN = 30
+_SESS_WATERMARK = "1 HOUR"
+
+ORACLE_STREAMING_SESSION_TOTALS = f"""
+WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+                   user_id, value FROM events),
+lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM ev
+),
+sessioned AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL {_SESS_GAP_MIN} MINUTE
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM lagged
+),
+sess AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL {_SESS_GAP_MIN} MINUTE AS session_end,
+         count(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM sessioned GROUP BY user_id, session_idx
+)
+SELECT user_id, session_start, session_end, n_events, sum_cents
+FROM sess
+WHERE session_end <= (SELECT max(ts) FROM ev) - INTERVAL {_SESS_WATERMARK}
+"""
+
+
 SPECS = [
+    QuerySpec("streaming_session_totals", q_streaming_session_totals,
+              ORACLE_STREAMING_SESSION_TOTALS,
+              "append-mode session_window ≡ SQL watermark-closed set"),
     QuerySpec("streaming_window_counts", q_streaming_window_counts,
               ORACLE_STREAMING_WINDOW_COUNTS,
               "Structured Streaming tumbling windows ≡ SQL oracle",),

@@ -2616,6 +2616,31 @@ LEFT JOIN pdi ON b.doc_id = pdi.doc_id
 
 
 SPECS = [
+    QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
+              "one-scan document profiler: tokens/quality/lang/fingerprints/"
+              "repetition/simhash/hash-embedding/unigram-LM", headline=True),
+    QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
+              "sliding-window passage chunking (64/16 overlap)"),
+    QuerySpec("doc_redact", q_doc_redact, ORACLE_DOC_REDACT,
+              "PII redaction: URL/email/phone → tokens, per-class counts"),
+    # round 5 rotations into the driver window:
+    QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
+              ORACLE_BOILERPLATE_BLOCKS,
+              "cross-document boilerplate block detection (block-hash dedup)"),
+    QuerySpec("unit_quality_classifier", q_quality_classifier,
+              _oracle_quality_classifier(),
+              "linear BoW quality-model scoring, integer-exact logits"),
+    QuerySpec("unit_span_corruption", q_span_corruption, ORACLE_SPAN_CORRUPTION,
+              "T5 span-corruption (input, target) example generation"),
+]
+
+
+# Unit operator surface: the per-metric text queries consolidated into
+# doc_profile for the driver window. Parity-tested locally so each
+# standalone operator stays executable and oracle-true.
+UNIT_SPECS = [
+    # rotated out of the driver window in round 5 (driver-green in r4;
+    # pytest oracles keep them true, bench keeps timing the headliners):
     QuerySpec("unit_line_dedup_rewrite", q_line_dedup_rewrite,
               ORACLE_LINE_DEDUP_REWRITE,
               "C4 line dedup with hash-verified document rewrite",
@@ -2624,24 +2649,9 @@ SPECS = [
               ORACLE_EXACT_SUBSTR_SPANS,
               "ExactSubstr-style duplicated-span islands per doc",
               headline=True),
-    QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
-              "one-scan document profiler: tokens/quality/lang/fingerprints/"
-              "repetition/simhash/hash-embedding/unigram-LM", headline=True),
-    QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
-              "sliding-window passage chunking (64/16 overlap)"),
-    QuerySpec("doc_redact", q_doc_redact, ORACLE_DOC_REDACT,
-              "PII redaction: URL/email/phone → tokens, per-class counts"),
-    # round 4 rotation into the driver window:
     QuerySpec("unit_bm25_topk", q_bm25_topk, ORACLE_BM25_TOPK,
               "Okapi BM25 top-K retrieval for a fixed query term set",
               headline=True),
-]
-
-
-# Unit operator surface: the per-metric text queries consolidated into
-# doc_profile for the driver window. Parity-tested locally so each
-# standalone operator stays executable and oracle-true.
-UNIT_SPECS = [
     QuerySpec("unit_bpe_merges", q_bpe_merges, _oracle_bpe_merges(),
               "BPE merge learning: 3 declarative rounds, no collect"),
     QuerySpec("unit_phrase_search", q_phrase_search, ORACLE_PHRASE_SEARCH,
@@ -2675,12 +2685,6 @@ UNIT_SPECS = [
               "count-min sketch term counts, deterministic hash family"),
     QuerySpec("unit_text_entropy", q_text_entropy, ORACLE_TEXT_ENTROPY,
               "character-level Shannon entropy (gibberish detector)"),
-    QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
-              ORACLE_BOILERPLATE_BLOCKS,
-              "cross-document boilerplate block detection (block-hash dedup)"),
-    QuerySpec("unit_quality_classifier", q_quality_classifier,
-              _oracle_quality_classifier(),
-              "linear BoW quality-model scoring, integer-exact logits"),
     QuerySpec("unit_corpus_outlier_docs", q_corpus_outlier_docs,
               ORACLE_CORPUS_OUTLIER_DOCS,
               "per-source robust-z token-count outlier docs"),
@@ -2690,8 +2694,6 @@ UNIT_SPECS = [
               "Zipf's-law OLS fit over the top-100 corpus terms"),
     QuerySpec("unit_vocab_coverage", q_vocab_coverage, ORACLE_VOCAB_COVERAGE,
               "frozen top-K vocab OOV-rate audit per doc"),
-    QuerySpec("unit_span_corruption", q_span_corruption, ORACLE_SPAN_CORRUPTION,
-              "T5 span-corruption (input, target) example generation"),
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
