@@ -33,6 +33,10 @@ SHOWCASE = {
     "doc_profile": "one-scan text profiling: tokens/quality/lang-id/"
     "fingerprint/repetition/simhash as narrow projections + one unigram-LM "
     "groupBy joined back broadcast",
+    "rag_retrieval": "IVF-served RAG retrieval: chunk→cell assignment as a "
+    "broadcast nested-loop + map-side max(struct) argmax (no rank window), "
+    "probe side broadcast into the cell join so the chunk index never "
+    "shuffles; top-3 per query as a per-query window",
     "events_sessionize": "per-user lag + running-sum windows "
     "(hashpartitioning by user_id, no global sort)",
     "unit_session_week_overlap": "interval × interval overlap join: bin "

@@ -51,14 +51,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    # The file source requires a directory; select just the events
-    # file from the fixture dir via the glob filter.
-    if events_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns":
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+    # The file source requires a directory. The fixture ships events
+    # as a single FILE (sf_dir/events.parquet) — select it via the
+    # glob filter; the scale replicas ship it as a multi-file
+    # DIRECTORY of the same name — stream that directory itself (the
+    # glob form would match nothing there: pathGlobFilter filters
+    # file names, and the parts live one level down).
+    events_path = os.path.join(sf_dir, "events.parquet")
+
+    def _source(schema):
+        r = spark.readStream.schema(schema)
+        if os.path.isdir(events_path):
+            return r.parquet(events_path)
+        return r.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+    if events_ts_unit(events_path) == "ns":
+        raw = _source(EVENTS_RAW_SCHEMA)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     us_schema = T.StructType(
         [
@@ -66,11 +74,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in EVENTS_RAW_SCHEMA.fields
         ]
     )
-    raw = (
-        spark.readStream.schema(us_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _source(us_schema)
     # NTZ→LTZ cast uses the session TZ (pinned UTC): same wall-clock.
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 

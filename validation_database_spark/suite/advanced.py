@@ -743,7 +743,72 @@ CROSS JOIN no
 """
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the customer→part
+    purchase bipartite graph, two full mutual-reinforcement
+    iterations, INTEGER-EXACT: with hub⁰ ≡ 1 every subsequent score
+    is a pure bigint sum over graph edges (hub¹(c) = deg(c),
+    auth¹(p) = Σ_{c→p} deg(c), hub²(c) = Σ auth¹, auth²(p) = Σ hub²),
+    so no float normalization enters the fixed-point arithmetic and
+    both engines agree bit-for-bit — the classic kernel joins the
+    suite's PageRank / CC / triangles / k-core set with the BIPARTITE
+    ranking view (which parts do heavy buyers concentrate on).
+
+    Plan: the edge list is one distinct over the orders⋈lineitem
+    projection; each half-iteration is a groupBy on one side's key
+    joined back along the edges — linear in |E| with map-side combine,
+    keys are the high-cardinality customer/part ids (no single-task
+    window), hot parts are AQE-splittable. The final rank orders the
+    20k-part DIMENSION, not the fact table."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    hub1 = e.groupBy("c").agg(F.count("*").alias("h1"))
+    auth1 = (
+        e.join(hub1, "c").groupBy("p").agg(F.sum("h1").alias("a1"))
+    )
+    hub2 = e.join(auth1, "p").groupBy("c").agg(F.sum("a1").alias("h2"))
+    auth2 = e.join(hub2, "c").groupBy("p").agg(F.sum("h2").alias("a2"))
+    w = Window.orderBy(F.col("a2").desc(), F.col("p"))
+    return auth1.join(auth2, "p").select(
+        F.col("p").alias("partkey"),
+        F.col("a1").cast("bigint").alias("auth1"),
+        F.col("a2").cast("bigint").alias("auth2"),
+        F.row_number().over(w).cast("bigint").alias("auth_rank"),
+    )
+
+
+ORACLE_HITS_SCORES = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hub1 AS (SELECT c, count(*) AS h1 FROM e GROUP BY c),
+auth1 AS (
+  SELECT p, CAST(sum(h1) AS BIGINT) AS a1
+  FROM e JOIN hub1 USING (c) GROUP BY p
+),
+hub2 AS (
+  SELECT c, CAST(sum(a1) AS BIGINT) AS h2
+  FROM e JOIN auth1 USING (p) GROUP BY c
+),
+auth2 AS (
+  SELECT p, CAST(sum(h2) AS BIGINT) AS a2
+  FROM e JOIN hub2 USING (c) GROUP BY p
+)
+SELECT a1.p AS partkey, a1.a1 AS auth1, a2.a2 AS auth2,
+       CAST(row_number() OVER (ORDER BY a2.a2 DESC, a1.p) AS BIGINT) AS auth_rank
+FROM auth1 a1 JOIN auth2 a2 ON a1.p = a2.p
+"""
+
+
 UNIT_SPECS = [
+    QuerySpec("unit_hits_scores", q_hits_scores, ORACLE_HITS_SCORES,
+              "HITS hubs/authorities, 2 integer-exact iterations (bipartite)"),
     QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
               "pairwise Apriori: support/confidence/lift co-purchase rules"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,

@@ -1110,6 +1110,113 @@ SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
 """
 
 
+# --- product quantization (PQ) codebook assignment --------------------------
+
+PQ_M = 8       # subspaces
+PQ_DSUB = 8    # dims per subspace (8 × 8 = the 64-dim fixture vectors)
+PQ_K = 16      # codes per subspace codebook
+PQ_CENT_MOD = 31
+PQ_CENT_OFF = 5  # vec_id % 31 == 5, first PQ_K by id → codebook vectors
+
+
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split each
+    64-dim vector into M=8 subvectors of 8 dims, assign every
+    subvector to its nearest codeword in that subspace's K=16-entry
+    codebook, and emit the 8-byte PQ code plus the exact
+    reconstruction error — the memory-bound serving format that stores
+    a vector in M·log2(K) = 64 bits instead of 64 floats (the
+    compression stage IVF-PQ indexes pair with the suite's IVF cells).
+    Codebooks here are a deterministic modular selection of corpus
+    vectors (code k = vec_id DIV 31 over vec_id % 31 == 5), standing
+    in for the k-means-trained codebooks of a production index — the
+    assignment/encoding plan is identical either way.
+
+    Spark plan: ONE posexplode to (vec_id, m, subvector) rows, the
+    codebook (M·K = 128 rows) broadcast into the per-subspace distance
+    join, and the per-(vec_id, m) argmin as a min(struct) aggregation
+    with map-side combine — no rank window, the same no-shuffle-argmax
+    shape as the IVF assignment. Reassembly is one (vec_id) groupBy.
+    Everything is input-linear; the codebook is O(M·K) at any corpus
+    size.
+
+    Determinism: subspace L2² is the sequential zip_with fold rounded
+    6, integerized ×1e6 so the cross-subspace sum is exact bigint
+    arithmetic in both engines; argmin ties break on lower code."""
+    emb = _emb(spark, sf_dir)
+    subs = emb.selectExpr(
+        "vec_id",
+        f"posexplode(transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB}))) AS (m, sub)",
+    )
+    cents = subs.filter(
+        (F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_OFF)
+        & (F.col("vec_id") < PQ_CENT_MOD * PQ_K)
+    ).selectExpr("vec_id DIV 31 AS code", "m", "sub AS csub")
+    scored = subs.join(F.broadcast(cents), "m").selectExpr(
+        "vec_id",
+        "m",
+        "code",
+        "round(aggregate(zip_with(sub, csub, (a, b) -> "
+        "(cast(a as double) - cast(b as double)) * "
+        "(cast(a as double) - cast(b as double))), 0.0D, (acc, x) -> acc + x), 6)"
+        " AS d2",
+    )
+    best = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("best"))
+        .selectExpr(
+            "vec_id",
+            "m",
+            "best.code AS code",
+            "cast(round(best.d2 * 1000000) as bigint) AS d2_e6",
+        )
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("m", "code", "d2_e6"))).alias("arr")
+        )
+        .selectExpr(
+            "vec_id",
+            "concat_ws(',', transform(arr, s -> cast(s.code as string))) AS pq_code",
+            "round(sqrt(cast(aggregate(arr, 0L, (acc, s) -> acc + s.d2_e6) "
+            "as double) / 1000000), 6) AS recon_err",
+        )
+    )
+
+
+ORACLE_PQ_QUANTIZE = f"""
+WITH subs AS (
+  SELECT vec_id, u.m, embedding[u.m * {PQ_DSUB} + 1 : u.m * {PQ_DSUB} + {PQ_DSUB}] AS sub
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {PQ_M})) AS m) u
+),
+cents AS (
+  SELECT vec_id // {PQ_CENT_MOD} AS code, m, sub AS csub FROM subs
+  WHERE vec_id % {PQ_CENT_MOD} = {PQ_CENT_OFF} AND vec_id < {PQ_CENT_MOD * PQ_K}
+),
+d AS (
+  SELECT s.vec_id, s.m, c.code,
+         ROUND(list_aggregate(list_transform(generate_series(1, {PQ_DSUB}),
+           k -> (s.sub[k]::DOUBLE - c.csub[k]::DOUBLE)
+              * (s.sub[k]::DOUBLE - c.csub[k]::DOUBLE)), 'sum'), 6) AS d2
+  FROM subs s JOIN cents c ON s.m = c.m
+),
+best AS (
+  SELECT vec_id, m, code, CAST(round(d2 * 1000000) AS BIGINT) AS d2_e6 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(code::VARCHAR, ',' ORDER BY m) AS pq_code,
+       ROUND(sqrt(CAST(CAST(sum(d2_e6) AS BIGINT) AS DOUBLE) / 1000000), 6)
+         AS recon_err
+FROM best GROUP BY vec_id
+"""
+
+
 # --- per-label centroid similarity matrix ----------------------------------
 
 def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,6 +1340,8 @@ UNIT_SPECS = [
               "per-label centroid cosine matrix, e6-exact reductions"),
     QuerySpec("unit_embed_quantize", q_embed_quantize, ORACLE_EMBED_QUANTIZE,
               "symmetric int8 vector quantization with error audit"),
+    QuerySpec("unit_pq_quantize", q_pq_quantize, ORACLE_PQ_QUANTIZE,
+              "product-quantization 8x8 codebook encode + exact recon error"),
     QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
               "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
     QuerySpec("unit_hard_negatives", q_hard_negatives, _oracle_hard_negatives(),

