@@ -806,9 +806,97 @@ FROM auth1 a1 JOIN auth2 a2 ON a1.p = a2.p
 """
 
 
+LPA_ORDER_MOD = 4  # co-purchase graph sampled to orders with key % 4 == 0
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), two unrolled rounds over the sampled part
+    co-purchase graph: every vertex starts as its own label and
+    repeatedly adopts the most frequent label among its neighbors
+    (ties to the LOWER label — the determinism LPA's random tie-break
+    forfeits). Completes the graph suite with the community view next
+    to PageRank (influence), CC (reachability), triangles (local
+    density), k-core (global density) and HITS (bipartite rank).
+
+    Plan: each round is one edge⋈label join + a (v, lbl) count with
+    map-side combine + the per-vertex argmax as max(struct) — the
+    suite's no-window argmax shape; all keys are high-cardinality
+    vertex ids. The unrolled-rounds form is the PageRank/k-core
+    fixed-iteration pattern: at 100 TB each round materializes to a
+    table and the loop is driver-side orchestration over the same
+    per-round plan."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_orderkey") % LPA_ORDER_MOD == 0
+    ).select("l_orderkey", "l_partkey")
+    und = (
+        li.alias("x").join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("v"), F.col("y.l_partkey").alias("u"))
+        .distinct()
+    )
+    labels = und.select("v").distinct().withColumn("lbl", F.col("v"))
+    for _ in range(2):
+        nbr = und.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        cnt = nbr.groupBy("v", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.groupBy("v")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("b"))
+            .select("v", (-F.col("b.neg")).alias("lbl"))
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("v").alias("partkey"),
+        F.col("lbl").cast("bigint").alias("community"),
+        F.col("community_size").cast("bigint").alias("community_size"),
+    )
+
+
+ORACLE_LABEL_PROPAGATION = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % {LPA_ORDER_MOD} = 0
+),
+e AS (
+  SELECT DISTINCT x.l_partkey AS v, y.l_partkey AS u
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey <> y.l_partkey
+),
+l0 AS (SELECT DISTINCT v, v AS lbl FROM e),
+c1 AS (
+  SELECT e.v, l0.lbl, count(*) AS c
+  FROM e JOIN l0 ON e.u = l0.v GROUP BY e.v, l0.lbl
+),
+l1 AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+    FROM c1
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT e.v, l1.lbl, count(*) AS c
+  FROM e JOIN l1 ON e.u = l1.v GROUP BY e.v, l1.lbl
+),
+l2 AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+    FROM c2
+  ) WHERE rn = 1
+),
+sz AS (SELECT lbl, count(*) AS community_size FROM l2 GROUP BY lbl)
+SELECT l2.v AS partkey, CAST(l2.lbl AS BIGINT) AS community,
+       CAST(sz.community_size AS BIGINT) AS community_size
+FROM l2 JOIN sz ON l2.lbl = sz.lbl
+"""
+
+
 UNIT_SPECS = [
     QuerySpec("unit_hits_scores", q_hits_scores, ORACLE_HITS_SCORES,
               "HITS hubs/authorities, 2 integer-exact iterations (bipartite)"),
+    QuerySpec("unit_label_propagation", q_label_propagation,
+              ORACLE_LABEL_PROPAGATION,
+              "2-round synchronous LPA communities, min-label tie-break"),
     QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
               "pairwise Apriori: support/confidence/lift co-purchase rules"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,

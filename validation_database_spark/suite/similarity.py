@@ -1217,6 +1217,103 @@ FROM best GROUP BY vec_id
 """
 
 
+# --- Johnson–Lindenstrauss sign projection ----------------------------------
+
+JL_OUT_DIM = 16
+JL_IN_DIM = 64
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic ±1 projection matrix: sign(j,k) from the parity
+    of the first hex digit of md5("j|k") — the Achlioptas (2003)
+    database-friendly JL construction with a hash in place of the coin
+    flips, so both engines derive the identical matrix."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}|{k}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for k in range(JL_IN_DIM)
+        ]
+        for j in range(JL_OUT_DIM)
+    ]
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction as an operator:
+    project every 64-dim embedding to 16 dims with a deterministic
+    ±1/√16 sign matrix (Achlioptas 2003 — database-friendly JL:
+    random signs suffice, no Gaussians), emitting the projected vector
+    and the norm-preservation ratio ‖y‖/‖x‖ the JL lemma bounds. This
+    is the cheap front-end of every large-scale similarity pipeline —
+    4× fewer dimensions before LSH/IVF/PQ indexing cuts every
+    downstream dot product 4× (composes with `unit_pq_quantize` and
+    the IVF cells).
+
+    Plan: the 16×64 matrix is a LITERAL in the expression tree
+    (module-derived, identical in the SQL oracle) — no join, no
+    broadcast, a pure narrow map over the corpus; each output dim is
+    one sequential zip_with fold. Determinism: per-dim projection
+    rounded 6; the norm ratio divides two sequential-fold norms and
+    rounds 6 (ratio guarded for the zero vector)."""
+    signs = _jl_signs()
+    mat = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{s:.1f}D" for s in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    scale = f"sqrt(cast({JL_OUT_DIM} as double))"
+    emb = _emb(spark, sf_dir)
+    return emb.selectExpr(
+        "vec_id",
+        "embedding",
+        # NB: Spark's arr[j] is 0-based (the oracle's DuckDB [j] is
+        # 1-based — its sequence runs 1..16)
+        f"transform(sequence(0, {JL_OUT_DIM - 1}), j -> "
+        f"round(aggregate(zip_with(embedding, {mat}[j], "
+        "(a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc + x) "
+        f"/ {scale}, 6)) AS y",
+    ).selectExpr(
+        "vec_id",
+        "concat_ws(',', transform(y, v -> format_string('%.6f', v))) AS y_csv",
+        "round(sqrt(aggregate(y, 0.0D, (acc, v) -> acc + v * v)) / "
+        "greatest(sqrt(aggregate(embedding, 0.0D, "
+        "(acc, v) -> acc + cast(v as double) * cast(v as double))), 1E-12D), 6)"
+        " AS norm_ratio",
+    )
+
+
+def _oracle_jl_projection() -> str:
+    signs = _jl_signs()
+    mat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{s:.1f}" for s in row) + "]" for row in signs
+        )
+        + "]"
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id, embedding,
+         list_transform(generate_series(1, {JL_OUT_DIM}), j ->
+           ROUND(list_aggregate(list_transform(generate_series(1, {JL_IN_DIM}),
+             k -> embedding[k]::DOUBLE * ({mat})[j][k]), 'sum')
+           / sqrt(CAST({JL_OUT_DIM} AS DOUBLE)), 6)) AS y
+  FROM embeddings
+)
+SELECT vec_id,
+       list_aggregate(list_transform(y, v -> format('{{:.6f}}', v)), 'string_agg', ',')
+         AS y_csv,
+       ROUND(sqrt(list_aggregate(list_transform(y, v -> v * v), 'sum'))
+         / greatest(sqrt(list_aggregate(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE), 'sum')), 1E-12), 6)
+         AS norm_ratio
+FROM proj
+"""
+
+
 # --- per-label centroid similarity matrix ----------------------------------
 
 def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1342,6 +1439,8 @@ UNIT_SPECS = [
               "symmetric int8 vector quantization with error audit"),
     QuerySpec("unit_pq_quantize", q_pq_quantize, ORACLE_PQ_QUANTIZE,
               "product-quantization 8x8 codebook encode + exact recon error"),
+    QuerySpec("unit_jl_projection", q_jl_projection, _oracle_jl_projection(),
+              "Johnson-Lindenstrauss 64->16 sign projection + norm audit"),
     QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
               "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
     QuerySpec("unit_hard_negatives", q_hard_negatives, _oracle_hard_negatives(),
