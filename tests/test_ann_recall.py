@@ -116,3 +116,33 @@ def test_rag_ivf_recall_floor(spark, sf_dir):
     # bounded scan: nprobe cells of >= nlist (25 at fixture SF)
     assert RAG_N_PROBE / 25 <= 0.15
     assert RAG_CENT_MOD == 20
+
+
+def test_ivfpq_structure_and_recall(spark, sf_dir):
+    """IVF-PQ returns a full top-K per query from the same cells as
+    plain IVF, and its ADC ranking overlaps the exact-scored IVF
+    ranking well above chance. Absolute recall-vs-brute is NOT pinned
+    high: the fixture's codebooks are modular corpus selections (not
+    k-means-trained) over near-uniform vectors, so quantization noise
+    dominates — the oracle value-checks the exact IVF-PQ structure
+    itself; this test pins that the structure behaves like an index."""
+    from validation_database_spark.suite.similarity import (
+        TOP_K,
+        q_ann_ivf_cosine,
+        q_ann_ivfpq,
+    )
+
+    ivf = {}
+    for r in q_ann_ivf_cosine(spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    pq = {}
+    for r in q_ann_ivfpq(spark, sf_dir).collect():
+        pq.setdefault(r.query_id, set()).add(r.vec_id)
+
+    assert set(pq) == set(ivf), "every query must return results"
+    for q, got in pq.items():
+        assert len(got) == TOP_K, f"query {q} returned {len(got)} rows"
+    overlaps = [len(pq[q] & ivf[q]) / len(ivf[q]) for q in ivf]
+    mean_overlap = sum(overlaps) / len(overlaps)
+    # chance overlap ~ TOP_K / cell-candidate count (~0.25 at sf0.001)
+    assert mean_overlap >= 0.3, f"mean ADC/exact overlap = {mean_overlap:.3f}"

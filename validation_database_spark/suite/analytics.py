@@ -1811,6 +1811,165 @@ FROM d
 """
 
 
+# --- CUPED variance-reduced experiment readout --------------------------
+
+CUPED_SPLIT_DATE = "1998-01-01"  # pre-period / experiment-period boundary
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013,
+    "Improving the Sensitivity of Online Controlled Experiments"):
+    per customer, X = pre-period spend and Y = experiment-period
+    spend; θ = cov(X,Y)/var(X) pooled across arms; the adjusted
+    metric Ŷ = Y − θ(X − X̄) has the same mean and strictly lower
+    variance wherever pre-period behavior predicts in-experiment
+    behavior — the standard trick that cuts A/B test durations.
+    Reports, per md5-assigned arm: n, raw and adjusted means, raw and
+    adjusted variances, and the variance-reduction ratio.
+
+    Exactness: per-customer X/Y are exact DECIMAL cent sums; per-arm
+    Σx, Σy, Σx², Σy², Σxy are DECIMAL aggregates (order-independent);
+    θ and every variance derive from those moments in one shared
+    double chain written identically in both engines, rounded at the
+    end — no per-row float accumulation anywhere.
+
+    Scale: one scan → per-customer two-sided conditional sum (hash
+    agg on the customer key) → per-arm moment rollup with map-side
+    combine → a 2-row readout joined to the 1-row pooled θ by
+    crossJoin(broadcast). Experiment size only enters the first two
+    map-side-combining aggregations."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(19,0)")
+    pre = F.col("o_orderdate") < F.lit(CUPED_SPLIT_DATE).cast("timestamp")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0).cast("decimal(19,0)")))
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.sum(F.when(~pre, cents).otherwise(F.lit(0).cast("decimal(19,0)")))
+        .cast("decimal(19,0)")
+        .alias("y"),
+    )
+    h = F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4)
+    t = per_cust.select(
+        F.when(h < AB_SPLIT_HEX, "A").otherwise("B").alias("arm"), "x", "y"
+    )
+    per = t.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    pooled = t.agg(
+        F.count("*").alias("pn"),
+        F.sum("x").cast("decimal(38,0)").alias("psx"),
+        F.sum("y").cast("decimal(38,0)").alias("psy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("psxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("psxy"),
+    )
+    j = per.crossJoin(F.broadcast(pooled))
+
+    def d(c):  # decimal moment → double, shared shape both engines
+        return F.col(c).cast("double")
+
+    n = F.col("n").cast("double")
+    pn = F.col("pn").cast("double")
+    theta = (pn * d("psxy") - d("psx") * d("psy")) / (
+        pn * d("psxx") - d("psx") * d("psx")
+    )
+    xbar_pool = d("psx") / pn / F.lit(100.0)
+    mean_y = d("sy") / n / F.lit(100.0)
+    mean_x = d("sx") / n / F.lit(100.0)
+    mean_y_adj = mean_y - theta * (mean_x - xbar_pool)
+    var_y = (n * d("syy") - d("sy") * d("sy")) / (n * (n - F.lit(1.0))) / F.lit(1e4)
+    var_x = (n * d("sxx") - d("sx") * d("sx")) / (n * (n - F.lit(1.0))) / F.lit(1e4)
+    cov_xy = (n * d("sxy") - d("sx") * d("sy")) / (n * (n - F.lit(1.0))) / F.lit(1e4)
+    var_y_adj = var_y - F.lit(2.0) * theta * cov_xy + theta * theta * var_x
+    # variances reported in (million $)² : at raw $² magnitude (~4e11)
+    # a 4-decimal round sits BELOW double ULP, so engine-identical
+    # rounding is impossible — scaling by 1e-6 puts the rounding grid
+    # 6 orders above ULP (measured: a 1-ULP cast difference at
+    # sf0.001 flipped the last rounded digit before this scaling).
+    return j.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(mean_y_adj, 6).alias("mean_y_adj"),
+        F.round(var_y / F.lit(1e6), 4).alias("var_y_m2"),
+        F.round(var_y_adj / F.lit(1e6), 4).alias("var_y_adj_m2"),
+        F.round(F.lit(1.0) - var_y_adj / var_y, 6).alias("var_reduction"),
+    )
+
+
+ORACLE_CUPED = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(COALESCE(sum(CASE WHEN o_orderdate < TIMESTAMP '{CUPED_SPLIT_DATE}'
+           THEN CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0)) ELSE 0 END), 0)
+           AS DECIMAL(19,0)) AS x,
+         CAST(COALESCE(sum(CASE WHEN o_orderdate >= TIMESTAMP '{CUPED_SPLIT_DATE}'
+           THEN CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0)) ELSE 0 END), 0)
+           AS DECIMAL(19,0)) AS y
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS arm, x, y
+  FROM per_cust
+),
+per AS (
+  SELECT arm, count(*) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+  FROM t GROUP BY arm
+),
+pooled AS (
+  SELECT count(*) AS pn,
+         CAST(sum(x) AS DECIMAL(38,0)) AS psx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS psy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS psxx,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS psxy
+  FROM t
+),
+j AS (SELECT * FROM per CROSS JOIN pooled),
+m AS (
+  SELECT arm, n,
+         (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+          - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+         / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+          - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) AS theta,
+         CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) / 100.0 AS xbar_pool,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_y,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_x,
+         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var_y,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var_x,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS cov_xy
+  FROM j
+)
+SELECT arm, CAST(n AS BIGINT) AS n_users,
+       ROUND(theta, 6) AS theta,
+       ROUND(mean_y, 6) AS mean_y,
+       ROUND(mean_y - theta * (mean_x - xbar_pool), 6) AS mean_y_adj,
+       ROUND(var_y / 1e6, 4) AS var_y_m2,
+       ROUND((var_y - 2.0 * theta * cov_xy + theta * theta * var_x) / 1e6, 4)
+         AS var_y_adj_m2,
+       ROUND(1.0 - (var_y - 2.0 * theta * cov_xy + theta * theta * var_x) / var_y, 6)
+         AS var_reduction
+FROM m
+"""
+
+
 SPECS = [
     QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
               "TPC-H Q1 measure set at every ROLLUP grouping level",
@@ -1848,6 +2007,8 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
+    QuerySpec("unit_cuped_adjustment", q_cuped_adjustment, ORACLE_CUPED,
+              "CUPED variance-reduced A/B readout from exact moments"),
     QuerySpec("unit_discount_effect", q_discount_effect, ORACLE_DISCOUNT_EFFECT,
               "discount-band demand + forgone-revenue readout"),
     QuerySpec("unit_priority_ontime_matrix", q_priority_ontime_matrix,

@@ -1217,6 +1217,203 @@ FROM best GROUP BY vec_id
 """
 
 
+# --- IVF-PQ: cell-probed ANN with asymmetric-distance scoring ---------------
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011 §IV): the full production ANN
+    serving structure — IVF cells bound WHICH vectors are scored,
+    PQ codes bound HOW MUCH it costs to score each one. Unit-normalize
+    → assign vectors to IVF cells → PQ-encode each unit vector as
+    M=8 4-bit-ish codes → per query, build the 8×16 asymmetric
+    look-up table (query-subvector · codeword, the ADC trick: exact
+    query side, quantized corpus side) → candidate score is 8 LUT
+    adds instead of a 64-dim dot. Top-10 per query by approximate
+    cosine, (vec_id) tie-break. Approximation quality = PQ
+    reconstruction error; the oracle replays the IDENTICAL structure
+    so the approximation itself is value-checked (the ann_topk brute
+    arm remains the corpus-wide exactness baseline).
+
+    Scale: the LUT is queries × M·K = tiny and broadcast; candidate
+    scoring touches nprobe/nlist of the corpus and costs M integer
+    adds per candidate — the shape that serves billion-vector corpora
+    from RAM. LUT entries are e6-integerized so the per-candidate
+    M-term sum is exact bigint arithmetic in both engines.
+
+    Composes `q_ann_ivf_cosine`'s cell assignment with
+    `q_pq_quantize`'s codebooks (both re-derived over UNIT vectors
+    here — ADC approximates cosine only if the encoded vectors are
+    unit-normalized)."""
+    emb = _unit_emb(spark, sf_dir)
+
+    # IVF cells over unit vectors (same selection as q_ann_ivf_cosine)
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
+        & (F.col("vec_id") < CENTROID_MOD * CENTROID_CAP)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("c_u"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "u", "cent_id",
+            F.round(dot(F.col("u"), F.col("c_u")), 6).alias("a_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(
+            F.col("a_cos"), (-F.col("cent_id")).alias("neg"), F.col("u").alias("u"),
+        )).alias("b"))
+        .select("vec_id", F.col("b.u").alias("u"), (-F.col("b.neg")).alias("cent_id"))
+    )
+
+    # PQ codebook over unit subvectors (same selection as q_pq_quantize)
+    subs = assigned.selectExpr(
+        "vec_id", "cent_id",
+        f"posexplode(transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice(u, m * {PQ_DSUB} + 1, {PQ_DSUB}))) AS (m, sub)",
+    )
+    book = subs.filter(
+        (F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_OFF)
+        & (F.col("vec_id") < PQ_CENT_MOD * PQ_K)
+    ).selectExpr(f"vec_id DIV {PQ_CENT_MOD} AS code", "m", "sub AS csub")
+    codes = (
+        subs.join(F.broadcast(book), "m")
+        .selectExpr(
+            "vec_id", "cent_id", "m", "code",
+            "round(aggregate(zip_with(sub, csub, (a, b) -> "
+            "(a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6) AS d2",
+        )
+        .groupBy("vec_id", "cent_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("b"))
+        .select("vec_id", "cent_id", "m", F.col("b.code").alias("code"))
+    )
+
+    # queries: probe cells + ADC look-up table (query-sub · codeword)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
+    )
+    p_w = Window.partitionBy("query_id").orderBy(F.col("p_cos").desc(), "cent_id")
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_u", "cent_id",
+                F.round(dot(F.col("q_u"), F.col("c_u")), 6).alias("p_cos"))
+        .withColumn("prn", F.row_number().over(p_w))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "q_u", "cent_id")
+    )
+    qsubs = queries.selectExpr(
+        "query_id",
+        f"posexplode(transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice(q_u, m * {PQ_DSUB} + 1, {PQ_DSUB}))) AS (m, qsub)",
+    )
+    lut = qsubs.join(F.broadcast(book), "m").selectExpr(
+        "query_id", "m", "code",
+        "cast(round(round(aggregate(zip_with(qsub, csub, (a, b) -> a * b), "
+        "0.0D, (acc, x) -> acc + x), 6) * 1000000) as bigint) AS w_e6",
+    )
+
+    cands = (
+        F.broadcast(probes.select("query_id", "cent_id"))
+        .join(assigned.select("vec_id", "cent_id"), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cent_id")
+    )
+    scored = (
+        cands.join(codes, ["vec_id", "cent_id"])
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("w_e6").alias("s_e6"))
+        .select(
+            "query_id", "vec_id",
+            (F.col("s_e6").cast("double") / F.lit(1e6)).alias("approx_cos"),
+        )
+    )
+    s_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(s_w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("approx_cos", 6).alias("approx_cos"), "rk")
+    )
+
+
+def _oracle_ann_ivfpq() -> str:
+    return f"""
+WITH {_UNITS_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, u AS c_u FROM units
+  WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}
+    AND vec_id < {CENTROID_MOD * CENTROID_CAP}
+),
+assigned AS (
+  SELECT vec_id, u, cent_id FROM (
+    SELECT v.vec_id, v.u, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND({dot_sql('v.u', 'c.c_u')}, 6) DESC,
+                                       c.cent_id) AS arn
+    FROM units v CROSS JOIN cents c
+  ) WHERE arn = 1
+),
+subs AS (
+  SELECT vec_id, cent_id, g.m,
+         u[g.m * {PQ_DSUB} + 1 : g.m * {PQ_DSUB} + {PQ_DSUB}] AS sub
+  FROM assigned, LATERAL (SELECT unnest(range(0, {PQ_M})) AS m) g
+),
+book AS (
+  SELECT vec_id // {PQ_CENT_MOD} AS code, m, sub AS csub FROM subs
+  WHERE vec_id % {PQ_CENT_MOD} = {PQ_CENT_OFF} AND vec_id < {PQ_CENT_MOD * PQ_K}
+),
+codes AS (
+  SELECT vec_id, cent_id, m, code FROM (
+    SELECT s.vec_id, s.cent_id, s.m, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND(list_aggregate(list_transform(generate_series(1, {PQ_DSUB}),
+               k -> (s.sub[k] - b.csub[k]) * (s.sub[k] - b.csub[k])), 'sum'), 6),
+               b.code) AS rn
+    FROM subs s JOIN book b ON s.m = b.m
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, u AS q_u FROM units WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.query_id, c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({dot_sql('q.q_u', 'c.c_u')}, 6) DESC,
+                                       c.cent_id) AS prn
+    FROM queries q CROSS JOIN cents c
+  ) WHERE prn <= {N_PROBE}
+),
+qsubs AS (
+  SELECT query_id, g.m, q_u[g.m * {PQ_DSUB} + 1 : g.m * {PQ_DSUB} + {PQ_DSUB}] AS qsub
+  FROM queries, LATERAL (SELECT unnest(range(0, {PQ_M})) AS m) g
+),
+lut AS (
+  SELECT q.query_id, q.m, b.code,
+         CAST(round(ROUND(list_aggregate(list_transform(generate_series(1, {PQ_DSUB}),
+           k -> q.qsub[k] * b.csub[k]), 'sum'), 6) * 1000000) AS BIGINT) AS w_e6
+  FROM qsubs q JOIN book b ON q.m = b.m
+),
+cands AS (
+  SELECT p.query_id, a.vec_id, a.cent_id
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(CAST(sum(l.w_e6) AS BIGINT) AS DOUBLE) / 1000000 AS approx_cos
+  FROM cands c
+  JOIN codes k ON c.vec_id = k.vec_id AND c.cent_id = k.cent_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, ROUND(approx_cos, 6) AS approx_cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_cos DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+"""
+
+
 # --- Johnson–Lindenstrauss sign projection ----------------------------------
 
 JL_OUT_DIM = 16
@@ -1441,6 +1638,8 @@ UNIT_SPECS = [
               "product-quantization 8x8 codebook encode + exact recon error"),
     QuerySpec("unit_jl_projection", q_jl_projection, _oracle_jl_projection(),
               "Johnson-Lindenstrauss 64->16 sign projection + norm audit"),
+    QuerySpec("unit_ann_ivfpq", q_ann_ivfpq, _oracle_ann_ivfpq(),
+              "IVF-PQ: cell-probed ANN with e6-exact ADC LUT scoring"),
     QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
               "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
     QuerySpec("unit_hard_negatives", q_hard_negatives, _oracle_hard_negatives(),
