@@ -853,14 +853,24 @@ def _rag_frames(
     """(chunks, queries, cents) — the shared corpus for both RAG
     paths: sliding 64-token chunks with hashed-BoW vectors, every
     50th document embedded whole as a query, every 20th (capped) as
-    an IVF centroid cell."""
+    an IVF centroid cell.
+
+    All three frames carry UNIT-NORMALIZED vectors (the `_unit_emb`
+    move applied to the chunk index): cosine(a, b) == dot(unit(a),
+    unit(b)), so normalizing once at index-build time makes every
+    scored PAIR one sequential dot instead of three folds
+    (dot + both norms) — at sf10's 375M scored pairs that is the
+    dominant serving cost. The chunk table's norms are materialized
+    behind a repartition barrier so the O(d) norm fold runs once per
+    chunk, not once per element of the division lambda; the
+    query/centroid frames are tiny and normalize inline."""
     from .text import CHUNK_SIZE, _STRIDE, _hash_bucket_counts, _tokens
 
     docs = spread(load_table(spark, "documents", sf_dir)).select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
     starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_STRIDE))
-    chunks = (
+    chunks_raw = (
         docs.select("doc_id", F.posexplode(starts).alias("chunk_idx", "st"), "toks")
         .select(
             "doc_id",
@@ -868,19 +878,34 @@ def _rag_frames(
             F.slice(F.col("toks"), F.col("st"), CHUNK_SIZE).alias("ctoks"),
         )
         .select(
-            "doc_id", "chunk_idx", _hash_bucket_counts(F.col("ctoks")).alias("cvec")
+            "doc_id", "chunk_idx", _hash_bucket_counts(F.col("ctoks")).alias("cv")
         )
+        .withColumn("__n", l2_norm(F.col("cv")))
     )
-    queries = docs.filter(F.col("doc_id") % RAG_QUERY_MOD == 0).select(
-        F.col("doc_id").alias("query_doc_id"),
-        _hash_bucket_counts(F.col("toks")).alias("qvec"),
+    chunks = spread(chunks_raw).select(
+        "doc_id",
+        "chunk_idx",
+        F.transform("cv", lambda x: x / F.col("__n")).alias("cvec"),
     )
-    cents = docs.filter(
-        (F.col("doc_id") % RAG_CENT_MOD == RAG_CENT_OFF)
-        & (F.col("doc_id") < RAG_CENT_MOD * RAG_CENT_CAP)
-    ).select(
-        F.col("doc_id").alias("cent_id"),
-        _hash_bucket_counts(F.col("toks")).alias("c_v"),
+    def _unit_docvecs(df, id_alias: str, out: str):
+        raw = df.select(
+            F.col("doc_id").alias(id_alias),
+            _hash_bucket_counts(F.col("toks")).alias("v"),
+        ).withColumn("__n", l2_norm(F.col("v")))
+        return spread(raw).select(
+            id_alias, F.transform("v", lambda x: x / F.col("__n")).alias(out)
+        )
+
+    queries = _unit_docvecs(
+        docs.filter(F.col("doc_id") % RAG_QUERY_MOD == 0), "query_doc_id", "qvec"
+    )
+    cents = _unit_docvecs(
+        docs.filter(
+            (F.col("doc_id") % RAG_CENT_MOD == RAG_CENT_OFF)
+            & (F.col("doc_id") < RAG_CENT_MOD * RAG_CENT_CAP)
+        ),
+        "cent_id",
+        "c_v",
     )
     return chunks, queries, cents
 
@@ -908,8 +933,6 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine rounded 6, (cent_id) and (doc_id, chunk_idx) tie-breaks —
     the oracle runs the identical IVF in SQL, so the approximation
     itself is value-checked, exactly as for `ann_topk`'s ivf arm."""
-    from ..operators.vectors import cosine_rounded
-
     chunks, queries, cents = _rag_frames(spark, sf_dir)
     assigned = (
         chunks.crossJoin(F.broadcast(cents))
@@ -918,7 +941,7 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_idx",
             "cvec",
             "cent_id",
-            cosine_rounded(F.col("cvec"), F.col("c_v")).alias("a_cos"),
+            F.round(dot(F.col("cvec"), F.col("c_v")), 6).alias("a_cos"),
         )
         .groupBy("doc_id", "chunk_idx")
         .agg(
@@ -946,7 +969,7 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_doc_id",
             "qvec",
             "cent_id",
-            cosine_rounded(F.col("qvec"), F.col("c_v")).alias("p_cos"),
+            F.round(dot(F.col("qvec"), F.col("c_v")), 6).alias("p_cos"),
         )
         .withColumn("prn", F.row_number().over(p_w))
         .filter(F.col("prn") <= RAG_N_PROBE)
@@ -962,7 +985,7 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_doc_id",
             "doc_id",
             "chunk_idx",
-            cosine_rounded(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            F.round(dot(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_doc_id").orderBy(
@@ -992,8 +1015,6 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTNESS BASELINE: `q_rag_retrieval_ivf` is the served scale
     path, and tests/test_ann_recall.py pins its recall against this
     truth."""
-    from ..operators.vectors import cosine_rounded
-
     chunks, queries, _ = _rag_frames(spark, sf_dir)
 
     scored = (
@@ -1003,7 +1024,7 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_doc_id",
             "doc_id",
             "chunk_idx",
-            cosine_rounded(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            F.round(dot(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_doc_id").orderBy(
@@ -1029,6 +1050,11 @@ def _rag_oracle_ctes() -> str:
         f"list_transform(generate_series(0, 63), b -> "
         f"CAST(len(list_filter({{src}}, tok -> {bucket} = b)) AS DOUBLE))"
     )
+    from ..operators.vectors import dot_sql as _ds
+
+    # unit normalization mirroring _rag_frames (pair scoring is then
+    # one sequential dot on both engines)
+    unit = "list_transform({src}, x -> x / sqrt(" + _ds("{src}", "{src}") + "))"
     return f"""t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
 chunks AS (
   SELECT doc_id, CAST(pos - 1 AS BIGINT) AS chunk_idx,
@@ -1041,28 +1067,37 @@ chunks AS (
     ) u
   )
 ),
-cvecs AS (
+cv0 AS (
   SELECT doc_id, chunk_idx, {counts.format(src='ctoks')} AS v FROM chunks
 ),
-qvecs AS (
+cvecs AS (
+  SELECT doc_id, chunk_idx, {unit.format(src='v')} AS v FROM cv0
+),
+qv0 AS (
   SELECT doc_id AS query_doc_id, {counts.format(src='toks')} AS v
   FROM t WHERE doc_id % {RAG_QUERY_MOD} = 0
 ),
-cents AS (
+qvecs AS (
+  SELECT query_doc_id, {unit.format(src='v')} AS v FROM qv0
+),
+cent0 AS (
   SELECT doc_id AS cent_id, {counts.format(src='toks')} AS c_v
   FROM t WHERE doc_id % {RAG_CENT_MOD} = {RAG_CENT_OFF}
     AND doc_id < {RAG_CENT_MOD * RAG_CENT_CAP}
+),
+cents AS (
+  SELECT cent_id, {unit.format(src='c_v')} AS c_v FROM cent0
 )"""
 
 
 def _oracle_rag_retrieval() -> str:
-    from ..operators.vectors import cosine_sql
+    from ..operators.vectors import dot_sql
 
     return f"""
 WITH {_rag_oracle_ctes()},
 scored AS (
   SELECT q.query_doc_id, c.doc_id, c.chunk_idx,
-         ROUND({cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
+         ROUND({dot_sql('q.v', 'c.v')}, 6) AS cos_sim
   FROM cvecs c JOIN qvecs q ON c.doc_id <> q.query_doc_id
 )
 SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
@@ -1074,7 +1109,7 @@ SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
 
 
 def _oracle_rag_ivf() -> str:
-    from ..operators.vectors import cosine_sql
+    from ..operators.vectors import dot_sql
 
     return f"""
 WITH {_rag_oracle_ctes()},
@@ -1082,7 +1117,7 @@ assigned AS (
   SELECT doc_id, chunk_idx, v, cent_id FROM (
     SELECT c.doc_id, c.chunk_idx, c.v, ct.cent_id,
            row_number() OVER (PARTITION BY c.doc_id, c.chunk_idx
-                              ORDER BY ROUND({cosine_sql('c.v', 'ct.c_v')}, 6) DESC,
+                              ORDER BY ROUND({dot_sql('c.v', 'ct.c_v')}, 6) DESC,
                                        ct.cent_id) AS arn
     FROM cvecs c CROSS JOIN cents ct
   ) WHERE arn = 1
@@ -1091,14 +1126,14 @@ probes AS (
   SELECT query_doc_id, v, cent_id FROM (
     SELECT q.query_doc_id, q.v, ct.cent_id,
            row_number() OVER (PARTITION BY q.query_doc_id
-                              ORDER BY ROUND({cosine_sql('q.v', 'ct.c_v')}, 6) DESC,
+                              ORDER BY ROUND({dot_sql('q.v', 'ct.c_v')}, 6) DESC,
                                        ct.cent_id) AS prn
     FROM qvecs q CROSS JOIN cents ct
   ) WHERE prn <= {RAG_N_PROBE}
 ),
 scored AS (
   SELECT p.query_doc_id, a.doc_id, a.chunk_idx,
-         ROUND({cosine_sql('p.v', 'a.v')}, 6) AS cos_sim
+         ROUND({dot_sql('p.v', 'a.v')}, 6) AS cos_sim
   FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
   WHERE a.doc_id <> p.query_doc_id
 )
