@@ -637,6 +637,127 @@ def _z_interleave_spark(x: str, y: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+ZM_CHUNK_ORDERS = 1024      # "file" = l_orderkey DIV 1024 (arrival layout)
+ZM_PRED_LO = "1997-01-01"   # audited predicate: shipdate in [lo, hi)
+ZM_PRED_HI = "1997-07-01"
+
+
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max statistics) pruning audit — the
+    third data-skipping primitive next to Bloom pruning
+    (`unit_bloom_prune`, exact-key) and Z-ordering
+    (`unit_zorder_layout`, multi-column clustering): for a range
+    predicate on l_shipdate, a chunk whose [min, max] misses the
+    range is never opened. Audited under TWO deterministic layouts of
+    the same rows — `arrival` (chunk = l_orderkey DIV 1024, the
+    natural append order, only loosely date-correlated) and
+    `clustered` (chunk = shipdate month, what OPTIMIZE/sorting
+    produces) — so the result QUANTIFIES what clustering buys: the
+    clustered layout prunes every non-overlapping chunk exactly,
+    while arrival chunks' wide date ranges force scanning almost all
+    of them. One row per layout: chunks, chunks surviving min/max
+    pruning, rows scanned in surviving chunks, rows actually
+    matching, and the false-positive scan fraction.
+
+    Scale: two map-side-combining (chunk) aggs + a tiny audit rollup
+    — the audit costs one scan; the DECISION it informs (which files
+    to open) is what saves the other 99% at 100 TB. Parquet row-group
+    stats and lakehouse file stats are exactly this mechanism
+    (PushedFilters row-group pruning is pinned by tests/test_plans.py;
+    this op makes the arithmetic inspectable)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    lo = F.lit(ZM_PRED_LO).cast("timestamp")
+    hi = F.lit(ZM_PRED_HI).cast("timestamp")
+
+    def audit(chunk_expr, name):
+        chunks = (
+            li.withColumn("chunk", chunk_expr)
+            .groupBy("chunk")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("l_shipdate").alias("mn"),
+                F.max("l_shipdate").alias("mx"),
+                F.sum(((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+                      .cast("bigint")).alias("n_match"),
+            )
+        )
+        survives = (F.col("mx") >= lo) & (F.col("mn") < hi)
+        return chunks.agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(survives.cast("bigint")).cast("bigint").alias("n_scanned"),
+            F.sum(F.when(survives, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matching"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "n_chunks", "n_scanned", "rows_scanned", "rows_matching",
+        )
+
+    # DIV (floor division) on both engines: Spark's bigint/int `/` is
+    # true division and DuckDB's CAST-to-BIGINT ROUNDS while Spark's
+    # truncates — floor division sidesteps the divergence entirely.
+    arrival = audit(F.expr(f"l_orderkey DIV {ZM_CHUNK_ORDERS}"), "arrival")
+    clustered = audit(F.date_trunc("month", "l_shipdate"), "clustered")
+    return (
+        arrival.unionByName(clustered)
+        .withColumn(
+            "waste_ratio",
+            F.round(
+                (F.col("rows_scanned") - F.col("rows_matching")).cast("double")
+                / F.greatest(F.col("rows_scanned"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+ORACLE_ZONE_MAP_PRUNE = f"""
+WITH li AS (SELECT l_orderkey, l_shipdate FROM lineitem),
+a_chunks AS (
+  SELECT l_orderkey // {ZM_CHUNK_ORDERS} AS chunk,
+         count(*) AS n_rows, min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '{ZM_PRED_LO}'
+                        AND l_shipdate < TIMESTAMP '{ZM_PRED_HI}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM li GROUP BY 1
+),
+c_chunks AS (
+  SELECT date_trunc('month', l_shipdate) AS chunk,
+         count(*) AS n_rows, min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '{ZM_PRED_LO}'
+                        AND l_shipdate < TIMESTAMP '{ZM_PRED_HI}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM li GROUP BY 1
+),
+both_audits AS (
+  SELECT 'arrival' AS layout, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN mx >= TIMESTAMP '{ZM_PRED_LO}'
+                        AND mn < TIMESTAMP '{ZM_PRED_HI}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_scanned,
+         CAST(sum(CASE WHEN mx >= TIMESTAMP '{ZM_PRED_LO}'
+                        AND mn < TIMESTAMP '{ZM_PRED_HI}' THEN n_rows ELSE 0 END)
+              AS BIGINT) AS rows_scanned,
+         CAST(sum(n_match) AS BIGINT) AS rows_matching
+  FROM a_chunks
+  UNION ALL
+  SELECT 'clustered', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN mx >= TIMESTAMP '{ZM_PRED_LO}'
+                        AND mn < TIMESTAMP '{ZM_PRED_HI}' THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(sum(CASE WHEN mx >= TIMESTAMP '{ZM_PRED_LO}'
+                        AND mn < TIMESTAMP '{ZM_PRED_HI}' THEN n_rows ELSE 0 END)
+              AS BIGINT),
+         CAST(sum(n_match) AS BIGINT)
+  FROM c_chunks
+)
+SELECT layout, n_chunks, n_scanned, rows_scanned, rows_matching,
+       ROUND(CAST(rows_scanned - rows_matching AS DOUBLE)
+             / greatest(rows_scanned, 1), 6) AS waste_ratio
+FROM both_audits
+"""
+
+
 def _z_interleave_duck(x: str, y: str) -> str:
     terms = [
         f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
@@ -870,6 +991,89 @@ FROM ranked JOIN quotas USING (lang) WHERE rk <= quota
 
 INCR_CUT = "1997-07-01"   # base snapshot / delta batch boundary
 INCR_DEL_MOD = 97         # base orders with key % 97 == 0 arrive as deletes
+
+
+IJV_ORD_MOD = 10  # orders with key % 10 == 0 arrive as the delta batch
+IJV_CUST_MOD = 7  # customers with key % 7 == 0 arrive as the delta batch
+
+
+def q_incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under insert deltas on
+    BOTH sides — the delta-join algebra (classic IVM, cf. DBToaster /
+    differential-dataflow lineage, all public literature):
+
+        Δ(O ⋈ C) = ΔO ⋈ C₀  ∪  O₀ ⋈ ΔC  ∪  ΔO ⋈ ΔC
+
+    so a new batch refreshes the view by joining only the DELTAS
+    against the stored sides — never re-joining the full history. The
+    complement of `unit_incr_agg` (aggregate IVM): together they
+    maintain the join+agg views a warehouse actually stores.
+
+    The result is the per-mktsegment rollup of the maintained view
+    with a `leg` column accounting for which maintenance leg produced
+    each row — the oracle replays the identical four-leg algebra and
+    the leg totals sum to the monolithic join by construction (the
+    theorem being exercised; the base/delta split is deterministic
+    key arithmetic).
+
+    Scale: each leg is one equi-join keyed on custkey; the two delta
+    legs are |Δ|-sized probes (broadcast when small), and the
+    O₀ ⋈ ΔC leg scans the fact side once filtered by the
+    (broadcastable) ΔC key set. Refresh cost is O(|ΔO| + matches of
+    ΔC) — the whole point."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    o0 = orders.filter(F.col("o_orderkey") % IJV_ORD_MOD != 0)
+    d_o = orders.filter(F.col("o_orderkey") % IJV_ORD_MOD == 0)
+    c0 = cust.filter(F.col("c_custkey") % IJV_CUST_MOD != 0)
+    d_c = cust.filter(F.col("c_custkey") % IJV_CUST_MOD == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def leg(o, c, name):
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .select(F.lit(name).alias("leg"), "c_mktsegment", cents.alias("cents"))
+        )
+
+    view = (
+        leg(o0, c0, "base")
+        .unionByName(leg(d_o, F.broadcast(c0), "delta_orders"))
+        .unionByName(leg(o0, F.broadcast(d_c), "delta_cust"))
+        .unionByName(leg(d_o, F.broadcast(d_c), "delta_both"))
+    )
+    return view.groupBy("leg", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+ORACLE_INCR_JOIN_VIEW = f"""
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+c AS (SELECT c_custkey, c_mktsegment FROM customer),
+legs AS (
+  SELECT 'base' AS leg, c_mktsegment, cents
+  FROM o JOIN c ON o.o_custkey = c.c_custkey
+  WHERE o_orderkey % {IJV_ORD_MOD} <> 0 AND c_custkey % {IJV_CUST_MOD} <> 0
+  UNION ALL
+  SELECT 'delta_orders', c_mktsegment, cents
+  FROM o JOIN c ON o.o_custkey = c.c_custkey
+  WHERE o_orderkey % {IJV_ORD_MOD} = 0 AND c_custkey % {IJV_CUST_MOD} <> 0
+  UNION ALL
+  SELECT 'delta_cust', c_mktsegment, cents
+  FROM o JOIN c ON o.o_custkey = c.c_custkey
+  WHERE o_orderkey % {IJV_ORD_MOD} <> 0 AND c_custkey % {IJV_CUST_MOD} = 0
+  UNION ALL
+  SELECT 'delta_both', c_mktsegment, cents
+  FROM o JOIN c ON o.o_custkey = c.c_custkey
+  WHERE o_orderkey % {IJV_ORD_MOD} = 0 AND c_custkey % {IJV_CUST_MOD} = 0
+)
+SELECT leg, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM legs GROUP BY leg, c_mktsegment
+"""
 
 
 def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,6 +1394,10 @@ UNIT_SPECS = [
     # pytest oracles keep them true):
     QuerySpec("unit_incr_agg", q_incr_agg, ORACLE_INCR_AGG,
               "incremental materialized-view maintenance under a CDC delta"),
+    QuerySpec("unit_incr_join_view", q_incr_join_view, ORACLE_INCR_JOIN_VIEW,
+              "delta-join IVM: four-leg maintenance of a join view"),
+    QuerySpec("unit_zone_map_prune", q_zone_map_prune, ORACLE_ZONE_MAP_PRUNE,
+              "zone-map min/max pruning audit: arrival vs clustered layout"),
     QuerySpec("unit_pack_sequences", q_pack_sequences, _oracle_pack_sequences(),
               "greedy token-budget sequence packing per hash shard"),
     QuerySpec("unit_scd2_history", q_scd2_history, ORACLE_SCD2_HISTORY,
