@@ -55,7 +55,7 @@ def load_curation_config(path: str) -> dict[str, Any]:
         config = yaml.safe_load(f)
     if not isinstance(config, dict):
         raise ValueError("curation config must be a mapping")
-    if "input" not in config or "sf_dir" not in config["input"]:
+    if not isinstance(config.get("input"), dict) or "sf_dir" not in config["input"]:
         raise ValueError("curation config needs input.sf_dir")
     if "stages" not in config or not config["stages"]:
         raise ValueError("curation config needs at least one stage")

@@ -1188,7 +1188,7 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = subs.filter(
         (F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_OFF)
         & (F.col("vec_id") < PQ_CENT_MOD * PQ_K)
-    ).selectExpr("vec_id DIV 31 AS code", "m", "sub AS csub")
+    ).selectExpr(f"vec_id DIV {PQ_CENT_MOD} AS code", "m", "sub AS csub")
     scored = subs.join(F.broadcast(cents), "m").selectExpr(
         "vec_id",
         "m",

@@ -163,15 +163,22 @@ def q_streaming_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_session.py."""
     stream = stream_events(spark, sf_dir)
     out = run_to_completion(
-        streaming_session_totals(stream),
+        streaming_session_totals(
+            stream,
+            gap=f"{_SESS_GAP_MIN} minutes",
+            watermark=_SESS_WATERMARK,
+        ),
         "suite_stream_sess",
         output_mode="append",
     )
     return out
 
 
+# Single source of truth for the session parameters: the Spark query above
+# passes these SAME constants into streaming_session_totals, so retuning the
+# gap/watermark cannot drift the oracle out of sync with the engine path.
 _SESS_GAP_MIN = 30
-_SESS_WATERMARK = "1 HOUR"
+_SESS_WATERMARK = "1 hour"
 
 ORACLE_STREAMING_SESSION_TOTALS = f"""
 WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
