@@ -2629,6 +2629,157 @@ SPECS = [
 ]
 
 
+# --- LM perplexity filter (CCNet-style) --------------------------------
+
+# Reference-half split: docs whose seeded md5 nibble < '8' (~50%) train
+# the LM; EVERY doc is scored. Seed differs from the dedup split so the
+# two partitions are independent.
+LM_REF_HEX = "8"
+# Keep docs whose avg bigram logprob (e4 fixed point) clears this floor.
+# Tuned so the sf0.01 fixture trips BOTH ways (sf0.01 scores span
+# [-3.63, -3.21]; the synthetic corpus is much more homogeneous than a
+# crawl, so the floor sits inside that band rather than at a
+# real-world ~-6.5).
+LM_KEEP_E4 = -34000
+
+
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter (CCNet, Wenzek et al. 2020 — the
+    KenLM stage re-expressed): train an add-one-smoothed bigram model
+    on a deterministic ~50% reference split of the corpus, score every
+    doc's average log P(w2|w1) under it, and keep docs clearing a fixed
+    floor. Unlike ``q_text_bigram_logprob`` (MLE on the full corpus,
+    every bigram in-model by construction) the scored side here sees
+    UNSEEN bigrams, so Laplace smoothing over the reference vocabulary
+    V is load-bearing: P = (c(w1,w2)+1) / (c(w1)+V), with c=0 for
+    novel bigrams/contexts — word-salad docs pay ~ln(1/V) per bigram.
+
+    Cross-engine exactness: per-bigram logprobs rounded to 4 then
+    summed in DECIMAL; the per-doc average and the keep decision are
+    the suite's exact-integer rounding trick (no float boundary).
+
+    Scale: bigram counts / context totals / vocab are map-side-
+    combining aggregations over the reference half; the model joins
+    back on ``bg`` and ``w1`` — vocabulary-sized dimension joins
+    (broadcast when they fit, shuffle otherwise), never fact×fact; the
+    vocab size is a broadcast 1-row scalar. One linear scan each side."""
+    from ..operators.dedup import word_shingles
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    is_ref = (
+        F.substring(
+            F.md5(F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < LM_REF_HEX
+    )
+    ref = toks.filter(is_ref)
+    c_big = (
+        ref.select(F.explode(word_shingles(F.col("toks"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cb"))
+    )
+    c_w1 = (
+        c_big.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cw"))
+    )
+    vocab = ref.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    big = (
+        toks.select(
+            "doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bg")
+        )
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("cw"), F.lit(0)) + F.col("vocab")).cast("double")
+        ),
+        4,
+    )
+    per = (
+        big.join(F.broadcast(c_big), "bg", "left")
+        .join(F.broadcast(c_w1), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(18,4)")).alias("sum_lp"),
+        )
+        .withColumn("s_e4", (F.col("sum_lp") * 10000).cast("bigint"))
+    )
+    a_e4 = F.expr(
+        "(CASE WHEN s_e4 < 0 THEN -1 ELSE 1 END)"
+        " * ((2 * abs(s_e4) + n_bigrams) DIV (2 * n_bigrams))"
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        (a_e4.cast("double") / 10000).alias("avg_logprob"),
+        (a_e4 >= F.lit(LM_KEEP_E4)).alias("keep"),
+    )
+
+
+ORACLE_LM_PERPLEXITY_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
+),
+tt AS (SELECT * FROM t WHERE len(toks) >= 2),
+ref AS (
+  SELECT * FROM tt
+  WHERE substr(md5('lm|' || CAST(doc_id AS VARCHAR)), 1, 1) < '{LM_REF_HEX}'
+),
+c_big AS (
+  SELECT bg, count(*) AS cb FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM ref
+  ) GROUP BY bg
+),
+c_w1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cw FROM c_big GROUP BY 1
+),
+v AS (
+  SELECT count(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(toks) AS tok FROM ref)
+),
+big AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM tt
+  )
+),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(SUM(CAST(ROUND(ln((COALESCE(cb, 0) + 1)
+                / CAST(COALESCE(cw, 0) + vocab AS DOUBLE)), 4)
+              AS DECIMAL(18,4))) * 10000 AS BIGINT) AS s_e4
+  FROM big
+  LEFT JOIN c_big USING (bg)
+  LEFT JOIN c_w1 USING (w1)
+  CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       a_e4 / 10000.0 AS avg_logprob,
+       a_e4 >= {LM_KEEP_E4} AS keep
+FROM (
+  SELECT doc_id, n_bigrams,
+         (CASE WHEN s_e4 < 0 THEN -1 ELSE 1 END)
+           * ((2 * abs(s_e4) + n_bigrams) // (2 * n_bigrams)) AS a_e4
+  FROM per
+)
+"""
+
+
 # Unit operator surface: the per-metric text queries consolidated into
 # doc_profile for the driver window. Parity-tested locally so each
 # standalone operator stays executable and oracle-true.
@@ -2691,4 +2842,7 @@ UNIT_SPECS = [
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
+    QuerySpec("unit_lm_perplexity_filter", q_lm_perplexity_filter,
+              ORACLE_LM_PERPLEXITY_FILTER,
+              "CCNet-style add-one bigram-LM perplexity keep/drop filter"),
 ]
