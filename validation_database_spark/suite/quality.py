@@ -600,6 +600,167 @@ FROM sk JOIN ex ON sk.priority = ex.priority
 """
 
 
+# --- HLL join-key overlap estimation ------------------------------------
+
+HLL_YEAR_A = 1997
+HLL_YEAR_B = 1998
+
+
+def q_hll_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key-overlap ESTIMATION from mergeable HLL sketches —
+    the sketch-cost sibling of ``unit_join_audit`` (which computes the
+    same overlap exactly from per-key aggregates). Sides are the
+    customer keys active in 1997 vs 1998; each side
+    folds to a 64-register HLL (same deterministic md5 family as
+    ``unit_hll_distinct``), the union sketch is the elementwise max of
+    the two register tables (the HLL union law — exact, not an
+    approximation of the union), and the intersection estimate is
+    inclusion–exclusion est_a + est_b − est_union. Exact counts ride
+    along as the fixture-scale accuracy audit.
+
+    Why it matters at 100 TB: join planning (broadcast vs shuffle vs
+    prune-first) wants |keys(A) ∩ keys(B)| BEFORE executing the join,
+    and each side here reduces map-side to 64 rows regardless of input
+    size — no shuffle of either fact table, and sketches built once
+    per table serve every pairwise overlap question. All register
+    sums are exact bigints; each estimate is ONE shared-literal IEEE
+    division (rounded to 2), and inclusion–exclusion combines the
+    already-rounded estimates so both engines do the identical
+    float ops in the identical order."""
+    orders = load_table(spark, "orders", sf_dir)
+    yr = F.year("o_orderdate")
+    both = orders.filter(yr.isin(HLL_YEAR_A, HLL_YEAR_B)).select(
+        F.when(yr == HLL_YEAR_A, "a").otherwise("b").alias("priority"),
+        F.col("o_custkey").cast("string").alias("k"),
+    )
+    regs = hll_registers(both)
+    union_regs = regs.groupBy("j").agg(F.max("m").alias("m")).select(
+        F.lit("u").alias("priority"), "j", "m"
+    )
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(F.lit("a"), F.lit("b"), F.lit("u"))
+            ).alias("priority")
+        )
+        .select(
+            "priority",
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("j"),
+        )
+    )
+    full = grid.join(
+        regs.unionByName(union_regs), ["priority", "j"], "left"
+    ).select("priority", F.coalesce("m", F.lit(0)).alias("m"))
+    sums = full.groupBy("priority").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
+        ).alias("s")
+    )
+    one = sums.agg(
+        F.sum(F.when(F.col("priority") == "a", F.col("s"))).alias("s_a"),
+        F.sum(F.when(F.col("priority") == "b", F.col("s"))).alias("s_b"),
+        F.sum(F.when(F.col("priority") == "u", F.col("s"))).alias("s_u"),
+    )
+    est = lambda c: F.round(F.lit(_HLL_C) / F.col(c).cast("double"), 2)  # noqa: E731
+    ests = one.select(
+        est("s_a").alias("est_a"),
+        est("s_b").alias("est_b"),
+        est("s_u").alias("est_union"),
+    ).withColumn(
+        "est_inter",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 2),
+    )
+    flags = orders.filter(yr.isin(HLL_YEAR_A, HLL_YEAR_B)).groupBy(
+        "o_custkey"
+    ).agg(
+        F.max((yr == HLL_YEAR_A).cast("int")).alias("in_a"),
+        F.max((yr == HLL_YEAR_B).cast("int")).alias("in_b"),
+    )
+    exact = flags.agg(
+        F.sum("in_a").cast("bigint").alias("exact_a"),
+        F.sum("in_b").cast("bigint").alias("exact_b"),
+        F.count("*").cast("bigint").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("exact_inter"),
+    )
+    return ests.crossJoin(F.broadcast(exact))
+
+
+ORACLE_HLL_JOIN_OVERLAP = f"""
+WITH base AS (
+  SELECT CASE WHEN year(o_orderdate) = {HLL_YEAR_A} THEN 'a' ELSE 'b' END
+           AS side,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM orders
+  WHERE year(o_orderdate) IN ({HLL_YEAR_A}, {HLL_YEAR_B})
+),
+jw AS (
+  SELECT side, h % {HLL_M} AS j,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE CAST(bit_count(CAST(((h // {HLL_M}) & (-(h // {HLL_M}))) - 1
+                                       AS BIGINT)) AS INTEGER) + 1
+         END AS rho
+  FROM base
+),
+regs AS (SELECT side, j, max(rho) AS m FROM jw GROUP BY side, j),
+all_regs AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT 'u' AS side, j, max(m) AS m FROM regs GROUP BY j
+),
+grid AS (
+  SELECT s.side, gs.j
+  FROM (SELECT unnest(['a', 'b', 'u']) AS side) s,
+       generate_series(0, {HLL_M - 1}) AS gs(j)
+),
+filled AS (
+  SELECT grid.side, COALESCE(m, 0) AS m
+  FROM grid LEFT JOIN all_regs
+    ON grid.side = all_regs.side AND grid.j = all_regs.j
+),
+sums AS (
+  SELECT CAST(sum(CASE WHEN side = 'a'
+                       THEN CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m) END)
+              AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN side = 'b'
+                       THEN CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m) END)
+              AS BIGINT) AS s_b,
+         CAST(sum(CASE WHEN side = 'u'
+                       THEN CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m) END)
+              AS BIGINT) AS s_u
+  FROM filled
+),
+ests AS (
+  SELECT ROUND({_HLL_C!r} / CAST(s_a AS DOUBLE), 2) AS est_a,
+         ROUND({_HLL_C!r} / CAST(s_b AS DOUBLE), 2) AS est_b,
+         ROUND({_HLL_C!r} / CAST(s_u AS DOUBLE), 2) AS est_union
+  FROM sums
+),
+flags AS (
+  SELECT o_custkey,
+         max(CASE WHEN year(o_orderdate) = {HLL_YEAR_A} THEN 1 ELSE 0 END)
+           AS in_a,
+         max(CASE WHEN year(o_orderdate) = {HLL_YEAR_B} THEN 1 ELSE 0 END)
+           AS in_b
+  FROM orders
+  WHERE year(o_orderdate) IN ({HLL_YEAR_A}, {HLL_YEAR_B})
+  GROUP BY o_custkey
+),
+exact AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+         CAST(sum(in_b) AS BIGINT) AS exact_b,
+         CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter
+  FROM flags
+)
+SELECT est_a, est_b, est_union,
+       ROUND(est_a + est_b - est_union, 2) AS est_inter,
+       exact_a, exact_b, exact_union, exact_inter
+FROM ests CROSS JOIN exact
+"""
+
+
 # --- Bloom-filter join pruning ------------------------------------------
 
 BLOOM_M = 4096       # filter bits, packed 63 per signed-64 word
@@ -982,6 +1143,9 @@ UNIT_SPECS = [
               "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
     QuerySpec("unit_join_audit", q_join_audit, ORACLE_JOIN_AUDIT,
               "pre-join key-overlap / fan-out / cardinality audit"),
+    QuerySpec("unit_hll_join_overlap", q_hll_join_overlap,
+              ORACLE_HLL_JOIN_OVERLAP,
+              "HLL union + inclusion-exclusion join-key overlap estimate"),
     QuerySpec("unit_quality_funnel", q_quality_funnel, _oracle_quality_funnel(),
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
