@@ -1995,6 +1995,143 @@ SPECS = [
 ]
 
 
+# --- Kaplan-Meier reorder survival --------------------------------------
+
+def q_km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimator (Kaplan & Meier 1958) over
+    customer REORDER latency: each order contributes one subject whose
+    duration is days until that customer's next order, right-CENSORED
+    at the corpus horizon (max order date) when no next order exists —
+    the censoring is what separates this from a naive gap histogram
+    (dropping open gaps biases survival low; calling them events
+    biases it high). Steps: d_t events and c_t censorings per distinct
+    duration t; n_risk(t) = N − Σ_{s<t}(d_s + c_s) (subjects censored
+    AT t are still at risk at t, the standard convention); the curve
+    is reported in LOG space — per-step ln((n−d)/n) rounded to 6 and
+    cumulated in exact DECIMAL — because a cumulative PRODUCT of
+    doubles is order/grouping-dependent cross-engine while this sum is
+    bit-exact; S(t) = exp(log_surv). A step consuming the whole risk
+    set (d = n) sends survival to exact zero: masked via a sticky
+    flag (`surv_zero`) rather than a −inf log.
+
+    Scale: durations and flags are one lead-window pass over the fact
+    (partitioned by customer); the step table is bounded by DISTINCT
+    durations in days — a time-dimension, not a fact dimension — so
+    the two unpartitioned windows over it are bounded the same way the
+    Gini windows are (documented trade)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    per = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate")
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("int")
+            .alias("t"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+        )
+    )
+    total = per.agg(F.count("*").cast("bigint").alias("n_total"))
+    steps = (
+        per.groupBy("t")
+        .agg(
+            F.sum("event").cast("bigint").alias("d_events"),
+            F.sum(F.lit(1) - F.col("event")).cast("bigint").alias("c_censored"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = steps.withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("c_censored")).over(w_prior),
+            F.lit(0),
+        ),
+    )
+    terms = risk.select(
+        "t",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.when(
+            F.col("d_events") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d_events"))
+                    / F.col("n_risk").cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        ).alias("term"),
+        F.when(F.col("d_events") == F.col("n_risk"), 1).otherwise(0).alias("zf"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    zero_cum = F.max("zf").over(w_cum)
+    return terms.select(
+        "t",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.when(zero_cum == 1, F.lit(None))
+        .otherwise(F.sum("term").over(w_cum).cast("double"))
+        .alias("log_surv"),
+        (zero_cum == 1).alias("surv_zero"),
+    )
+
+
+ORACLE_KM_REORDER_SURVIVAL = """
+WITH nx AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+),
+h AS (SELECT max(o_orderdate) AS h FROM orders),
+per AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, h) END AS t,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM nx CROSS JOIN h
+),
+tot AS (SELECT count(*) AS n_total FROM per),
+steps AS (
+  SELECT t, CAST(sum(event) AS BIGINT) AS d_events,
+         CAST(sum(1 - event) AS BIGINT) AS c_censored
+  FROM per GROUP BY t
+),
+risk AS (
+  SELECT *, CAST(n_total - COALESCE(SUM(d_events + c_censored)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM steps CROSS JOIN tot
+),
+terms AS (
+  SELECT t, n_risk, d_events, c_censored,
+         CASE WHEN d_events < n_risk
+              THEN CAST(ROUND(ln((n_risk - d_events)
+                     / CAST(n_risk AS DOUBLE)), 6) AS DECIMAL(18,6))
+         END AS term,
+         CASE WHEN d_events = n_risk THEN 1 ELSE 0 END AS zf
+  FROM risk
+)
+SELECT CAST(t AS INTEGER) AS t, n_risk, d_events, c_censored,
+       CASE WHEN max(zf) OVER w = 1 THEN NULL
+            ELSE CAST(SUM(term) OVER w AS DOUBLE) END AS log_surv,
+       max(zf) OVER w = 1 AS surv_zero
+FROM terms
+WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # Unit operator surface: formerly-registered queries whose semantics
 # were merged into consolidated driver entries (rollup → agg_pricing_
 # summary, running total → window_calendar_funcs), plus round-4
@@ -2051,4 +2188,7 @@ UNIT_SPECS = [
               "explicit-values pivot + interpolated percentiles per status"),
     QuerySpec("big_spender_months", q_big_spender_months, ORACLE_BIG_SPENDER_MONTHS,
               "date_trunc + HAVING"),
+    QuerySpec("unit_km_survival", q_km_reorder_survival,
+              ORACLE_KM_REORDER_SURVIVAL,
+              "Kaplan-Meier reorder survival, right-censored, exact log space"),
 ]
