@@ -892,11 +892,6 @@ FROM l2 JOIN sz ON l2.lbl = sz.lbl
 
 
 UNIT_SPECS = [
-    QuerySpec("unit_hits_scores", q_hits_scores, ORACLE_HITS_SCORES,
-              "HITS hubs/authorities, 2 integer-exact iterations (bipartite)"),
-    QuerySpec("unit_label_propagation", q_label_propagation,
-              ORACLE_LABEL_PROPAGATION,
-              "2-round synchronous LPA communities, min-label tie-break"),
     QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
               "pairwise Apriori: support/confidence/lift co-purchase rules"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
@@ -927,6 +922,12 @@ SPECS = [
     # round 5 rotation into the driver window:
     QuerySpec("unit_kcore", q_kcore, _oracle_kcore(),
               "k-core peeling (3 unrolled rounds), the PageRank pattern"),
+    # second round-5 rotation (new this round, never driver-checked):
+    QuerySpec("unit_hits_scores", q_hits_scores, ORACLE_HITS_SCORES,
+              "HITS hubs/authorities, 2 integer-exact iterations (bipartite)"),
+    QuerySpec("unit_label_propagation", q_label_propagation,
+              ORACLE_LABEL_PROPAGATION,
+              "2-round synchronous LPA communities, min-label tie-break"),
     # price_percentiles is driver-checked via order_status_profile
     # (suite/analytics.py); q_price_percentiles stays as the
     # unit-tested operator surface.

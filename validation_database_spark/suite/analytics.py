@@ -1992,6 +1992,8 @@ SPECS = [
               "CUBE full grouping lattice with grouping-id tags"),
     QuerySpec("unit_rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS,
               "RFM segmentation via exact integer quantile banding"),
+    # second round-5 rotation: unit_km_survival is appended after its
+    # definition below (SPECS += block).
 ]
 
 
@@ -2132,6 +2134,14 @@ WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+# second round-5 rotation (new this round, never driver-checked):
+SPECS += [
+    QuerySpec("unit_km_survival", q_km_reorder_survival,
+              ORACLE_KM_REORDER_SURVIVAL,
+              "Kaplan-Meier reorder survival, right-censored, exact log space"),
+]
+
+
 # Unit operator surface: formerly-registered queries whose semantics
 # were merged into consolidated driver entries (rollup → agg_pricing_
 # summary, running total → window_calendar_funcs), plus round-4
@@ -2188,7 +2198,4 @@ UNIT_SPECS = [
               "explicit-values pivot + interpolated percentiles per status"),
     QuerySpec("big_spender_months", q_big_spender_months, ORACLE_BIG_SPENDER_MONTHS,
               "date_trunc + HAVING"),
-    QuerySpec("unit_km_survival", q_km_reorder_survival,
-              ORACLE_KM_REORDER_SURVIVAL,
-              "Kaplan-Meier reorder survival, right-censored, exact log space"),
 ]

@@ -1202,8 +1202,12 @@ FROM nt CROSS JOIN np CROSS JOIN nh
 
 
 SPECS = [
-    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
-              "exact dedup by normalized-content hash", headline=True),
+    # second round-5 rotation: the SimHash pair detector takes the
+    # driver slot of the long-stable exact/embedding entries (green
+    # r1-r4; pytest oracles keep them true).
+    QuerySpec("unit_simhash60_pairs", q_simhash60_pairs,
+              _oracle_simhash60_pairs(),
+              "60-bit production SimHash: 15-bit bands, Hamming<=3"),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
               "word-5-gram Jaccard via inverted-index join", headline=True),
     QuerySpec("dedup_ngram_df_capped", q_dedup_ngram_df_capped,
@@ -1212,8 +1216,6 @@ SPECS = [
               headline=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _oracle_minhash(),
               "MinHash(16)+LSH(4×4) candidates + exact verify", headline=True),
-    QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
-              "blocked embedding-cosine near-dup with planted dups"),
     QuerySpec("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
               "duplicate clustering: connected components on the pair graph"),
     # round 4: the df-capped containment (the scale path — verdict r3
@@ -1237,9 +1239,11 @@ UNIT_SPECS = [
               "16-bit SimHash near-dup buckets"),
     QuerySpec("unit_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),
               "SimHash band-blocked pair detection, exact Hamming verify"),
-    QuerySpec("unit_simhash60_pairs", q_simhash60_pairs,
-              _oracle_simhash60_pairs(),
-              "60-bit production SimHash: 15-bit bands, Hamming<=3"),
+    # rotated out in the second round-5 rotation (driver-green r1-r4):
+    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
+              "exact dedup by normalized-content hash", headline=True),
+    QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
+              "blocked embedding-cosine near-dup with planted dups"),
     QuerySpec("unit_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
               "one representative per duplicate cluster (longest member)"),
     # uncapped containment stays as the exactness BASELINE next to the

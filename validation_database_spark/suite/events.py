@@ -417,8 +417,6 @@ FROM r
 
 
 SPECS = [
-    QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
-              "gap-based sessionization (lag + cumsum)", headline=True),
     # round 5 rotations into the driver window are appended after
     # their definitions (see the SPECS += block next to UNIT_SPECS).
 ]
@@ -1582,6 +1580,11 @@ SPECS += [
     QuerySpec("unit_seasonal_naive_backtest", q_seasonal_naive_backtest,
               ORACLE_SEASONAL_NAIVE.replace("{EV}", _EV_CTE),
               "seasonal-naive forecast MAE/bias floor per event type"),
+    # second round-5 rotation (never driver-checked before):
+    QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,
+              "strict-order funnel: stage N only after stage N-1"),
+    QuerySpec("unit_cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
+              "weekly signup-cohort retention matrix"),
 ]
 
 UNIT_SPECS = [
@@ -1622,10 +1625,10 @@ UNIT_SPECS = [
               "lateness histogram + exact p95 for watermark tuning"),
     QuerySpec("unit_mad_anomalies", q_mad_anomalies, ORACLE_MAD_ANOMALIES,
               "median/MAD modified-z robust outlier flags per type"),
-    QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,
-              "strict-order funnel: stage N only after stage N-1"),
-    QuerySpec("unit_cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
-              "weekly signup-cohort retention matrix"),
+    # rotated out in the second round-5 rotation (driver-green r1-r4);
+    # its gap semantics stay driver-checked via streaming_session_totals.
+    QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
+              "gap-based sessionization (lag + cumsum)", headline=True),
     QuerySpec("unit_feature_lags", q_feature_lags, ORACLE_FEATURE_LAGS,
               "per-user lag/delta/gap/rolling-mean feature table"),
     QuerySpec("unit_events_json_props", q_events_json_props,

@@ -130,8 +130,6 @@ FROM fr
 
 
 SPECS = [
-    QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
-              "per-modality metadata stats, payload-pruning layout"),
     QuerySpec("multimodal_features", q_multimodal_features,
               ORACLE_MULTIMODAL_FEATURES,
               "Arrow-batched stub-decode feature extraction, value-checked",
@@ -204,4 +202,7 @@ UNIT_SPECS = [
               "video frame sampling + per-frame stub decode, value-checked"),
     QuerySpec("unit_media_dedup", q_media_dedup, ORACLE_MEDIA_DEDUP,
               "binary-payload content-hash dedup with planted copies"),
+    # rotated out in the second round-5 rotation (driver-green r2-r4):
+    QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
+              "per-modality metadata stats, payload-pruning layout"),
 ]

@@ -1123,10 +1123,12 @@ FROM lineitem
 SPECS = [
     QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
               "declarative data-quality rule report (7 rules + FK)"),
-    QuerySpec("profile_orders", q_profile_orders, ORACLE_PROFILE_ORDERS,
-              "single-pass column profiling (nulls/distinct/min/max)"),
     QuerySpec("dq_benford", q_dq_benford, ORACLE_DQ_BENFORD,
               "Benford leading-digit distribution screening"),
+    # second round-5 rotation: the HLL sketch (never driver-checked)
+    # takes profile_orders' slot (driver-green r2-r4).
+    QuerySpec("unit_hll_distinct", q_hll_distinct, ORACLE_HLL_DISTINCT,
+              "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
 ]
 
 
@@ -1139,8 +1141,9 @@ UNIT_SPECS = [
               "Bloom-filter join pruning audit, deterministic hash-exact filter"),
     QuerySpec("unit_k_anonymize", q_k_anonymize, ORACLE_K_ANONYMIZE,
               "k-anonymity release gate: QI generalization + class suppression"),
-    QuerySpec("unit_hll_distinct", q_hll_distinct, ORACLE_HLL_DISTINCT,
-              "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
+    # rotated out in the second round-5 rotation (driver-green r2-r4):
+    QuerySpec("profile_orders", q_profile_orders, ORACLE_PROFILE_ORDERS,
+              "single-pass column profiling (nulls/distinct/min/max)"),
     QuerySpec("unit_join_audit", q_join_audit, ORACLE_JOIN_AUDIT,
               "pre-join key-overlap / fan-out / cardinality audit"),
     QuerySpec("unit_hll_join_overlap", q_hll_join_overlap,

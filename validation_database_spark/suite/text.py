@@ -2613,10 +2613,9 @@ SPECS = [
     QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
               "one-scan document profiler: tokens/quality/lang/fingerprints/"
               "repetition/simhash/hash-embedding/unigram-LM", headline=True),
-    QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
-              "sliding-window passage chunking (64/16 overlap)"),
-    QuerySpec("doc_redact", q_doc_redact, ORACLE_DOC_REDACT,
-              "PII redaction: URL/email/phone → tokens, per-class counts"),
+    # second round-5 rotation: the CCNet-style LM filter takes the
+    # driver slot of text_chunks/doc_redact (green r1-r4) — appended
+    # after its definition below (SPECS += block).
     # round 5 rotations into the driver window:
     QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
               ORACLE_BOILERPLATE_BLOCKS,
@@ -2780,6 +2779,13 @@ FROM (
 """
 
 
+SPECS += [
+    QuerySpec("unit_lm_perplexity_filter", q_lm_perplexity_filter,
+              ORACLE_LM_PERPLEXITY_FILTER,
+              "CCNet-style add-one bigram-LM perplexity keep/drop filter"),
+]
+
+
 # Unit operator surface: the per-metric text queries consolidated into
 # doc_profile for the driver window. Parity-tested locally so each
 # standalone operator stays executable and oracle-true.
@@ -2842,7 +2848,9 @@ UNIT_SPECS = [
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
-    QuerySpec("unit_lm_perplexity_filter", q_lm_perplexity_filter,
-              ORACLE_LM_PERPLEXITY_FILTER,
-              "CCNet-style add-one bigram-LM perplexity keep/drop filter"),
+    # rotated out in the second round-5 rotation (driver-green r1-r4):
+    QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
+              "sliding-window passage chunking (64/16 overlap)"),
+    QuerySpec("doc_redact", q_doc_redact, ORACLE_DOC_REDACT,
+              "PII redaction: URL/email/phone → tokens, per-class counts"),
 ]
