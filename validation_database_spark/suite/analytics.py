@@ -1811,6 +1811,153 @@ FROM d
 """
 
 
+# --- Mann-Whitney U rank-sum test ---------------------------------------
+
+MWU_BUCKET_CENTS = 100_000  # $1000 value bands for the two-level cumsum
+
+
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (Mann & Whitney 1947) — the
+    NONPARAMETRIC sibling of ``unit_ab_ztest`` for the same md5-split
+    A/B arms over order value: heavy-tailed revenue metrics violate
+    the z-test's variance assumptions, and the rank statistic is the
+    standard robust readout. Everything up to the final z is EXACT
+    integer arithmetic: ranks live in DOUBLED units so midpoint
+    average ranks of tied values stay integral (avg_rank×2 =
+    2·(count below) + (ties at value) + 1), the rank-sum R₁×2 and
+    U₁×2 are exact bigints, and the tie-correction Σ(t³−t) is an
+    exact bigint — only the final normal approximation
+    z = (U − n₁n₂/2)/σ_ties is a short shared-shape float chain.
+
+    Scale: the value HISTOGRAM formulation — per-value (n_a, n_b)
+    counts from one map-side-combining aggregation, then a TWO-LEVEL
+    cumulative count: a global running sum over ≤~600 fixed $1000
+    value BANDS (dimension-bounded window) plus a per-band window
+    partitioned by band — so no unpartitioned window ever sees the
+    near-unique raw value grain, unlike a naive rank() over N rows
+    (the same partitionable-cumsum trick as unit_quantile_monitor)."""
+    orders = load_table(spark, "orders", sf_dir)
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    hist = (
+        orders.select(
+            F.when(h < AB_SPLIT_HEX, "A").otherwise("B").alias("arm"),
+            cents.alias("cents"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+            .cast("bigint")
+            .alias("na"),
+            F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+            .cast("bigint")
+            .alias("nb"),
+        )
+        .withColumn("nv", F.col("na") + F.col("nb"))
+        .withColumn("bkt", F.expr(f"cents DIV {MWU_BUCKET_CENTS}"))
+    )
+    bkt_tot = hist.groupBy("bkt").agg(F.sum("nv").alias("bn"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bkt_cum = bkt_tot.withColumn(
+        "bkt_before", F.coalesce(F.sum("bn").over(w_bkt), F.lit(0))
+    ).select("bkt", "bkt_before")
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        hist.join(bkt_cum, "bkt")
+        .withColumn(
+            "cum_before",
+            F.col("bkt_before")
+            + F.coalesce(F.sum("nv").over(w_in), F.lit(0)),
+        )
+        .withColumn(
+            "avg_rank2", 2 * F.col("cum_before") + F.col("nv") + 1
+        )
+    )
+    agg = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * F.col("avg_rank2")).alias("r1_2"),
+        F.sum(
+            F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")
+        ).alias("tie_term"),
+    )
+    n1, n2 = F.col("n_a"), F.col("n_b")
+    nn = n1 + n2
+    u2 = F.col("r1_2") - n1 * (n1 + 1)
+    # identical float chain on both engines: z = (U − n1·n2/2) / σ_ties
+    sigma = F.sqrt(
+        (n1 * n2 / F.lit(12.0))
+        * ((nn + 1) - F.col("tie_term") / (nn * (nn - F.lit(1.0))))
+    )
+    z = ((u2 - n1 * n2) / F.lit(2.0)) / sigma
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2.cast("bigint").alias("u_doubled"),
+        (u2.cast("double") / 2).alias("u_stat"),
+        F.col("tie_term").cast("bigint").alias("tie_term"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+ORACLE_MANNWHITNEY_U = f"""
+WITH base AS (
+  SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+hist AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS nv,
+         cents // {MWU_BUCKET_CENTS} AS bkt
+  FROM base GROUP BY cents
+),
+bkt_cum AS (
+  SELECT bkt, CAST(COALESCE(SUM(bn)
+           OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS bkt_before
+  FROM (SELECT bkt, sum(nv) AS bn FROM hist GROUP BY bkt)
+),
+ranked AS (
+  SELECT hist.*,
+         bkt_before + CAST(COALESCE(SUM(nv)
+           OVER (PARTITION BY hist.bkt ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM hist JOIN bkt_cum ON hist.bkt = bkt_cum.bkt
+),
+agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(sum(na * (2 * cum_before + nv + 1)) AS BIGINT) AS r1_2,
+         CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie_term
+  FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(r1_2 - n_a * (n_a + 1) AS BIGINT) AS u_doubled,
+       CAST(r1_2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
+       tie_term,
+       ROUND(((r1_2 - n_a * (n_a + 1) - n_a * n_b) / 2.0)
+         / sqrt((n_a * n_b / 12.0)
+                * ((n_a + n_b + 1) - tie_term
+                   / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z_stat,
+       abs(((r1_2 - n_a * (n_a + 1) - n_a * n_b) / 2.0)
+         / sqrt((n_a * n_b / 12.0)
+                * ((n_a + n_b + 1) - tie_term
+                   / ((n_a + n_b) * (n_a + n_b - 1.0))))) > {AB_Z_CRIT}
+         AS significant
+FROM agg
+"""
+
+
 # --- CUPED variance-reduced experiment readout --------------------------
 
 CUPED_SPLIT_DATE = "1998-01-01"  # pre-period / experiment-period boundary
@@ -2152,6 +2299,8 @@ SPECS += [
 UNIT_SPECS = [
     QuerySpec("unit_ab_ztest", q_ab_ztest, ORACLE_AB_ZTEST,
               "two-sample z-test from exact decimal moments"),
+    QuerySpec("unit_mannwhitney_u", q_mannwhitney_u, ORACLE_MANNWHITNEY_U,
+              "Mann-Whitney U rank-sum test, exact doubled-rank integers"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
     QuerySpec("unit_cuped_adjustment", q_cuped_adjustment, ORACLE_CUPED,
