@@ -556,6 +556,94 @@ WHERE valid_from <= '{SCD2_AS_OF}'
 """
 
 
+# --- SCD2 temporal join at fact grain -----------------------------------
+
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ROW temporal join of a fact to its SCD2 dimension: every
+    order is enriched with the customer-dimension version valid AT
+    THAT ORDER'S date (`valid_from <= o_orderdate < valid_to`) — the
+    lakehouse dimension-join shape that ``unit_scd2_as_of`` only
+    covers for a single fixed timestamp. The version pile lives on
+    the fact timeline (initial load 1995-01-01; +100 acctbal for %10
+    keys on 1997-01-01; +250 for %20 keys on 1999-06-01), so orders
+    genuinely straddle version boundaries and every order matches
+    exactly one version.
+
+    Scale: the dimension history is dimension-bound (keys ×
+    versions), so it is explicitly ``F.broadcast`` and the plan is a
+    BroadcastHashJoin on the KEY equality with the validity range
+    riding as the join filter — the fact table NEVER shuffles. If the
+    history ever outgrows broadcast, the fallback is banding the time
+    axis: explode each version into the (key, month) cells it covers
+    and equi-join on both — never a non-equi shuffle join at fact
+    grain."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal"
+    )
+    day0 = cust.withColumn("update_date", F.lit("1995-01-01").cast("date"))
+    wave2 = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+        .withColumn("update_date", F.lit("1997-01-01").cast("date"))
+    )
+    wave3 = (
+        cust.filter(F.col("c_custkey") % 20 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 250.0, 2))
+        .withColumn("update_date", F.lit("1999-06-01").cast("date"))
+    )
+    hist = scd2_history(
+        day0.unionByName(wave2).unionByName(wave3),
+        key="c_custkey",
+        ts_col="update_date",
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    j = orders.join(
+        F.broadcast(hist),
+        (orders["o_custkey"] == hist["c_custkey"])
+        & (hist["valid_from"] <= F.col("od"))
+        & (hist["valid_to"].isNull() | (F.col("od") < hist["valid_to"])),
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("od").cast("string").alias("order_date"),
+        F.col("c_acctbal").alias("acctbal_at_order"),
+        F.col("valid_from").cast("string").alias("valid_from"),
+    )
+
+
+ORACLE_SCD2_TEMPORAL_JOIN = """
+WITH versions AS (
+  SELECT c_custkey, c_acctbal, DATE '1995-01-01' AS update_date
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, ROUND(c_acctbal + 100.0, 2), DATE '1997-01-01'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, ROUND(c_acctbal + 250.0, 2), DATE '1999-06-01'
+  FROM customer WHERE c_custkey % 20 = 0
+),
+hist AS (
+  SELECT c_custkey, c_acctbal, update_date AS valid_from,
+         lead(update_date) OVER (PARTITION BY c_custkey
+                                 ORDER BY update_date) AS valid_to
+  FROM versions
+)
+SELECT o_orderkey, o_custkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       c_acctbal AS acctbal_at_order,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from
+FROM orders JOIN hist
+  ON o_custkey = c_custkey
+ AND valid_from <= CAST(o_orderdate AS DATE)
+ AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
+"""
+
+
 # --- greedy sequence packing ------------------------------------------
 
 PACK_BUDGET = 256  # tokens per pack (context-window budget)
@@ -1404,6 +1492,9 @@ UNIT_SPECS = [
               "SCD2 versioned-dimension history via one lead window"),
     QuerySpec("unit_scd2_as_of", q_scd2_as_of, ORACLE_SCD2_AS_OF,
               "point-in-time (AS OF) lookup over the SCD2 history"),
+    QuerySpec("unit_scd2_temporal_join", q_scd2_temporal_join,
+              ORACLE_SCD2_TEMPORAL_JOIN,
+              "per-row temporal join: fact enriched with its valid version"),
     QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
               "fixed-bin width_bucket histogram"),
     QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
