@@ -683,6 +683,17 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAM_T}
 SIMHASH60_BANDS = 4
 SIMHASH60_BAND_BITS = 15
 SIMHASH60_HAM_T = 3  # Manku et al. 2007's web-dedup threshold
+# Band-bucket membership cap: a bucket larger than this is dropped from
+# candidate generation (both sides). SimHash signatures have LOW entropy
+# on template-heavy corpora — shared boilerplate dominates the votes, so
+# thousands of distinct docs can share a 15-bit band chunk and one hot
+# bucket goes quadratic (measured: the 100× synthetic corpus ran past
+# 580 s purely on hot-bucket candidates; see SCALE.md). Manku et al.
+# §4's bucket-size bound is the production answer — the same move as
+# the shingle df-cap. Fixture bucket sizes max out at 4 (measured at
+# sf0.001/sf0.01), so the cap is inert at fixture scale and the
+# planted-pair recall pins are unaffected.
+SIMHASH60_BUCKET_CAP = 128
 
 
 def _docs_with_planted_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,7 +731,13 @@ def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture-scale form): 15-bit bands give 32768 buckets per band, so
     unrelated docs almost never collide where the 4-bit bands would
     have quadratic buckets — same capped-vs-baseline pattern as the
-    Jaccard/containment pair."""
+    Jaccard/containment pair. Band buckets larger than
+    ``SIMHASH60_BUCKET_CAP`` are dropped from candidate generation
+    (Manku et al. §4's bucket bound): low-entropy signatures on
+    template-heavy corpora pile distinct docs into a few hot buckets
+    and the self-join goes quadratic there — the cap bounds candidate
+    pairs by cap²/2 per bucket and is inert at fixture scale (max
+    measured bucket = 4)."""
     docs = spread(_docs_with_planted_neardups(spark, sf_dir))
     sigs = docs.select(
         "doc_id",
@@ -744,6 +761,13 @@ def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    hot = (
+        bands.groupBy("band", "bv")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > SIMHASH60_BUCKET_CAP)
+        .select("band", "bv")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "bv"], "left_anti")
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bv"
     )
@@ -817,10 +841,19 @@ t AS (
   FROM tk
 ),
 sigs AS (SELECT doc_id, {simhash60_bits_sql()} AS sig FROM t),
-bands AS (
+bands0 AS (
   SELECT doc_id, sig, band,
          (sig >> (band * {SIMHASH60_BAND_BITS})) & {mask} AS bv
   FROM sigs, (VALUES (0), (1), (2), (3)) AS bs(band)
+),
+hot AS (
+  SELECT band, bv FROM bands0 GROUP BY band, bv
+  HAVING count(*) > {SIMHASH60_BUCKET_CAP}
+),
+bands AS (
+  SELECT b.* FROM bands0 b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.bv = b.bv)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
