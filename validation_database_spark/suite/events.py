@@ -940,6 +940,135 @@ FROM dau JOIN wau ON dau.day = wau.day
 """
 
 
+# --- sliding-window distinct via HLL register merge ----------------------
+
+def q_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED daily HLL
+    sketches — the at-scale approximate twin of ``q_dau_wau``'s exact
+    WAU, and the op that demonstrates WHY sketches earn their keep:
+    the sliding distinct needs no re-distinct over the trailing
+    window, just an elementwise register max across the 7 daily
+    64-register sketches (the HLL union law — exact, the estimate's
+    error doesn't compound across merges). Two properties do the
+    heavy lifting at 100 TB: (1) the daily register build needs NO
+    dedup — duplicate (day, user) rows hash identically and fold into
+    the same max — so the event scan goes straight into a map-side-
+    combining (day, j) aggregation; (2) each day is 64 rows
+    thereafter, so the calendar self-join costs days × 7 × 64 rows no
+    matter how many events exist. Exact WAU rides along as the
+    fixture-scale accuracy audit (same shape as unit_hll_distinct).
+    Hash family and estimate arithmetic identical to
+    ``suite/quality.py``'s sketch — register sums exact bigints, one
+    shared-literal IEEE division per day."""
+    from .quality import _HLL_C, HLL_M, HLL_RHO_MAX
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.expr(f"h DIV {HLL_M}")
+    jw = ev.select("day", h.alias("h")).select(
+        "day",
+        (F.col("h") % HLL_M).alias("j"),
+        F.when(w == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.bit_count(w.bitwiseAND(-w) - 1) + 1)
+        .cast("int")
+        .alias("rho"),
+    )
+    daily = jw.groupBy("day", "j").agg(F.max("rho").alias("m"))
+    days = daily.select("day").distinct()
+    trail = (
+        days.alias("d")
+        .join(
+            daily.alias("r"),
+            (F.col("r.day") <= F.col("d.day"))
+            & (F.col("r.day") > F.col("d.day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.j").alias("j"))
+        .agg(F.max("r.m").alias("m"))
+    )
+    grid = days.select(
+        "day", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("j")
+    )
+    full = grid.join(trail, ["day", "j"], "left").select(
+        "day", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    sketch = full.groupBy("day").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
+        ).alias("s")
+    )
+    ud = ev.distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            ud.alias("a"),
+            (F.col("a.day") <= F.col("d.day"))
+            & (F.col("a.day") > F.col("d.day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select(F.col("d.day").alias("day"), "a.user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau_exact"))
+    )
+    est = F.round(F.lit(_HLL_C) / F.col("s").cast("double"), 2)
+    return sketch.join(exact, "day").select(
+        "day", "wau_exact", est.alias("wau_est")
+    )
+
+
+def _oracle_hll_sliding_wau() -> str:
+    from .quality import _HLL_C, HLL_M, HLL_RHO_MAX
+
+    return f"""
+WITH {{EV}},
+base AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM ev
+),
+jw AS (
+  SELECT day, h % {HLL_M} AS j,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE CAST(bit_count(CAST(((h // {HLL_M}) & (-(h // {HLL_M}))) - 1
+                                       AS BIGINT)) AS INTEGER) + 1
+         END AS rho
+  FROM base
+),
+daily AS (SELECT day, j, max(rho) AS m FROM jw GROUP BY day, j),
+days AS (SELECT DISTINCT day FROM daily),
+trail AS (
+  SELECT d.day AS day, r.j, max(r.m) AS m
+  FROM days d JOIN daily r
+    ON r.day <= d.day AND r.day > d.day - INTERVAL 7 DAY
+  GROUP BY d.day, r.j
+),
+grid AS (
+  SELECT days.day, gs.j FROM days, generate_series(0, {HLL_M - 1}) AS gs(j)
+),
+sk AS (
+  SELECT grid.day,
+         CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - COALESCE(m, 0)))
+              AS BIGINT) AS s
+  FROM grid LEFT JOIN trail
+    ON grid.day = trail.day AND grid.j = trail.j
+  GROUP BY grid.day
+),
+ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev),
+exact AS (
+  SELECT d.day AS day, count(DISTINCT a.user_id) AS wau_exact
+  FROM days d JOIN ud a
+    ON a.day <= d.day AND a.day > d.day - INTERVAL 7 DAY
+  GROUP BY d.day
+)
+SELECT sk.day AS day, wau_exact,
+       ROUND({_HLL_C!r} / CAST(s AS DOUBLE), 2) AS wau_est
+FROM sk JOIN exact ON sk.day = exact.day
+"""
+
+
 # --- backfill planner: missing hourly partitions ----------------------------
 
 def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,6 +1758,9 @@ UNIT_SPECS = [
     # its gap semantics stay driver-checked via streaming_session_totals.
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
               "gap-based sessionization (lag + cumsum)", headline=True),
+    QuerySpec("unit_hll_sliding_wau", q_hll_sliding_wau,
+              _oracle_hll_sliding_wau().replace("{EV}", _EV_CTE),
+              "trailing-7-day distinct users via daily HLL register merge"),
     QuerySpec("unit_feature_lags", q_feature_lags, ORACLE_FEATURE_LAGS,
               "per-user lag/delta/gap/rolling-mean feature table"),
     QuerySpec("unit_events_json_props", q_events_json_props,
