@@ -651,6 +651,99 @@ FROM deg0 LEFT JOIN degf ON deg0.v = degf.v
 """
 
 
+# --- k-hop BFS reachability ------------------------------------------------
+
+KHOP_SEED_MOD = 500  # graph vertices with partkey % 500 == 0 are seeds
+KHOP_ROUNDS = 2
+
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS reachability with hop labels on the part co-purchase
+    graph — the TRAVERSAL kernel completing the graph set (PageRank,
+    connected components, triangles, k-core, HITS, LPA): from a
+    deterministic seed set (partkey % 500 == 0), two unrolled
+    frontier-expansion rounds label every vertex with its minimum hop
+    distance ≤ 2. Each round is ONE edge⋈frontier equi-join +
+    distinct, and the next frontier subtracts already-visited
+    vertices (left-anti) so re-expansion work is proportional to the
+    NEW frontier, not the cumulative reach — the textbook distributed
+    BFS (Pregel's per-superstep shape as joins). The oracle replays
+    the same two rounds as EXCEPT-chained CTEs.
+
+    Scale: per round O(frontier-adjacent edges) with an equi-join on
+    the vertex key; rounds grow with the radius asked for, never the
+    graph size. The co-purchase fixture graph is dense, so 2 hops
+    reach most of the giant component — the hop-0/1/2 row counts make
+    that measurable."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .select(
+            F.least("x.l_partkey", "y.l_partkey").alias("a"),
+            F.greatest("x.l_partkey", "y.l_partkey").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    verts = sym.select(F.col("a").alias("v")).distinct()
+    seeds = verts.filter(F.col("v") % KHOP_SEED_MOD == 0)
+    reach = seeds.select("v", F.lit(0).alias("hop"))
+    frontier = seeds
+    for hop in range(1, KHOP_ROUNDS + 1):
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["a"])
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(reach.select("v"), "v", "left_anti")
+        )
+        reach = reach.unionByName(nxt.select("v", F.lit(hop).alias("hop")))
+        frontier = nxt
+    return reach.select(
+        F.col("v").cast("bigint").alias("partkey"),
+        F.col("hop").cast("int").alias("hop"),
+    )
+
+
+def _oracle_khop_reach() -> str:
+    rounds = []
+    prev_frontier = "seeds"
+    visited = "seeds"
+    for r in range(1, KHOP_ROUNDS + 1):
+        rounds.append(
+            f"f{r} AS (SELECT DISTINCT b AS v FROM sym "
+            f"JOIN {prev_frontier} fr ON sym.a = fr.v "
+            f"WHERE b NOT IN (SELECT v FROM {visited}))"
+        )
+        rounds.append(
+            f"vis{r} AS (SELECT v FROM {visited} UNION SELECT v FROM f{r})"
+        )
+        prev_frontier = f"f{r}"
+        visited = f"vis{r}"
+    hops = " UNION ALL ".join(
+        ["SELECT v, 0 AS hop FROM seeds"]
+        + [f"SELECT v, {r} AS hop FROM f{r}" for r in range(1, KHOP_ROUNDS + 1)]
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                  greatest(x.l_partkey, y.l_partkey) AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey <> y.l_partkey
+),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+seeds AS (SELECT DISTINCT a AS v FROM sym WHERE a % {KHOP_SEED_MOD} = 0),
+{', '.join(rounds)}
+SELECT CAST(v AS BIGINT) AS partkey, CAST(hop AS INTEGER) AS hop
+FROM ({hops})
+"""
+
+
 # --- association rules over co-purchases ----------------------------------
 
 AR_MIN_PAIR = 5  # minimum pair support (orders containing both)
@@ -892,6 +985,8 @@ FROM l2 JOIN sz ON l2.lbl = sz.lbl
 
 
 UNIT_SPECS = [
+    QuerySpec("unit_khop_reach", q_khop_reach, _oracle_khop_reach(),
+              "k-hop BFS reachability with hop labels (frontier joins)"),
     QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
               "pairwise Apriori: support/confidence/lift co-purchase rules"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
