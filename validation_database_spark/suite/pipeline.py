@@ -556,6 +556,92 @@ WHERE valid_from <= '{SCD2_AS_OF}'
 """
 
 
+# --- out-of-fold target encoding ----------------------------------------
+
+TE_FOLDS = 5
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TARGET ENCODING of a categorical feature — the
+    ML-prep step that replaces a category with the target's mean for
+    that category, computed OUT-OF-FOLD so a row never sees its own
+    target (the standard K-fold trick against target leakage;
+    Micci-Barreca 2001 for the encoding itself). Folds are the
+    deterministic md5 hash of the order key (mod 5); for category c
+    and fold f the encoding is (S_c − s_{c,f}) / (N_c − n_{c,f}) —
+    per-category totals minus the row's own fold, all four terms
+    EXACT integer cents/counts from ONE (category, fold) aggregation,
+    so the only float is the final division (shared shape, rounded
+    to 6). Output at (category, fold) grain: every order in that cell
+    receives that encoding via a broadcast map join downstream.
+
+    Scale: one map-side-combining groupBy to |categories| × K rows,
+    then a tiny per-category rollup joined back — the fact table is
+    scanned once and never shuffled at row grain; the encoder table
+    is dimension-sized and broadcastable to any training pipeline."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % TE_FOLDS
+    )
+    cell = (
+        orders.select(
+            F.col("o_orderpriority").alias("category"),
+            fold.alias("fold"),
+            cents.alias("cents"),
+        )
+        .groupBy("category", "fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fold"),
+            F.sum("cents").alias("s_fold"),
+        )
+    )
+    tot = cell.groupBy("category").agg(
+        F.sum("n_fold").alias("n_cat"), F.sum("s_fold").alias("s_cat")
+    )
+    oof = (
+        (F.col("s_cat") - F.col("s_fold"))
+        / (F.col("n_cat") - F.col("n_fold")).cast("double")
+        / F.lit(100.0)
+    )
+    return cell.join(F.broadcast(tot), "category").select(
+        "category",
+        "fold",
+        "n_fold",
+        F.round(oof, 6).alias("oof_mean"),
+    )
+
+
+ORACLE_TARGET_ENCODE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS category,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % {TE_FOLDS} AS fold,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cell AS (
+  SELECT category, fold, CAST(count(*) AS BIGINT) AS n_fold,
+         CAST(sum(cents) AS BIGINT) AS s_fold
+  FROM base GROUP BY category, fold
+),
+tot AS (
+  SELECT category, CAST(sum(n_fold) AS BIGINT) AS n_cat,
+         CAST(sum(s_fold) AS BIGINT) AS s_cat
+  FROM cell GROUP BY category
+)
+SELECT cell.category AS category, fold, n_fold,
+       ROUND((s_cat - s_fold) / CAST(n_cat - n_fold AS DOUBLE) / 100.0, 6)
+         AS oof_mean
+FROM cell JOIN tot ON cell.category = tot.category
+"""
+
+
 # --- SCD2 temporal join at fact grain -----------------------------------
 
 def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,6 +1581,8 @@ UNIT_SPECS = [
     QuerySpec("unit_scd2_temporal_join", q_scd2_temporal_join,
               ORACLE_SCD2_TEMPORAL_JOIN,
               "per-row temporal join: fact enriched with its valid version"),
+    QuerySpec("unit_target_encode", q_target_encode, ORACLE_TARGET_ENCODE,
+              "leakage-safe out-of-fold target encoding, exact moments"),
     QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
               "fixed-bin width_bucket histogram"),
     QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
