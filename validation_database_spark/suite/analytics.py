@@ -2117,6 +2117,163 @@ FROM m
 """
 
 
+# --- difference-in-differences readout -----------------------------------
+
+def q_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences experiment readout — the causal
+    estimate when treatment switches on at a known date and a control
+    arm shares the time trend (Card & Krueger 1994 is the canonical
+    use): arms by the md5 customer hash, periods split at the CUPED
+    boundary, and DiD = (post_T − pre_T) − (post_C − pre_C) of
+    per-order means, which cancels both the arm's fixed offset and
+    the common time trend where a naive post-only compare absorbs
+    both. The four (arm, period) cells come from ONE exact-decimal
+    moment aggregation (n, Σcents, Σcents² per cell); only the final
+    mean/variance/z chain is float, written identically on both
+    engines — same discipline as unit_ab_ztest. SE is the four-cell
+    Welch form √(Σ varᵢ/nᵢ).
+
+    Scale: one scan, one 4-group map-side-combining aggregate; the
+    full causal readout is a single row at any event volume."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(19,0)")
+    h = F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4)
+    pre = F.col("o_orderdate") < F.lit(CUPED_SPLIT_DATE).cast("timestamp")
+    cell = (
+        orders.select(
+            F.concat(
+                F.when(h < AB_SPLIT_HEX, F.lit("T")).otherwise(F.lit("C")),
+                F.when(pre, F.lit("pre")).otherwise(F.lit("post")),
+            ).alias("cell"),
+            cents.alias("cents"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+    )
+
+    def pick(col, c):
+        return F.min(F.when(F.col("cell") == c, F.col(col)))
+
+    wide = cell.agg(
+        *[
+            pick(col, c).alias(f"{col}_{c}")
+            for c in ("Tpre", "Tpost", "Cpre", "Cpost")
+            for col in ("n", "s", "ss")
+        ]
+    )
+
+    def mean(c):
+        return F.col(f"s_{c}").cast("double") / (
+            F.col(f"n_{c}") * F.lit(100.0)
+        )
+
+    def var(c):
+        num = (
+            F.col(f"n_{c}").cast("decimal(38,0)") * F.col(f"ss_{c}")
+            - F.col(f"s_{c}").cast("decimal(38,0)")
+            * F.col(f"s_{c}").cast("decimal(38,0)")
+        ).cast("double")
+        return (
+            num
+            / (F.col(f"n_{c}") * (F.col(f"n_{c}") - F.lit(1.0)))
+            / F.lit(10000.0)
+        )
+
+    did = (mean("Tpost") - mean("Tpre")) - (mean("Cpost") - mean("Cpre"))
+    se = F.sqrt(
+        var("Tpost") / F.col("n_Tpost")
+        + var("Tpre") / F.col("n_Tpre")
+        + var("Cpost") / F.col("n_Cpost")
+        + var("Cpre") / F.col("n_Cpre")
+    )
+    z = did / se
+    return wide.select(
+        F.col("n_Tpre").alias("n_t_pre"),
+        F.col("n_Tpost").alias("n_t_post"),
+        F.col("n_Cpre").alias("n_c_pre"),
+        F.col("n_Cpost").alias("n_c_post"),
+        F.round(mean("Tpre"), 6).alias("mean_t_pre"),
+        F.round(mean("Tpost"), 6).alias("mean_t_post"),
+        F.round(mean("Cpre"), 6).alias("mean_c_pre"),
+        F.round(mean("Cpost"), 6).alias("mean_c_post"),
+        F.round(did, 6).alias("did"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+ORACLE_DID_READOUT = f"""
+WITH base AS (
+  SELECT (CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+                    < '{AB_SPLIT_HEX}' THEN 'T' ELSE 'C' END)
+         || (CASE WHEN o_orderdate < TIMESTAMP '{CUPED_SPLIT_DATE} 00:00:00'
+                  THEN 'pre' ELSE 'post' END) AS cell,
+         CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0)) AS cents
+  FROM orders
+),
+cell AS (
+  SELECT cell, count(*) AS n, sum(cents) AS s,
+         CAST(sum(cents * cents) AS DECIMAL(38,0)) AS ss
+  FROM base GROUP BY cell
+),
+wide AS (
+  SELECT
+    min(n) FILTER (cell = 'Tpre') AS n_tpre,
+    min(s) FILTER (cell = 'Tpre') AS s_tpre,
+    min(ss) FILTER (cell = 'Tpre') AS ss_tpre,
+    min(n) FILTER (cell = 'Tpost') AS n_tpost,
+    min(s) FILTER (cell = 'Tpost') AS s_tpost,
+    min(ss) FILTER (cell = 'Tpost') AS ss_tpost,
+    min(n) FILTER (cell = 'Cpre') AS n_cpre,
+    min(s) FILTER (cell = 'Cpre') AS s_cpre,
+    min(ss) FILTER (cell = 'Cpre') AS ss_cpre,
+    min(n) FILTER (cell = 'Cpost') AS n_cpost,
+    min(s) FILTER (cell = 'Cpost') AS s_cpost,
+    min(ss) FILTER (cell = 'Cpost') AS ss_cpost
+  FROM cell
+),
+d AS (
+  SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+         CAST(s_tpre AS DOUBLE) / (n_tpre * 100.0) AS m_tpre,
+         CAST(s_tpost AS DOUBLE) / (n_tpost * 100.0) AS m_tpost,
+         CAST(s_cpre AS DOUBLE) / (n_cpre * 100.0) AS m_cpre,
+         CAST(s_cpost AS DOUBLE) / (n_cpost * 100.0) AS m_cpost,
+         CAST(CAST(n_tpre AS DECIMAL(38,0)) * ss_tpre
+              - CAST(s_tpre AS DECIMAL(38,0)) * CAST(s_tpre AS DECIMAL(38,0))
+              AS DOUBLE) / (n_tpre * (n_tpre - 1.0)) / 10000.0 AS v_tpre,
+         CAST(CAST(n_tpost AS DECIMAL(38,0)) * ss_tpost
+              - CAST(s_tpost AS DECIMAL(38,0)) * CAST(s_tpost AS DECIMAL(38,0))
+              AS DOUBLE) / (n_tpost * (n_tpost - 1.0)) / 10000.0 AS v_tpost,
+         CAST(CAST(n_cpre AS DECIMAL(38,0)) * ss_cpre
+              - CAST(s_cpre AS DECIMAL(38,0)) * CAST(s_cpre AS DECIMAL(38,0))
+              AS DOUBLE) / (n_cpre * (n_cpre - 1.0)) / 10000.0 AS v_cpre,
+         CAST(CAST(n_cpost AS DECIMAL(38,0)) * ss_cpost
+              - CAST(s_cpost AS DECIMAL(38,0)) * CAST(s_cpost AS DECIMAL(38,0))
+              AS DOUBLE) / (n_cpost * (n_cpost - 1.0)) / 10000.0 AS v_cpost
+  FROM wide
+)
+SELECT n_tpre AS n_t_pre, n_tpost AS n_t_post,
+       n_cpre AS n_c_pre, n_cpost AS n_c_post,
+       ROUND(m_tpre, 6) AS mean_t_pre, ROUND(m_tpost, 6) AS mean_t_post,
+       ROUND(m_cpre, 6) AS mean_c_pre, ROUND(m_cpost, 6) AS mean_c_post,
+       ROUND((m_tpost - m_tpre) - (m_cpost - m_cpre), 6) AS did,
+       ROUND(((m_tpost - m_tpre) - (m_cpost - m_cpre))
+         / sqrt(v_tpost / n_tpost + v_tpre / n_tpre
+                + v_cpost / n_cpost + v_cpre / n_cpre), 6) AS z_stat,
+       abs(((m_tpost - m_tpre) - (m_cpost - m_cpre))
+         / sqrt(v_tpost / n_tpost + v_tpre / n_tpre
+                + v_cpost / n_cpost + v_cpre / n_cpre)) > {AB_Z_CRIT}
+         AS significant
+FROM d
+"""
+
+
 SPECS = [
     QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
               "TPC-H Q1 measure set at every ROLLUP grouping level",
@@ -2301,6 +2458,8 @@ UNIT_SPECS = [
               "two-sample z-test from exact decimal moments"),
     QuerySpec("unit_mannwhitney_u", q_mannwhitney_u, ORACLE_MANNWHITNEY_U,
               "Mann-Whitney U rank-sum test, exact doubled-rank integers"),
+    QuerySpec("unit_did_readout", q_did_readout, ORACLE_DID_READOUT,
+              "difference-in-differences causal readout, exact moments"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
     QuerySpec("unit_cuped_adjustment", q_cuped_adjustment, ORACLE_CUPED,
