@@ -83,6 +83,20 @@ SHOWCASE = {
     "unit_rag_retrieval": "RAG retrieval: chunk windows → hashed-BoW vectors "
     "→ broadcast query set → cosine top-3 per query (brute baseline; "
     "IVF/LSH are the serving twins)",
+    "unit_scd2_temporal_join": "per-row temporal join: BroadcastHashJoin on "
+    "the dimension key with the validity range as the join filter — the "
+    "fact side is a pure narrow probe, the only exchange is the dim-side "
+    "window build",
+    "unit_mannwhitney_u": "Mann-Whitney U: value-histogram agg with map-side "
+    "combine, two-level cumulative count (global window over ~600 fixed "
+    "value bands + per-band partitioned window) — no unpartitioned window "
+    "over the near-unique value grain",
+    "unit_hll_sliding_wau": "sliding distinct via sketch merge: dedup-free "
+    "daily register build (map-side combine to 64 rows/day), trailing "
+    "register-max join over days×7×64 rows — constant in event volume",
+    "unit_lm_perplexity_filter": "CCNet LM filter: bigram/context/vocab aggs "
+    "over the reference half, model joined back on bg and w1 "
+    "(vocabulary-dimension joins), exact-integer keep decision",
 }
 
 
