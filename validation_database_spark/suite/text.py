@@ -1797,6 +1797,89 @@ FROM s
 """
 
 
+# --- score-band gains/lift table ----------------------------------------
+
+LIFT_BANDS_MILLI = [-200, 0, 100, 200, 300, 400]  # avg milli-logit edges
+LIFT_LABEL_TOKS = 56  # deterministic label: doc length ≥ corpus median
+
+
+def q_score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for the shipped quality classifier — the
+    model-EVALUATION artifact completing the set (confusion matrix in
+    ``unit_langid_confusion``, P/R/F1 in ``unit_dedup_eval``): docs
+    banded by classifier score, and per band the rate of a
+    deterministic held-out label (doc length ≥ the corpus median)
+    with its lift over the base rate — the "is the score actually
+    ordering quality?" readout every filter threshold decision reads.
+
+    Banding is EXACT integer cross-multiplication: band = #{edges t :
+    sum_w_milli ≥ t·n_tokens}, so no division ever happens (floor
+    semantics for negative scores diverge between Spark's truncating
+    DIV and DuckDB's flooring `//` — this sidesteps the hazard
+    entirely, same discipline as the classifier's own keep decision).
+    Counts exact; pos_rate and lift are shared-shape divisions
+    rounded to 6.
+
+    Scale: the score scan is the classifier's narrow map; the table
+    is one groupBy to ≤ |bands|+1 rows plus a broadcast 1-row base
+    rate."""
+    scored = q_quality_classifier(spark, sf_dir).select(
+        "n_tokens", "sum_w_milli"
+    )
+    band = sum(
+        F.when(
+            F.col("sum_w_milli") >= F.lit(t) * F.col("n_tokens"), 1
+        ).otherwise(0)
+        for t in LIFT_BANDS_MILLI
+    )
+    pos = (F.col("n_tokens") >= LIFT_LABEL_TOKS).cast("int")
+    cells = (
+        scored.select(band.alias("band"), pos.alias("pos"))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    base = cells.agg(
+        F.sum("n_docs").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_docs")
+    base_rate = F.col("pos_tot").cast("double") / F.col("n_tot")
+    return cells.crossJoin(F.broadcast(base)).select(
+        "band",
+        "n_docs",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(base_rate, 6).alias("base_rate"),
+        F.round(rate / base_rate, 6).alias("lift"),
+    )
+
+
+def _oracle_score_lift() -> str:
+    band = " + ".join(
+        f"(CASE WHEN sum_w_milli >= {t} * n_tokens THEN 1 ELSE 0 END)"
+        for t in LIFT_BANDS_MILLI
+    )
+    return f"""
+WITH scored AS ({_oracle_quality_classifier()}),
+cells AS (
+  SELECT {band} AS band,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_tokens >= {LIFT_LABEL_TOKS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+),
+base AS (SELECT sum(n_docs) AS n_tot, sum(n_pos) AS pos_tot FROM cells)
+SELECT band, n_docs, n_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+       ROUND(CAST(pos_tot AS DOUBLE) / n_tot, 6) AS base_rate,
+       ROUND((CAST(n_pos AS DOUBLE) / n_docs)
+             / (CAST(pos_tot AS DOUBLE) / n_tot), 6) AS lift
+FROM cells CROSS JOIN base
+"""
+
+
 # --- C4-style cross-corpus line dedup with document rewrite ---------------
 
 LINE_MIN_OCCUR = 2  # a line occurring in >= 2 docs is boilerplate
@@ -2848,6 +2931,8 @@ UNIT_SPECS = [
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
+    QuerySpec("unit_score_lift", q_score_lift, _oracle_score_lift(),
+              "score-band gains/lift table for the quality classifier"),
     # rotated out in the second round-5 rotation (driver-green r1-r4):
     QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
               "sliding-window passage chunking (64/16 overlap)"),
