@@ -866,6 +866,130 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH60_HAM_T}
 """
 
 
+# --- 60-bit SimHash, wide-band corpus-scale config ----------------------
+
+SIMHASH60W_BANDS = 3
+SIMHASH60W_BAND_BITS = 20
+SIMHASH60W_HAM_T = 2  # 3 bands × 20 bits pigeonholes Hamming ≤ 2
+
+
+def q_simhash60_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE SimHash config — the twin that answers
+    ``unit_simhash60_pairs``' measured 100× ceiling (SCALE.md): at
+    fixed 15-bit bands, chance collisions grow as 4·n²/2¹⁶ and the
+    candidate join drowns past ~100k docs. Band width must grow with
+    log₂(n) exactly like IVF's nlist grows with corpus size, so this
+    variant trades recall radius for bucket entropy: 3 bands × 20
+    bits pigeonholes Hamming ≤ 2 (any sig pair within 2 flips shares
+    one exact band) with 2²⁰ buckets per band — 16× fewer chance
+    collisions per band, 48× fewer overall. Same 60-bit signature,
+    same planted near-dups (measured Hamming ≤ 1, so the tighter
+    radius keeps them), same bucket cap for template skew. The
+    narrow-band form remains the higher-recall choice for sub-100k
+    shards; pick by corpus size, as Manku et al.'s table layouts do."""
+    docs = spread(_docs_with_planted_neardups(spark, sf_dir))
+    sigs = docs.select(
+        "doc_id",
+        D.simhash60(D.word_shingles(D.tokens("text"))).alias("sig"),
+    )
+    mask = (1 << SIMHASH60W_BAND_BITS) - 1
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * SIMHASH60W_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(SIMHASH60W_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+    hot = (
+        bands.groupBy("band", "bv")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > SIMHASH60_BUCKET_CAP)
+        .select("band", "bv")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "bv"], "left_anti")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH60W_HAM_T)
+    )
+
+
+def _oracle_simhash60_wide_pairs() -> str:
+    mask = (1 << SIMHASH60W_BAND_BITS) - 1
+    bs = ", ".join(f"({b})" for b in range(SIMHASH60W_BANDS))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' nearduptoken' FROM documents
+  WHERE doc_id % 10 = 0
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM corpus
+),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 4, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+         )) AS dt
+  FROM tk
+),
+sigs AS (SELECT doc_id, {simhash60_bits_sql()} AS sig FROM t),
+bands0 AS (
+  SELECT doc_id, sig, band,
+         (sig >> (band * {SIMHASH60W_BAND_BITS})) & {mask} AS bv
+  FROM sigs, (VALUES {bs}) AS bs(band)
+),
+hot AS (
+  SELECT band, bv FROM bands0 GROUP BY band, bv
+  HAVING count(*) > {SIMHASH60_BUCKET_CAP}
+),
+bands AS (
+  SELECT b.* FROM bands0 b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.bv = b.bv)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH60W_HAM_T}
+"""
+
+
 # --- embedding-cosine near-dup ----------------------------------------
 
 COSINE_THRESHOLD = 0.98
@@ -1279,6 +1403,9 @@ UNIT_SPECS = [
               "blocked embedding-cosine near-dup with planted dups"),
     QuerySpec("unit_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
               "one representative per duplicate cluster (longest member)"),
+    QuerySpec("unit_simhash60_wide", q_simhash60_wide_pairs,
+              _oracle_simhash60_wide_pairs(),
+              "corpus-scale SimHash: 3x20-bit bands, Hamming<=2"),
     # uncapped containment stays as the exactness BASELINE next to the
     # driver-checked dedup_containment_capped (same pattern as the
     # uncapped/capped Jaccard pair) — deliberately `weak` at 100×.
