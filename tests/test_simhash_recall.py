@@ -53,3 +53,33 @@ def test_simhash60_no_quadratic_candidate_blowup(spark, sf_dir):
     n_docs = load_table(spark, "documents", sf_dir).count()
     n_pairs = q_simhash60_pairs(spark, sf_dir).count()
     assert n_pairs <= n_docs, (n_pairs, n_docs)
+
+
+def test_simhash60_wide_recall_and_subset(spark, sf_dir):
+    """The wide (corpus-scale) config: its Hamming ≤ 2 pair set is a
+    SUBSET of the narrow form's Hamming ≤ 3 set (same signatures,
+    strictly tighter radius + coarser banding can only drop pairs),
+    and long-doc planted recall keeps a floor — the trade is radius,
+    not correctness."""
+    from validation_database_spark.suite.dedup import q_simhash60_wide_pairs
+
+    narrow = {
+        (r.id_a, r.id_b)
+        for r in q_simhash60_pairs(spark, sf_dir).collect()
+    }
+    wide_rows = q_simhash60_wide_pairs(spark, sf_dir).collect()
+    wide = {(r.id_a, r.id_b) for r in wide_rows}
+    assert wide <= narrow, wide - narrow
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    planted_long = [
+        r.doc_id
+        for r in docs.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("n_tok") >= LONG_DOC_TOKENS)
+        ).collect()
+    ]
+    assert planted_long
+    hit = sum(1 for d in planted_long if (d, d + 2_000_000) in wide)
+    assert hit / len(planted_long) >= 0.4, hit / len(planted_long)
