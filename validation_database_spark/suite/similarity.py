@@ -845,6 +845,13 @@ RAG_CENT_CAP = 64
 # vectors (same regime as SRP-LSH — see LSH_BITS note); the served
 # high-cos regime is what the floor pins (tests/test_ann_recall.py).
 RAG_N_PROBE = 3
+# Redundant assignment: each chunk is indexed in its top-RAG_ASSIGN
+# cells (the standard IVF boundary-straddle fix — a 0.9-cos neighbor
+# sitting just across a Voronoi edge from the query's probed cells is
+# otherwise unreachable at ANY nprobe; measured at sf0.01, one of the
+# four strong pairs was exactly this case). Index size ×RAG_ASSIGN,
+# recall contract restored; the serving scan is unchanged.
+RAG_ASSIGN = 2
 
 
 def _rag_frames(
@@ -934,6 +941,11 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle runs the identical IVF in SQL, so the approximation
     itself is value-checked, exactly as for `ann_topk`'s ivf arm."""
     chunks, queries, cents = _rag_frames(spark, sf_dir)
+    # top-RAG_ASSIGN cells per chunk WITHOUT a rank window (the window
+    # form OOM'd at the 100x replica): collect the nlist (a_cos, cell)
+    # pairs per chunk — bounded by nlist, with map-side combine — sort
+    # descending, slice. The vector rides once per group, not per
+    # candidate.
     assigned = (
         chunks.crossJoin(F.broadcast(cents))
         .select(
@@ -945,19 +957,29 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "chunk_idx")
         .agg(
-            F.max(
-                F.struct(
-                    F.col("a_cos"),
-                    (-F.col("cent_id")).alias("neg_cent"),
-                    F.col("cvec").alias("cvec"),
-                )
-            ).alias("best")
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("a_cos"),
+                            (-F.col("cent_id")).alias("neg_cent"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                RAG_ASSIGN,
+            ).alias("cells"),
+            F.first("cvec").alias("cvec"),
         )
         .select(
             "doc_id",
             "chunk_idx",
-            F.col("best.cvec").alias("cvec"),
-            (-F.col("best.neg_cent")).alias("cent_id"),
+            "cvec",
+            F.explode("cells").alias("cell"),
+        )
+        .select(
+            "doc_id", "chunk_idx", "cvec", (-F.col("cell.neg_cent")).alias("cent_id")
         )
     )
     p_w = Window.partitionBy("query_doc_id").orderBy(
@@ -987,6 +1009,9 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_idx",
             F.round(dot(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
         )
+        # a pair reachable through BOTH of a chunk's assigned cells
+        # would rank twice — dedup before the top-k (cos identical)
+        .distinct()
     )
     w = Window.partitionBy("query_doc_id").orderBy(
         F.col("cos_sim").desc(), "doc_id", "chunk_idx"
@@ -1120,7 +1145,7 @@ assigned AS (
                               ORDER BY ROUND({dot_sql('c.v', 'ct.c_v')}, 6) DESC,
                                        ct.cent_id) AS arn
     FROM cvecs c CROSS JOIN cents ct
-  ) WHERE arn = 1
+  ) WHERE arn <= {RAG_ASSIGN}
 ),
 probes AS (
   SELECT query_doc_id, v, cent_id FROM (
@@ -1132,7 +1157,7 @@ probes AS (
   ) WHERE prn <= {RAG_N_PROBE}
 ),
 scored AS (
-  SELECT p.query_doc_id, a.doc_id, a.chunk_idx,
+  SELECT DISTINCT p.query_doc_id, a.doc_id, a.chunk_idx,
          ROUND({dot_sql('p.v', 'a.v')}, 6) AS cos_sim
   FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
   WHERE a.doc_id <> p.query_doc_id
