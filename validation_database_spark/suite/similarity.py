@@ -976,10 +976,16 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "chunk_idx",
             "cvec",
-            F.explode("cells").alias("cell"),
+            (-F.col("cells")[0]["neg_cent"]).alias("primary_cent"),
+            F.posexplode("cells").alias("arn", "cell"),
         )
         .select(
-            "doc_id", "chunk_idx", "cvec", (-F.col("cell.neg_cent")).alias("cent_id")
+            "doc_id",
+            "chunk_idx",
+            "cvec",
+            "primary_cent",
+            "arn",
+            (-F.col("cell.neg_cent")).alias("cent_id"),
         )
     )
     p_w = Window.partitionBy("query_doc_id").orderBy(
@@ -1000,18 +1006,28 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the tiny probe side (|queries|·nprobe rows) so the
     # chunk index joins in place — it never shuffles, at any corpus
     # size; the per-cell scan is the join's build-probe.
+    # A pair reachable through BOTH of a chunk's assigned cells would
+    # rank twice. Dedup BEFORE scoring, with a broadcast membership
+    # probe instead of a second wide shuffle (a distinct over the
+    # scored pairs doubled the shuffled volume and OOM'd the 100×
+    # replica): keep a secondary-cell row only when the chunk's
+    # PRIMARY cell is not among this query's probes — pure map-side.
+    probe_pairs = probes.select(
+        "query_doc_id", F.col("cent_id").alias("primary_cent")
+    ).withColumn("__probed", F.lit(1))
     scored = (
         F.broadcast(probes).join(assigned, "cent_id")
         .filter(F.col("doc_id") != F.col("query_doc_id"))
+        .join(
+            F.broadcast(probe_pairs), ["query_doc_id", "primary_cent"], "left"
+        )
+        .filter((F.col("arn") == 0) | F.col("__probed").isNull())
         .select(
             "query_doc_id",
             "doc_id",
             "chunk_idx",
             F.round(dot(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
         )
-        # a pair reachable through BOTH of a chunk's assigned cells
-        # would rank twice — dedup before the top-k (cos identical)
-        .distinct()
     )
     w = Window.partitionBy("query_doc_id").orderBy(
         F.col("cos_sim").desc(), "doc_id", "chunk_idx"
@@ -1139,13 +1155,17 @@ def _oracle_rag_ivf() -> str:
     return f"""
 WITH {_rag_oracle_ctes()},
 assigned AS (
-  SELECT doc_id, chunk_idx, v, cent_id FROM (
+  SELECT doc_id, chunk_idx, v, cent_id, arn FROM (
     SELECT c.doc_id, c.chunk_idx, c.v, ct.cent_id,
            row_number() OVER (PARTITION BY c.doc_id, c.chunk_idx
                               ORDER BY ROUND({dot_sql('c.v', 'ct.c_v')}, 6) DESC,
                                        ct.cent_id) AS arn
     FROM cvecs c CROSS JOIN cents ct
   ) WHERE arn <= {RAG_ASSIGN}
+),
+prim AS (
+  SELECT doc_id, chunk_idx, cent_id AS primary_cent
+  FROM assigned WHERE arn = 1
 ),
 probes AS (
   SELECT query_doc_id, v, cent_id FROM (
@@ -1157,10 +1177,16 @@ probes AS (
   ) WHERE prn <= {RAG_N_PROBE}
 ),
 scored AS (
-  SELECT DISTINCT p.query_doc_id, a.doc_id, a.chunk_idx,
+  SELECT p.query_doc_id, a.doc_id, a.chunk_idx,
          ROUND({dot_sql('p.v', 'a.v')}, 6) AS cos_sim
-  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+  FROM probes p
+  JOIN assigned a ON p.cent_id = a.cent_id
+  JOIN prim pr ON pr.doc_id = a.doc_id AND pr.chunk_idx = a.chunk_idx
   WHERE a.doc_id <> p.query_doc_id
+    AND (a.arn = 1 OR NOT EXISTS (
+      SELECT 1 FROM probes p2
+      WHERE p2.query_doc_id = p.query_doc_id
+        AND p2.cent_id = pr.primary_cent))
 )
 SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_doc_id
