@@ -57,11 +57,34 @@ def test_simhash60_no_quadratic_candidate_blowup(spark, sf_dir):
 
 def test_simhash60_wide_recall_and_subset(spark, sf_dir):
     """The wide (corpus-scale) config: its Hamming ≤ 2 pair set is a
-    SUBSET of the narrow form's Hamming ≤ 3 set (same signatures,
-    strictly tighter radius + coarser banding can only drop pairs),
-    and long-doc planted recall keeps a floor — the trade is radius,
-    not correctness."""
-    from validation_database_spark.suite.dedup import q_simhash60_wide_pairs
+    SUBSET of the narrow form's Hamming ≤ 3 set, and long-doc planted
+    recall keeps a floor — the trade is radius, not correctness.
+
+    The subset property holds exactly while the hot-bucket cap is
+    INERT (with the cap biting, the two geometries cap DIFFERENT
+    buckets and either set can lose pairs the other keeps), so the
+    cap-inert precondition is asserted explicitly first — if a future
+    fixture trips it, this fails as precondition-violated rather than
+    as a misleading subset failure."""
+    from validation_database_spark.suite.dedup import (
+        SIMHASH60_BAND_BITS,
+        SIMHASH60_BANDS,
+        SIMHASH60_BUCKET_CAP,
+        SIMHASH60W_BAND_BITS,
+        SIMHASH60W_BANDS,
+        q_simhash60_wide_pairs,
+        simhash60_max_bucket,
+    )
+
+    for n_bands, bits in (
+        (SIMHASH60_BANDS, SIMHASH60_BAND_BITS),
+        (SIMHASH60W_BANDS, SIMHASH60W_BAND_BITS),
+    ):
+        mx = simhash60_max_bucket(spark, sf_dir, n_bands, bits)
+        assert mx <= SIMHASH60_BUCKET_CAP, (
+            f"precondition: cap must be inert at fixture scale "
+            f"({n_bands}x{bits}-bit max bucket = {mx})"
+        )
 
     narrow = {
         (r.id_a, r.id_b)

@@ -738,13 +738,23 @@ def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the self-join goes quadratic there — the cap bounds candidate
     pairs by cap²/2 per bucket and is inert at fixture scale (max
     measured bucket = 4)."""
+    return _simhash60_banded_pairs(
+        spark, sf_dir, SIMHASH60_BANDS, SIMHASH60_BAND_BITS, SIMHASH60_HAM_T
+    )
+
+
+def _simhash60_bands(
+    spark: SparkSession, sf_dir: str, n_bands: int, band_bits: int
+) -> DataFrame:
+    """(doc_id, sig, band, bv) band table of the 60-bit signatures —
+    the one banding pipeline both geometry configs share."""
     docs = spread(_docs_with_planted_neardups(spark, sf_dir))
     sigs = docs.select(
         "doc_id",
         D.simhash60(D.word_shingles(D.tokens("text"))).alias("sig"),
     )
-    mask = (1 << SIMHASH60_BAND_BITS) - 1
-    bands = sigs.select(
+    mask = (1 << band_bits) - 1
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -752,15 +762,47 @@ def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("sig", b * SIMHASH60_BAND_BITS)
+                        F.shiftright("sig", b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("bv"),
                     )
-                    for b in range(SIMHASH60_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+
+
+def simhash60_max_bucket(
+    spark: SparkSession, sf_dir: str, n_bands: int, band_bits: int
+) -> int:
+    """Largest band-bucket membership for a geometry — the test-side
+    precondition probe: the wide-⊆-narrow pair-set property (and the
+    'cap is inert' claims) hold exactly while this stays ≤
+    ``SIMHASH60_BUCKET_CAP``."""
+    row = (
+        _simhash60_bands(spark, sf_dir, n_bands, band_bits)
+        .groupBy("band", "bv")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]
+    )
+    return int(row["m"] or 0)
+
+
+def _simhash60_banded_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int,
+    band_bits: int,
+    ham_t: int,
+) -> DataFrame:
+    """Shared banding→cap→self-join→Hamming-verify pipeline for the
+    two 60-bit SimHash geometries (4×15/ham3 and 3×20/ham2) — one
+    implementation so a fix lands on both configs at once."""
+    bands = _simhash60_bands(spark, sf_dir, n_bands, band_bits)
     hot = (
         bands.groupBy("band", "bv")
         .agg(F.count("*").alias("bn"))
@@ -786,7 +828,7 @@ def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("hamming"),
         )
-        .filter(F.col("hamming") <= SIMHASH60_HAM_T)
+        .filter(F.col("hamming") <= ham_t)
     )
 
 
@@ -818,8 +860,11 @@ def simhash60_bits_sql(dt_col: str = "dt") -> str:
     )
 
 
-def _oracle_simhash60_pairs() -> str:
-    mask = (1 << SIMHASH60_BAND_BITS) - 1
+def _oracle_simhash60_banded(n_bands: int, band_bits: int, ham_t: int) -> str:
+    """Shared DuckDB replay of ``_simhash60_banded_pairs`` for any
+    band geometry — one SQL text so a fix lands on both configs."""
+    mask = (1 << band_bits) - 1
+    bs = ", ".join(f"({b})" for b in range(n_bands))
     return f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -843,8 +888,8 @@ t AS (
 sigs AS (SELECT doc_id, {simhash60_bits_sql()} AS sig FROM t),
 bands0 AS (
   SELECT doc_id, sig, band,
-         (sig >> (band * {SIMHASH60_BAND_BITS})) & {mask} AS bv
-  FROM sigs, (VALUES (0), (1), (2), (3)) AS bs(band)
+         (sig >> (band * {band_bits})) & {mask} AS bv
+  FROM sigs, (VALUES {bs}) AS bs(band)
 ),
 hot AS (
   SELECT band, bv FROM bands0 GROUP BY band, bv
@@ -862,8 +907,14 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH60_HAM_T}
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {ham_t}
 """
+
+
+def _oracle_simhash60_pairs() -> str:
+    return _oracle_simhash60_banded(
+        SIMHASH60_BANDS, SIMHASH60_BAND_BITS, SIMHASH60_HAM_T
+    )
 
 
 # --- 60-bit SimHash, wide-band corpus-scale config ----------------------
@@ -887,107 +938,15 @@ def q_simhash60_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius keeps them), same bucket cap for template skew. The
     narrow-band form remains the higher-recall choice for sub-100k
     shards; pick by corpus size, as Manku et al.'s table layouts do."""
-    docs = spread(_docs_with_planted_neardups(spark, sf_dir))
-    sigs = docs.select(
-        "doc_id",
-        D.simhash60(D.word_shingles(D.tokens("text"))).alias("sig"),
-    )
-    mask = (1 << SIMHASH60W_BAND_BITS) - 1
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * SIMHASH60W_BAND_BITS)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bv"),
-                    )
-                    for b in range(SIMHASH60W_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
-    )
-    hot = (
-        bands.groupBy("band", "bv")
-        .agg(F.count("*").alias("bn"))
-        .filter(F.col("bn") > SIMHASH60_BUCKET_CAP)
-        .select("band", "bv")
-    )
-    bands = bands.join(F.broadcast(hot), ["band", "bv"], "left_anti")
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bv"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bv"
-    )
-    return (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-            .cast("bigint")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= SIMHASH60W_HAM_T)
+    return _simhash60_banded_pairs(
+        spark, sf_dir, SIMHASH60W_BANDS, SIMHASH60W_BAND_BITS, SIMHASH60W_HAM_T
     )
 
 
 def _oracle_simhash60_wide_pairs() -> str:
-    mask = (1 << SIMHASH60W_BAND_BITS) - 1
-    bs = ", ".join(f"({b})" for b in range(SIMHASH60W_BANDS))
-    return f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 2000000, text || ' nearduptoken' FROM documents
-  WHERE doc_id % 10 = 0
-),
-tk AS (
-  SELECT doc_id,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-  FROM corpus
-),
-t AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           generate_series(1, greatest(len(toks) - 4, 1)),
-           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
-         )) AS dt
-  FROM tk
-),
-sigs AS (SELECT doc_id, {simhash60_bits_sql()} AS sig FROM t),
-bands0 AS (
-  SELECT doc_id, sig, band,
-         (sig >> (band * {SIMHASH60W_BAND_BITS})) & {mask} AS bv
-  FROM sigs, (VALUES {bs}) AS bs(band)
-),
-hot AS (
-  SELECT band, bv FROM bands0 GROUP BY band, bv
-  HAVING count(*) > {SIMHASH60_BUCKET_CAP}
-),
-bands AS (
-  SELECT b.* FROM bands0 b
-  WHERE NOT EXISTS (SELECT 1 FROM hot h
-                    WHERE h.band = b.band AND h.bv = b.bv)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  a.sig AS sig_a, b.sig AS sig_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-  WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH60W_HAM_T}
-"""
+    return _oracle_simhash60_banded(
+        SIMHASH60W_BANDS, SIMHASH60W_BAND_BITS, SIMHASH60W_HAM_T
+    )
 
 
 # --- embedding-cosine near-dup ----------------------------------------

@@ -960,24 +960,20 @@ def q_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash family and estimate arithmetic identical to
     ``suite/quality.py``'s sketch — register sums exact bigints, one
     shared-literal IEEE division per day."""
-    from .quality import _HLL_C, HLL_M, HLL_RHO_MAX
+    from .quality import _HLL_C, HLL_M, HLL_RHO_MAX, hll_registers
 
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    w = F.expr(f"h DIV {HLL_M}")
-    jw = ev.select("day", h.alias("h")).select(
-        "day",
-        (F.col("h") % HLL_M).alias("j"),
-        F.when(w == 0, F.lit(HLL_RHO_MAX))
-        .otherwise(F.bit_count(w.bitwiseAND(-w) - 1) + 1)
-        .cast("int")
-        .alias("rho"),
-    )
-    daily = jw.groupBy("day", "j").agg(F.max("rho").alias("m"))
+    # the ONE register builder (same hash family, same rho arithmetic
+    # as unit_hll_distinct / unit_hll_join_overlap — by construction,
+    # not by parallel maintenance): day plays the builder's group key
+    daily = hll_registers(
+        ev.select(
+            F.col("day").alias("priority"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+    ).select(F.col("priority").alias("day"), "j", "m")
     days = daily.select("day").distinct()
     trail = (
         days.alias("d")

@@ -976,16 +976,14 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "chunk_idx",
             "cvec",
-            (-F.col("cells")[0]["neg_cent"]).alias("primary_cent"),
-            F.posexplode("cells").alias("arn", "cell"),
+            F.transform("cells", lambda c: -c["neg_cent"]).alias("cells"),
         )
         .select(
             "doc_id",
             "chunk_idx",
             "cvec",
-            "primary_cent",
-            "arn",
-            (-F.col("cell.neg_cent")).alias("cent_id"),
+            "cells",
+            F.posexplode("cells").alias("arn", "cent_id"),
         )
     )
     p_w = Window.partitionBy("query_doc_id").orderBy(
@@ -1006,22 +1004,29 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the tiny probe side (|queries|·nprobe rows) so the
     # chunk index joins in place — it never shuffles, at any corpus
     # size; the per-cell scan is the join's build-probe.
-    # A pair reachable through BOTH of a chunk's assigned cells would
-    # rank twice. Dedup BEFORE scoring, with a broadcast membership
-    # probe instead of a second wide shuffle (a distinct over the
-    # scored pairs doubled the shuffled volume and OOM'd the 100×
-    # replica): keep a secondary-cell row only when the chunk's
-    # PRIMARY cell is not among this query's probes — pure map-side.
-    probe_pairs = probes.select(
-        "query_doc_id", F.col("cent_id").alias("primary_cent")
-    ).withColumn("__probed", F.lit(1))
+    # A pair reachable through SEVERAL of a chunk's assigned cells
+    # would rank once per reachable cell. Dedup BEFORE scoring, with a
+    # map-side rule instead of a second wide shuffle (a distinct over
+    # the scored pairs doubled the shuffled volume and OOM'd the 100×
+    # replica): each probe row carries the query's full probed-cell
+    # set, each assigned row the chunk's rank-ordered cell list, and a
+    # row survives only when NO lower-rank cell of the chunk is among
+    # this query's probes — the pair is kept exactly once, through the
+    # best reachable cell, for ANY RAG_ASSIGN. Pure expressions, no
+    # extra exchange.
+    probe_sets = probes.groupBy("query_doc_id").agg(
+        F.collect_list("cent_id").alias("probed")
+    )
+    probes = probes.join(F.broadcast(probe_sets), "query_doc_id")
     scored = (
         F.broadcast(probes).join(assigned, "cent_id")
         .filter(F.col("doc_id") != F.col("query_doc_id"))
-        .join(
-            F.broadcast(probe_pairs), ["query_doc_id", "primary_cent"], "left"
+        .filter(
+            ~F.arrays_overlap(
+                F.slice(F.col("cells"), F.lit(1), F.col("arn")),
+                F.col("probed"),
+            )
         )
-        .filter((F.col("arn") == 0) | F.col("__probed").isNull())
         .select(
             "query_doc_id",
             "doc_id",
@@ -1163,10 +1168,6 @@ assigned AS (
     FROM cvecs c CROSS JOIN cents ct
   ) WHERE arn <= {RAG_ASSIGN}
 ),
-prim AS (
-  SELECT doc_id, chunk_idx, cent_id AS primary_cent
-  FROM assigned WHERE arn = 1
-),
 probes AS (
   SELECT query_doc_id, v, cent_id FROM (
     SELECT q.query_doc_id, q.v, ct.cent_id,
@@ -1181,12 +1182,13 @@ scored AS (
          ROUND({dot_sql('p.v', 'a.v')}, 6) AS cos_sim
   FROM probes p
   JOIN assigned a ON p.cent_id = a.cent_id
-  JOIN prim pr ON pr.doc_id = a.doc_id AND pr.chunk_idx = a.chunk_idx
   WHERE a.doc_id <> p.query_doc_id
-    AND (a.arn = 1 OR NOT EXISTS (
-      SELECT 1 FROM probes p2
-      WHERE p2.query_doc_id = p.query_doc_id
-        AND p2.cent_id = pr.primary_cent))
+    AND NOT EXISTS (
+      SELECT 1 FROM assigned a2 JOIN probes p2
+        ON p2.cent_id = a2.cent_id
+       AND p2.query_doc_id = p.query_doc_id
+      WHERE a2.doc_id = a.doc_id AND a2.chunk_idx = a.chunk_idx
+        AND a2.arn < a.arn)
 )
 SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_doc_id
