@@ -1811,6 +1811,105 @@ FROM d
 """
 
 
+# --- trimmed mean ---------------------------------------------------------
+
+TRIM_PCT_E2 = 5  # trim 5% from each tail (integer percent)
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 5%-TRIMMED mean of order value — the robust location
+    estimator completing the family (median/MAD, Tukey fences,
+    rank-sum): outliers beyond the 5th/95th rank are excluded
+    entirely, boundary values included PARTIALLY by exact rank
+    arithmetic. All integer: per (group, value-cents) counts, a
+    cumulative count over distinct values, trim bounds lo =
+    floor(n·5%) and hi = n − lo, and each value contributes
+    min(cum, hi) − max(cum_before, lo) copies (clamped ≥ 0) to an
+    exact cents sum over exactly hi − lo retained copies — no
+    interpolation, no float until the final division (rounded 6).
+
+    Scale: the value-HISTOGRAM formulation again — one map-side-
+    combining (group, value) count; the cumulative window partitions
+    by GROUP over distinct values (per-group-parallel; see
+    unit_mannwhitney_u's banded form for the near-unique global
+    case)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    hist = (
+        orders.select(
+            F.col("o_orderpriority").alias("grp"), cents.alias("v")
+        )
+        .groupBy("grp", "v")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w_tot = Window.partitionBy("grp")
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "grp",
+        "v",
+        "n",
+        F.sum("n").over(w_tot).alias("n_tot"),
+        F.sum("n").over(w_cum).alias("cum"),
+    ).withColumn("cum_before", F.col("cum") - F.col("n"))
+    lo = F.expr(f"n_tot * {TRIM_PCT_E2} DIV 100")
+    hi = F.col("n_tot") - lo
+    kept = F.greatest(
+        F.least(F.col("cum"), hi) - F.greatest(F.col("cum_before"), lo),
+        F.lit(0),
+    )
+    agg = (
+        cum.withColumn("kept", kept)
+        .groupBy("grp")
+        .agg(
+            F.first("n_tot").alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("v")).cast("bigint").alias("s_kept"),
+        )
+    )
+    return agg.select(
+        "grp",
+        "n_total",
+        "n_kept",
+        F.round(
+            F.col("s_kept").cast("double") / (F.col("n_kept") * 100), 6
+        ).alias("trimmed_mean"),
+    )
+
+
+ORACLE_TRIMMED_MEAN = f"""
+WITH hist AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, v, n,
+         CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS n_tot,
+         CAST(SUM(n) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM hist
+),
+kept AS (
+  SELECT grp, v, n_tot,
+         greatest(least(cum, n_tot - (n_tot * {TRIM_PCT_E2} // 100))
+                  - greatest(cum - n, n_tot * {TRIM_PCT_E2} // 100), 0)
+           AS k
+  FROM cum
+)
+SELECT grp, CAST(min(n_tot) AS BIGINT) AS n_total,
+       CAST(sum(k) AS BIGINT) AS n_kept,
+       ROUND(CAST(sum(k * v) AS DOUBLE) / (sum(k) * 100), 6)
+         AS trimmed_mean
+FROM kept GROUP BY grp
+"""
+
+
 # --- Mann-Whitney U rank-sum test ---------------------------------------
 
 MWU_BUCKET_CENTS = 100_000  # $1000 value bands for the two-level cumsum
@@ -2460,6 +2559,8 @@ UNIT_SPECS = [
               "Mann-Whitney U rank-sum test, exact doubled-rank integers"),
     QuerySpec("unit_did_readout", q_did_readout, ORACLE_DID_READOUT,
               "difference-in-differences causal readout, exact moments"),
+    QuerySpec("unit_trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
+              "5%-trimmed mean per group, exact histogram rank arithmetic"),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
     QuerySpec("unit_cuped_adjustment", q_cuped_adjustment, ORACLE_CUPED,
