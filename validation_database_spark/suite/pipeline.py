@@ -556,6 +556,116 @@ WHERE valid_from <= '{SCD2_AS_OF}'
 """
 
 
+# --- group-aware split audit ---------------------------------------------
+
+SPLIT_TEST_HEX = "c"  # md5 nibble ≥ 'c' → test (≈25%)
+
+
+def q_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test splitting audit (the GroupKFold rule:
+    all rows of a group must land in ONE split) at chunk grain: the
+    same sliding chunks two ways — a NAIVE row hash over
+    (doc_id, chunk_idx) vs a GROUP hash over doc_id alone — with, per
+    strategy, the split sizes and the number of CONTAMINATED docs
+    (docs with chunks in both splits). Adjacent chunks overlap by
+    construction (64/48 stride), so a contaminated doc leaks
+    near-duplicate text across the split boundary — the naive
+    strategy shows the leak is large, the group strategy proves it is
+    exactly zero. The audit every train/val/test cut of chunked or
+    augmented data needs before any benchmark number is trusted.
+
+    Scale: two narrow hash maps over the chunk table + one per-doc
+    aggregation; output is 2 strategy rows."""
+    from ..util import spread
+    from .text import _STRIDE, CHUNK_SIZE, _tokens  # noqa: F401
+
+    docs = spread(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_STRIDE)
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(starts).alias("chunk_idx", "st")
+    ).select("doc_id", "chunk_idx")
+
+    def audit(split_col, name):
+        per_doc = (
+            chunks.withColumn(
+                "is_test", (split_col >= SPLIT_TEST_HEX).cast("int")
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.sum("is_test").alias("n_test"),
+            )
+        )
+        return per_doc.agg(
+            F.lit(name).alias("strategy"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("n_test").cast("bigint").alias("n_test_chunks"),
+            F.sum(
+                F.when(
+                    (F.col("n_test") > 0) & (F.col("n_test") < F.col("n_chunks")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("contaminated_docs"),
+        )
+
+    naive = F.substring(
+        F.md5(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+            )
+        ),
+        1,
+        1,
+    )
+    grouped = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return audit(naive, "naive_row_hash").unionByName(
+        audit(grouped, "group_by_doc")
+    )
+
+
+def _oracle_group_split_audit() -> str:
+    from .text import _STRIDE, _tokens_sql
+
+    return f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+           (greatest(len(toks), 1) + {_STRIDE} - 1) // {_STRIDE} - 1))
+           AS chunk_idx
+  FROM t
+),
+splits AS (
+  SELECT 'naive_row_hash' AS strategy, doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                   || CAST(chunk_idx AS VARCHAR)), 1, 1)
+                   >= '{SPLIT_TEST_HEX}' THEN 1 ELSE 0 END AS is_test
+  FROM chunks
+  UNION ALL
+  SELECT 'group_by_doc', doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   >= '{SPLIT_TEST_HEX}' THEN 1 ELSE 0 END
+  FROM chunks
+),
+per_doc AS (
+  SELECT strategy, doc_id, count(*) AS n_chunks, sum(is_test) AS n_test
+  FROM splits GROUP BY strategy, doc_id
+)
+SELECT strategy,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(n_test) AS BIGINT) AS n_test_chunks,
+       CAST(sum(CASE WHEN n_test > 0 AND n_test < n_chunks
+                     THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs
+FROM per_doc GROUP BY strategy
+"""
+
+
 # --- out-of-fold target encoding ----------------------------------------
 
 TE_FOLDS = 5
@@ -1583,6 +1693,9 @@ UNIT_SPECS = [
               "per-row temporal join: fact enriched with its valid version"),
     QuerySpec("unit_target_encode", q_target_encode, ORACLE_TARGET_ENCODE,
               "leakage-safe out-of-fold target encoding, exact moments"),
+    QuerySpec("unit_group_split_audit", q_group_split_audit,
+              _oracle_group_split_audit(),
+              "GroupKFold split audit: naive row-hash leaks, by-doc doesn't"),
     QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
               "fixed-bin width_bucket histogram"),
     QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
