@@ -1365,6 +1365,133 @@ FROM feat f LEFT JOIN fut ON f.user_id = fut.user_id
 """
 
 
+# --- churn-feature AUC ----------------------------------------------------
+
+CHURN_AUC_DAYS = 2  # purchase-churn label window (ANY-event churn is
+                    # empty on the dense fixture — every user has some
+                    # event in any trailing window; purchases are the
+                    # sparse signal with both classes populated)
+
+
+def q_churn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC of a churn feature — model evaluation with no
+    sampling and no trapezoids, via the AUC ≡ Mann–Whitney identity:
+    AUC = U/(n₊·n₋) with midrank tie handling, all computed in the
+    suite's doubled-rank integer arithmetic (`unit_mannwhitney_u`'s
+    machinery pointed at a classifier readout). Label = NO PURCHASE
+    in the trailing 2-day window (purchase-churn — the any-event
+    label is degenerate on the dense fixture); feature = pre-cutoff
+    event count, strictly before the label window (the
+    `unit_churn_labels` leakage rule). An AUC ≈ 0.5 says the feature
+    doesn't rank churners — the one-number triage before training
+    anything. (The fixture reads ≈ 0.52: synthetic activity barely
+    predicts short-window purchasing, and the readout says so — the
+    honest verdict is the point; the arithmetic is what's verified.)
+
+    Exactness: the score histogram is integer (event counts), the
+    rank sum and U are exact bigints, and the single division is
+    shared-shape rounded 6. Scale: one per-user aggregate each side
+    of the cutoff, one (score) histogram with map-side combine, one
+    cumulative window over DISTINCT score values — bounded by the max
+    per-user event count, a feature dimension, never the user
+    count."""
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {CHURN_AUC_DAYS} DAYS")).alias(
+            "cutoff"
+        )
+    )
+    with_cut = ev.crossJoin(F.broadcast(cutoff))
+    feat = (
+        with_cut.filter(F.col("ts") < F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    future = (
+        with_cut.filter(
+            (F.col("ts") >= F.col("cutoff"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("purchased", F.lit(True))
+    )
+    tbl = feat.join(future, "user_id", "left").select(
+        "n_events",
+        (~F.coalesce("purchased", F.lit(False))).alias("churned"),
+    )
+    hist = tbl.groupBy("n_events").agg(
+        F.sum(F.col("churned").cast("int")).cast("bigint").alias("nc"),
+        F.sum((~F.col("churned")).cast("int")).cast("bigint").alias("nr"),
+        F.count("*").cast("bigint").alias("nv"),
+    )
+    w_cb = Window.orderBy("n_events").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.withColumn(
+        "cb", F.coalesce(F.sum("nv").over(w_cb), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("nc").alias("n_churned"),
+        F.sum("nr").alias("n_retained"),
+        F.sum(
+            F.col("nr") * (2 * F.col("cb") + F.col("nv") + 1)
+        ).alias("r2"),
+    )
+    u2 = F.col("r2") - F.col("n_retained") * (F.col("n_retained") + 1)
+    auc = u2.cast("double") / (
+        F.lit(2.0) * F.col("n_retained") * F.col("n_churned")
+    )
+    return agg.select(
+        F.col("n_churned").cast("bigint").alias("n_churned"),
+        F.col("n_retained").cast("bigint").alias("n_retained"),
+        u2.cast("bigint").alias("u_doubled"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+ORACLE_CHURN_AUC = f"""
+WITH {{EV}},
+cut AS (SELECT max(ts) - INTERVAL {CHURN_AUC_DAYS} DAY AS cutoff FROM ev),
+feat AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev, cut WHERE ts < cutoff GROUP BY user_id
+),
+fut AS (
+  SELECT DISTINCT user_id FROM ev, cut
+  WHERE ts >= cutoff AND event_type = 'purchase'
+),
+tbl AS (
+  SELECT n_events, fut.user_id IS NULL AS churned
+  FROM feat LEFT JOIN fut ON feat.user_id = fut.user_id
+),
+hist AS (
+  SELECT n_events AS s,
+         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS nr,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM tbl GROUP BY n_events
+),
+ranked AS (
+  SELECT *, CAST(COALESCE(SUM(nv) OVER (ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cb
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(nc) AS BIGINT) AS n_churned,
+         CAST(sum(nr) AS BIGINT) AS n_retained,
+         CAST(sum(nr * (2 * cb + nv + 1)) AS BIGINT) AS r2
+  FROM ranked
+)
+SELECT n_churned, n_retained,
+       CAST(r2 - n_retained * (n_retained + 1) AS BIGINT) AS u_doubled,
+       ROUND(CAST(r2 - n_retained * (n_retained + 1) AS DOUBLE)
+             / (2.0 * n_retained * n_churned), 6) AS auc
+FROM agg
+"""
+
+
 # --- per-group quantile monitor -------------------------------------------
 
 QUANTILES = (50, 95, 99)
@@ -1754,6 +1881,9 @@ UNIT_SPECS = [
     # its gap semantics stay driver-checked via streaming_session_totals.
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
               "gap-based sessionization (lag + cumsum)", headline=True),
+    QuerySpec("unit_churn_auc", q_churn_auc,
+              ORACLE_CHURN_AUC.replace("{EV}", _EV_CTE),
+              "exact AUC of the churn activity feature (AUC = MWU identity)"),
     QuerySpec("unit_hll_sliding_wau", q_hll_sliding_wau,
               _oracle_hll_sliding_wau().replace("{EV}", _EV_CTE),
               "trailing-7-day distinct users via daily HLL register merge"),
