@@ -83,8 +83,8 @@ def test_rag_ivf_recall_floor(spark, sf_dir):
     with cos_sim >= 0.9 (near-dup passages) must be retrieved at
     >= 0.85; mean recall is pinned loosely to catch breakage."""
     from validation_database_spark.suite.similarity import (
-        RAG_CENT_MOD,
         RAG_N_PROBE,
+        _rag_frames,
         q_rag_retrieval,
         q_rag_retrieval_ivf,
     )
@@ -113,9 +113,12 @@ def test_rag_ivf_recall_floor(spark, sf_dir):
     assert strong_total > 0, "fixture must contain strong (cos>=0.9) pairs"
     strong_recall = strong_hits / strong_total
     assert strong_recall >= 0.85, f"strong recall = {strong_recall:.3f}"
-    # bounded scan: nprobe cells of >= nlist (25 at fixture SF)
-    assert RAG_N_PROBE / 25 <= 0.15
-    assert RAG_CENT_MOD == 20
+    # bounded scan: derive nlist from the ACTUAL centroid frame so a
+    # geometry change (RAG_CENT_MOD/OFF/CAP, fixture doc count) moves
+    # this assertion with it instead of leaving constant arithmetic
+    nlist = _rag_frames(spark, sf_dir)[2].count()
+    assert nlist > 0, "centroid selection produced no cells"
+    assert RAG_N_PROBE / nlist <= 0.15, (RAG_N_PROBE, nlist)
 
 
 def test_ivfpq_structure_and_recall(spark, sf_dir):

@@ -388,14 +388,20 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(RL_W_BAL_DISAGREE)
     ).cast("bigint")
     scored = pairs.select("c_custkey", "r_id", score.alias("score"))
-    # Injective argmax encoding shared with the oracle: score steps are
-    # multiples of 5 (×10^7 ≥ 5·10^7) while r_id spans < 10^7, so
-    # maximizing (score·10^7 − r_id) is exactly (max score, min r_id).
-    combined = F.col("score") * F.lit(10_000_000).cast("bigint") - F.col("r_id")
+    # Argmax via lexicographic struct max — (max score, then min r_id) —
+    # exact at any id range; no scale-conditional encoding (both engines
+    # order structs field-by-field).
+    best = F.max(
+        F.struct(
+            F.col("score").alias("s"),
+            (-F.col("r_id")).alias("n"),
+            F.col("r_id").alias("i"),
+        )
+    )
     return (
         scored.groupBy("c_custkey")
         .agg(
-            F.max_by("r_id", combined).alias("matched_id"),
+            best.getField("i").alias("matched_id"),
             F.max("score").alias("score"),
             F.count("*").alias("n_candidates"),
         )
@@ -432,7 +438,7 @@ scored AS (
 ),
 best AS (
   SELECT c_custkey,
-         max_by(r_id, score * 10000000 - r_id) AS matched_id,
+         (max(struct_pack(s := score, n := -r_id, i := r_id))).i AS matched_id,
          max(score) AS score,
          count(*) AS n_candidates
   FROM scored GROUP BY c_custkey

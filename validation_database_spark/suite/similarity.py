@@ -870,7 +870,10 @@ def _rag_frames(
     dominant serving cost. The chunk table's norms are materialized
     behind a repartition barrier so the O(d) norm fold runs once per
     chunk, not once per element of the division lambda; the
-    query/centroid frames are tiny and normalize inline."""
+    query/centroid frames are tiny and normalize inline. Norms are
+    floored at 1e-12 on BOTH engines: an all-OOV (empty-vector) chunk
+    otherwise yields NaN cosines, which both engines sort above every
+    real score in the descending top-k."""
     from .text import CHUNK_SIZE, _STRIDE, _hash_bucket_counts, _tokens
 
     docs = spread(load_table(spark, "documents", sf_dir)).select(
@@ -887,7 +890,7 @@ def _rag_frames(
         .select(
             "doc_id", "chunk_idx", _hash_bucket_counts(F.col("ctoks")).alias("cv")
         )
-        .withColumn("__n", l2_norm(F.col("cv")))
+        .withColumn("__n", F.greatest(l2_norm(F.col("cv")), F.lit(1e-12)))
     )
     chunks = spread(chunks_raw).select(
         "doc_id",
@@ -898,7 +901,7 @@ def _rag_frames(
         raw = df.select(
             F.col("doc_id").alias(id_alias),
             _hash_bucket_counts(F.col("toks")).alias("v"),
-        ).withColumn("__n", l2_norm(F.col("v")))
+        ).withColumn("__n", F.greatest(l2_norm(F.col("v")), F.lit(1e-12)))
         return spread(raw).select(
             id_alias, F.transform("v", lambda x: x / F.col("__n")).alias(out)
         )
@@ -1001,9 +1004,14 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prn") <= RAG_N_PROBE)
         .select("query_doc_id", "qvec", "cent_id")
     )
-    # broadcast the tiny probe side (|queries|·nprobe rows) so the
-    # chunk index joins in place — it never shuffles, at any corpus
-    # size; the per-cell scan is the join's build-probe.
+    # broadcast the probe side (|queries|·nprobe rows, each carrying a
+    # d-double qvec) so the chunk index joins in place without
+    # shuffling. BOUND: this holds while |queries|·nprobe·d doubles fit
+    # the broadcast limit (~10 MB default ⇒ ~hundreds of thousands of
+    # probe rows at d=64); past that, drop the hint — AQE falls back to
+    # a cent_id-keyed shuffle where the chunk index moves once — or
+    # broadcast only (query_doc_id, cent_id, probed) and attach qvec
+    # via a second query-keyed join after the cell filter.
     # A pair reachable through SEVERAL of a chunk's assigned cells
     # would rank once per reachable cell. Dedup BEFORE scoring, with a
     # map-side rule instead of a second wide shuffle (a distinct over
@@ -1100,7 +1108,11 @@ def _rag_oracle_ctes() -> str:
 
     # unit normalization mirroring _rag_frames (pair scoring is then
     # one sequential dot on both engines)
-    unit = "list_transform({src}, x -> x / sqrt(" + _ds("{src}", "{src}") + "))"
+    unit = (
+        "list_transform({src}, x -> x / greatest(sqrt("
+        + _ds("{src}", "{src}")
+        + "), 1e-12))"
+    )
     return f"""t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
 chunks AS (
   SELECT doc_id, CAST(pos - 1 AS BIGINT) AS chunk_idx,

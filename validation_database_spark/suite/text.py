@@ -2742,9 +2742,13 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bigram counts / context totals / vocab are map-side-
     combining aggregations over the reference half; the model joins
-    back on ``bg`` and ``w1`` — vocabulary-sized dimension joins
-    (broadcast when they fit, shuffle otherwise), never fact×fact; the
-    vocab size is a broadcast 1-row scalar. One linear scan each side."""
+    back on ``bg`` and ``w1`` — vocabulary-sized dimension joins left
+    UNHINTED so AQE broadcasts them when they fit under the threshold
+    and falls back to a key-partitioned shuffle when the reference
+    vocabulary outgrows it (the model tables scale with corpus
+    vocabulary, so a forced broadcast would OOM the driver at 100×);
+    the vocab size is a broadcast 1-row scalar. One linear scan each
+    side."""
     from ..operators.dedup import word_shingles
 
     docs = spread(load_table(spark, "documents", sf_dir))
@@ -2785,8 +2789,8 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     per = (
-        big.join(F.broadcast(c_big), "bg", "left")
-        .join(F.broadcast(c_w1), "w1", "left")
+        big.join(c_big, "bg", "left")
+        .join(c_w1, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")
