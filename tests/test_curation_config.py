@@ -77,3 +77,17 @@ def test_unknown_stage_rejected(tmp_path):
                 {"input": {"sf_dir": "x"}, "stages": {"frobnicate": True}},
             )
         )
+
+
+def test_empty_or_non_mapping_config_raises_valueerror(tmp_path):
+    """Regression (round-4 advisory): an empty YAML file parses to
+    None and a top-level list to a list — both must raise the
+    DOCUMENTED ValueError, not a TypeError from the key checks."""
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("")
+    with pytest.raises(ValueError, match="must be a mapping"):
+        load_curation_config(str(empty))
+    listy = tmp_path / "list.yaml"
+    listy.write_text("- not\n- a\n- mapping\n")
+    with pytest.raises(ValueError, match="must be a mapping"):
+        load_curation_config(str(listy))

@@ -112,3 +112,25 @@ def test_export_hintless_runs_one_job(spark, sf_dir, tmp_path):
     jobs = sc.statusTracker().getJobIdsForGroup("export_job_count")
     assert len(jobs) == 1, f"hintless export ran {len(jobs)} jobs: {jobs}"
     assert paths, "export must produce shards"
+
+
+def test_export_rejects_nonpositive_record_caps(spark, sf_dir, tmp_path):
+    """Regression (round-4 advisory): an explicit 0 cap must be
+    rejected loudly on BOTH export sinks — Spark reads
+    maxRecordsPerFile <= 0 as 'no limit', which would silently void
+    the documented at-most bound."""
+    import pytest
+
+    from validation_database_spark.sources import load_table
+    from validation_database_spark.sources.export import (
+        export_jsonl_shards,
+        write_partitioned_parquet,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    with pytest.raises(ValueError, match="max_records_per_shard must be > 0"):
+        export_jsonl_shards(docs, str(tmp_path / "x"), max_records_per_shard=0)
+    with pytest.raises(ValueError, match="max_records_per_file must be > 0"):
+        write_partitioned_parquet(
+            docs, str(tmp_path / "y"), ["lang"], max_records_per_file=0
+        )

@@ -173,3 +173,44 @@ def test_aqe_splits_skewed_join_at_scale(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_geometry_env_overrides_bake_into_both_engines():
+    """The IVF/RAG geometry knobs (SPARK_GRAFT_IVF_NLIST / RAG_NLIST /
+    RAG_NPROBE / RAG_ASSIGN) must flow into the module constants AND
+    the import-time-baked DuckDB oracle SQL together — a knob that
+    moved only one engine would silently break the value check."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import json\n"
+        "from validation_database_spark.suite import similarity as s\n"
+        "from validation_database_spark.suite.similarity import _oracle_rag_ivf\n"
+        "print(json.dumps({'cap': s.RAG_CENT_CAP, 'nprobe': s.RAG_N_PROBE,"
+        " 'assign': s.RAG_ASSIGN, 'nlist': s.CENTROID_CAP,"
+        " 'oracle_has_cap': ('doc_id < ' + str(s.RAG_CENT_MOD * s.RAG_CENT_CAP))"
+        " in _oracle_rag_ivf()}))\n"
+    )
+    import os
+
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_RAG_NLIST="256",
+        SPARK_GRAFT_RAG_NPROBE="5",
+        SPARK_GRAFT_RAG_ASSIGN="3",
+        SPARK_GRAFT_IVF_NLIST="128",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got == {
+        "cap": 256,
+        "nprobe": 5,
+        "assign": 3,
+        "nlist": 128,
+        "oracle_has_cap": True,
+    }, got

@@ -43,6 +43,10 @@ def export_jsonl_shards(
     binary/array columns upstream if the consumer needs a specific
     encoding.
     """
+    if max_records_per_shard <= 0:
+        # Spark reads maxRecordsPerFile <= 0 as "no limit", which would
+        # silently void the documented AT-MOST contract — reject loudly.
+        raise ValueError("max_records_per_shard must be > 0")
     if shards_hint is not None:
         df = df.repartition(shards_hint)
     (

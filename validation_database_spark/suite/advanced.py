@@ -991,12 +991,8 @@ FROM l2 JOIN sz ON l2.lbl = sz.lbl
 
 
 UNIT_SPECS = [
-    QuerySpec("unit_khop_reach", q_khop_reach, _oracle_khop_reach(),
-              "k-hop BFS reachability with hop labels (frontier joins)"),
     QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
               "pairwise Apriori: support/confidence/lift co-purchase rules"),
-    QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
-              "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
     QuerySpec("unit_session_week_overlap", q_session_week_overlap,
               _oracle_session_week_overlap(),
               "interval × interval overlap join via daily-bin explosion"),
@@ -1009,17 +1005,21 @@ UNIT_SPECS = [
               "range join rewritten as bucketed equi-join"),
     QuerySpec("regression_spend_trend", q_regression_spend_trend, ORACLE_REGRESSION,
               "exact integer-moment OLS slope per customer", headline=True),
+    # rotated out of the driver window in round 6 (driver-green r4–r5;
+    # the per-round isolated SCALE.md number keeps it perf-visible):
+    QuerySpec("unit_triangle_counts", q_triangle_counts, ORACLE_TRIANGLE_COUNTS,
+              "degree-oriented triangle counting + clustering coefficient"),
 ]
 
 
 SPECS = [
-    # not bench-headline: the fixed 20k-part dim under 100x lineitem
-    # makes the fixture graph unrealistically dense at sf0.1+ (every
-    # part co-occurs with hundreds of others), so wedge volume - the
-    # quantity SCALE.md measures and explains - would dominate the
-    # timed suite with a density artifact, not an engine signal.
-    QuerySpec("unit_triangle_counts", q_triangle_counts, ORACLE_TRIANGLE_COUNTS,
-              "degree-oriented triangle counting + clustering coefficient"),
+    # round 6 rotations: the never-driver-checked k-hop BFS and the
+    # freshly struct-max-fixed record linkage take the window slot of
+    # unit_triangle_counts (driver-green r4–r5).
+    QuerySpec("unit_khop_reach", q_khop_reach, _oracle_khop_reach(),
+              "k-hop BFS reachability with hop labels (frontier joins)"),
+    QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
+              "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
     # round 5 rotation into the driver window:
     QuerySpec("unit_kcore", q_kcore, _oracle_kcore(),
               "k-core peeling (3 unrolled rounds), the PageRank pattern"),

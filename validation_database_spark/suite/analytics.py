@@ -2374,12 +2374,16 @@ FROM d
 
 
 SPECS = [
-    QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
-              "TPC-H Q1 measure set at every ROLLUP grouping level",
-              headline=True),
-    QuerySpec("skew_salted_revenue", q_skew_salted_revenue,
-              ORACLE_SKEW_SALTED_REVENUE,
-              "salted join under deliberate key skew", headline=True),
+    # round 6 rotations: the never-driver-checked experimentation trio
+    # (MWU / DiD / trimmed mean — verdict r5 risk list) takes the slots
+    # of agg_pricing_summary + skew_salted_revenue (driver-green r1–r5;
+    # bench still times the headliners from UNIT_SPECS).
+    QuerySpec("unit_mannwhitney_u", q_mannwhitney_u, ORACLE_MANNWHITNEY_U,
+              "Mann-Whitney U rank-sum test, exact doubled-rank integers"),
+    QuerySpec("unit_did_readout", q_did_readout, ORACLE_DID_READOUT,
+              "difference-in-differences causal readout, exact moments"),
+    QuerySpec("unit_trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
+              "5%-trimmed mean per group, exact histogram rank arithmetic"),
     # round 5 rotations into the driver window:
     QuerySpec("unit_poisson_bootstrap", q_poisson_bootstrap,
               _oracle_poisson_bootstrap(),
@@ -2537,8 +2541,9 @@ WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
-# second round-5 rotation (new this round, never driver-checked):
-SPECS += [
+# rotated out in round 6 (driver-green r5; its window slot goes to the
+# never-checked unit_score_lift in suite/text.py):
+UNIT_SPECS_KM = [
     QuerySpec("unit_km_survival", q_km_reorder_survival,
               ORACLE_KM_REORDER_SURVIVAL,
               "Kaplan-Meier reorder survival, right-censored, exact log space"),
@@ -2552,15 +2557,16 @@ SPECS += [
 # 50-entry driver window to make room for previously unit-only
 # operators. Kept as documented standalone operators;
 # tests/test_oracle_parity.py checks them with the same comparator.
-UNIT_SPECS = [
+UNIT_SPECS = UNIT_SPECS_KM + [
     QuerySpec("unit_ab_ztest", q_ab_ztest, ORACLE_AB_ZTEST,
               "two-sample z-test from exact decimal moments"),
-    QuerySpec("unit_mannwhitney_u", q_mannwhitney_u, ORACLE_MANNWHITNEY_U,
-              "Mann-Whitney U rank-sum test, exact doubled-rank integers"),
-    QuerySpec("unit_did_readout", q_did_readout, ORACLE_DID_READOUT,
-              "difference-in-differences causal readout, exact moments"),
-    QuerySpec("unit_trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
-              "5%-trimmed mean per group, exact histogram rank arithmetic"),
+    # rotated out of the driver window in round 6 (driver-green r1–r5):
+    QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
+              "TPC-H Q1 measure set at every ROLLUP grouping level",
+              headline=True),
+    QuerySpec("skew_salted_revenue", q_skew_salted_revenue,
+              ORACLE_SKEW_SALTED_REVENUE,
+              "salted join under deliberate key skew", headline=True),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
     QuerySpec("unit_cuped_adjustment", q_cuped_adjustment, ORACLE_CUPED,

@@ -1820,23 +1820,27 @@ SPECS += [
     QuerySpec("unit_active_time", q_active_time,
               _oracle_active_time().replace("{SESS}", ORACLE_EVENTS_SESSIONIZE),
               "per-user interval-union active time in exact micros"),
-    QuerySpec("unit_peak_concurrency", q_peak_concurrency,
-              _oracle_peak_concurrency().replace("{SESS}", ORACLE_EVENTS_SESSIONIZE),
-              "sweep-line peak concurrent sessions per day"),
-    QuerySpec("unit_dau_wau", q_dau_wau,
-              ORACLE_DAU_WAU.replace("{EV}", _EV_CTE),
-              "DAU / trailing-7-day WAU / stickiness per day"),
-    QuerySpec("unit_markov_transitions", q_markov_transitions,
-              ORACLE_MARKOV_TRANSITIONS.replace("{EV}", _EV_CTE),
-              "first-order Markov transition matrix over user streams"),
-    QuerySpec("unit_seasonal_naive_backtest", q_seasonal_naive_backtest,
-              ORACLE_SEASONAL_NAIVE.replace("{EV}", _EV_CTE),
-              "seasonal-naive forecast MAE/bias floor per event type"),
     # second round-5 rotation (never driver-checked before):
     QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,
               "strict-order funnel: stage N only after stage N-1"),
     QuerySpec("unit_cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
               "weekly signup-cohort retention matrix"),
+    # round 6 rotations: the never-driver-checked churn-AUC / sliding-
+    # HLL-WAU / quantile-monitor / MAD quartet (verdict r5 risk list)
+    # takes the slots of peak_concurrency / dau_wau / markov /
+    # seasonal_naive (each driver-green r5; pytest oracles keep them
+    # true).
+    QuerySpec("unit_churn_auc", q_churn_auc,
+              ORACLE_CHURN_AUC.replace("{EV}", _EV_CTE),
+              "exact AUC of the churn activity feature (AUC = MWU identity)"),
+    QuerySpec("unit_hll_sliding_wau", q_hll_sliding_wau,
+              _oracle_hll_sliding_wau().replace("{EV}", _EV_CTE),
+              "trailing-7-day distinct users via daily HLL register merge"),
+    QuerySpec("unit_quantile_monitor", q_quantile_monitor,
+              ORACLE_QUANTILE_MONITOR.replace("{EV}", _EV_CTE),
+              "exact-rank p50/p95/p99 per group (the dashboard table)"),
+    QuerySpec("unit_mad_anomalies", q_mad_anomalies, ORACLE_MAD_ANOMALIES,
+              "median/MAD modified-z robust outlier flags per type"),
 ]
 
 UNIT_SPECS = [
@@ -1866,27 +1870,29 @@ UNIT_SPECS = [
     QuerySpec("unit_churn_labels", q_churn_labels,
               ORACLE_CHURN_LABELS.replace("{EV}", _EV_CTE),
               "leakage-safe churn training table: label + features"),
-    QuerySpec("unit_quantile_monitor", q_quantile_monitor,
-              ORACLE_QUANTILE_MONITOR.replace("{EV}", _EV_CTE),
-              "exact-rank p50/p95/p99 per group (the dashboard table)"),
     QuerySpec("unit_attribution_last_touch", q_attribution_last_touch,
               ORACLE_ATTRIBUTION_LAST_TOUCH.replace("{EV}", _EV_CTE),
               "7-day last-touch purchase attribution, one window pass"),
     QuerySpec("unit_watermark_audit", q_watermark_audit,
               ORACLE_WATERMARK_AUDIT.replace("{EV}", _EV_CTE),
               "lateness histogram + exact p95 for watermark tuning"),
-    QuerySpec("unit_mad_anomalies", q_mad_anomalies, ORACLE_MAD_ANOMALIES,
-              "median/MAD modified-z robust outlier flags per type"),
     # rotated out in the second round-5 rotation (driver-green r1-r4);
     # its gap semantics stay driver-checked via streaming_session_totals.
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
               "gap-based sessionization (lag + cumsum)", headline=True),
-    QuerySpec("unit_churn_auc", q_churn_auc,
-              ORACLE_CHURN_AUC.replace("{EV}", _EV_CTE),
-              "exact AUC of the churn activity feature (AUC = MWU identity)"),
-    QuerySpec("unit_hll_sliding_wau", q_hll_sliding_wau,
-              _oracle_hll_sliding_wau().replace("{EV}", _EV_CTE),
-              "trailing-7-day distinct users via daily HLL register merge"),
+    # rotated out of the driver window in round 6 (driver-green r5):
+    QuerySpec("unit_peak_concurrency", q_peak_concurrency,
+              _oracle_peak_concurrency().replace("{SESS}", ORACLE_EVENTS_SESSIONIZE),
+              "sweep-line peak concurrent sessions per day"),
+    QuerySpec("unit_dau_wau", q_dau_wau,
+              ORACLE_DAU_WAU.replace("{EV}", _EV_CTE),
+              "DAU / trailing-7-day WAU / stickiness per day"),
+    QuerySpec("unit_markov_transitions", q_markov_transitions,
+              ORACLE_MARKOV_TRANSITIONS.replace("{EV}", _EV_CTE),
+              "first-order Markov transition matrix over user streams"),
+    QuerySpec("unit_seasonal_naive_backtest", q_seasonal_naive_backtest,
+              ORACLE_SEASONAL_NAIVE.replace("{EV}", _EV_CTE),
+              "seasonal-naive forecast MAE/bias floor per event type"),
     QuerySpec("unit_feature_lags", q_feature_lags, ORACLE_FEATURE_LAGS,
               "per-user lag/delta/gap/rolling-mean feature table"),
     QuerySpec("unit_events_json_props", q_events_json_props,

@@ -129,12 +129,10 @@ FROM fr
 """
 
 
-SPECS = [
-    QuerySpec("multimodal_features", q_multimodal_features,
-              ORACLE_MULTIMODAL_FEATURES,
-              "Arrow-batched stub-decode feature extraction, value-checked",
-              headline=True),
-]
+# round 6 rotation: the never-driver-checked frame-sampling and
+# binary-dedup ops take the window; multimodal_features (driver-green
+# r2–r5) moves to the unit surface (bench keeps timing it).
+SPECS = []  # populated after the query definitions below
 
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact media deduplication on the BINARY payload column —
@@ -196,13 +194,21 @@ FROM assets GROUP BY md5(text)
 """
 
 
-UNIT_SPECS = [
+SPECS += [
     QuerySpec("unit_frame_checksums", q_frame_checksums,
               ORACLE_FRAME_CHECKSUMS,
               "video frame sampling + per-frame stub decode, value-checked"),
     QuerySpec("unit_media_dedup", q_media_dedup, ORACLE_MEDIA_DEDUP,
               "binary-payload content-hash dedup with planted copies"),
+]
+
+UNIT_SPECS = [
     # rotated out in the second round-5 rotation (driver-green r2-r4):
     QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
               "per-modality metadata stats, payload-pruning layout"),
+    # rotated out in round 6 (driver-green r2–r5):
+    QuerySpec("multimodal_features", q_multimodal_features,
+              ORACLE_MULTIMODAL_FEATURES,
+              "Arrow-batched stub-decode feature extraction, value-checked",
+              headline=True),
 ]

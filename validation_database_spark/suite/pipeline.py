@@ -1668,26 +1668,10 @@ FROM h
 
 
 SPECS = [
-    QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
-              "MERGE INTO emulation: anti-join + union upsert"),
-]
-
-
-UNIT_SPECS = [
-    # rotated out of the driver window in round 5 (driver-green in r4;
-    # pytest oracles keep them true):
-    QuerySpec("unit_incr_agg", q_incr_agg, ORACLE_INCR_AGG,
-              "incremental materialized-view maintenance under a CDC delta"),
-    QuerySpec("unit_incr_join_view", q_incr_join_view, ORACLE_INCR_JOIN_VIEW,
-              "delta-join IVM: four-leg maintenance of a join view"),
-    QuerySpec("unit_zone_map_prune", q_zone_map_prune, ORACLE_ZONE_MAP_PRUNE,
-              "zone-map min/max pruning audit: arrival vs clustered layout"),
-    QuerySpec("unit_pack_sequences", q_pack_sequences, _oracle_pack_sequences(),
-              "greedy token-budget sequence packing per hash shard"),
-    QuerySpec("unit_scd2_history", q_scd2_history, ORACLE_SCD2_HISTORY,
-              "SCD2 versioned-dimension history via one lead window"),
-    QuerySpec("unit_scd2_as_of", q_scd2_as_of, ORACLE_SCD2_AS_OF,
-              "point-in-time (AS OF) lookup over the SCD2 history"),
+    # round 6 rotations: the never-driver-checked SCD2 temporal join,
+    # out-of-fold target encoding, GroupKFold audit, and delta-join IVM
+    # (verdict r5 risk list) take the window; scd_upsert (driver-green
+    # r2–r5) moves to the unit surface.
     QuerySpec("unit_scd2_temporal_join", q_scd2_temporal_join,
               ORACLE_SCD2_TEMPORAL_JOIN,
               "per-row temporal join: fact enriched with its valid version"),
@@ -1696,6 +1680,27 @@ UNIT_SPECS = [
     QuerySpec("unit_group_split_audit", q_group_split_audit,
               _oracle_group_split_audit(),
               "GroupKFold split audit: naive row-hash leaks, by-doc doesn't"),
+    QuerySpec("unit_incr_join_view", q_incr_join_view, ORACLE_INCR_JOIN_VIEW,
+              "delta-join IVM: four-leg maintenance of a join view"),
+]
+
+
+UNIT_SPECS = [
+    # rotated out of the driver window in round 5 (driver-green in r4;
+    # pytest oracles keep them true):
+    QuerySpec("unit_incr_agg", q_incr_agg, ORACLE_INCR_AGG,
+              "incremental materialized-view maintenance under a CDC delta"),
+    QuerySpec("unit_zone_map_prune", q_zone_map_prune, ORACLE_ZONE_MAP_PRUNE,
+              "zone-map min/max pruning audit: arrival vs clustered layout"),
+    QuerySpec("unit_pack_sequences", q_pack_sequences, _oracle_pack_sequences(),
+              "greedy token-budget sequence packing per hash shard"),
+    QuerySpec("unit_scd2_history", q_scd2_history, ORACLE_SCD2_HISTORY,
+              "SCD2 versioned-dimension history via one lead window"),
+    QuerySpec("unit_scd2_as_of", q_scd2_as_of, ORACLE_SCD2_AS_OF,
+              "point-in-time (AS OF) lookup over the SCD2 history"),
+    # rotated out in round 6 (driver-green r2–r5):
+    QuerySpec("scd_upsert", q_scd_upsert, ORACLE_SCD_UPSERT,
+              "MERGE INTO emulation: anti-join + union upsert"),
     QuerySpec("price_histogram", q_price_histogram, ORACLE_PRICE_HISTOGRAM,
               "fixed-bin width_bucket histogram"),
     QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,

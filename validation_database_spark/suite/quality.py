@@ -1121,14 +1121,16 @@ FROM lineitem
 
 
 SPECS = [
-    QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
-              "declarative data-quality rule report (7 rules + FK)"),
-    QuerySpec("dq_benford", q_dq_benford, ORACLE_DQ_BENFORD,
-              "Benford leading-digit distribution screening"),
     # second round-5 rotation: the HLL sketch (never driver-checked)
     # takes profile_orders' slot (driver-green r2-r4).
     QuerySpec("unit_hll_distinct", q_hll_distinct, ORACLE_HLL_DISTINCT,
               "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
+    # round 6 rotation: the never-driver-checked HLL join-overlap
+    # estimator takes the dq_orders/dq_benford slots (driver-green
+    # r2–r5; pytest oracles keep them true).
+    QuerySpec("unit_hll_join_overlap", q_hll_join_overlap,
+              ORACLE_HLL_JOIN_OVERLAP,
+              "HLL union + inclusion-exclusion join-key overlap estimate"),
 ]
 
 
@@ -1146,9 +1148,11 @@ UNIT_SPECS = [
               "single-pass column profiling (nulls/distinct/min/max)"),
     QuerySpec("unit_join_audit", q_join_audit, ORACLE_JOIN_AUDIT,
               "pre-join key-overlap / fan-out / cardinality audit"),
-    QuerySpec("unit_hll_join_overlap", q_hll_join_overlap,
-              ORACLE_HLL_JOIN_OVERLAP,
-              "HLL union + inclusion-exclusion join-key overlap estimate"),
+    # rotated out in round 6 (driver-green r2–r5):
+    QuerySpec("dq_orders", q_dq_orders, ORACLE_DQ_ORDERS,
+              "declarative data-quality rule report (7 rules + FK)"),
+    QuerySpec("dq_benford", q_dq_benford, ORACLE_DQ_BENFORD,
+              "Benford leading-digit distribution screening"),
     QuerySpec("unit_quality_funnel", q_quality_funnel, _oracle_quality_funnel(),
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,

@@ -24,8 +24,21 @@ from ..sources import load_table
 from ..util import spread
 from . import QuerySpec
 
+def _geo(name: str, default: int) -> int:
+    """IVF/RAG geometry knob (verdict r5 ask #5): the DEFAULT is the
+    fixture-determinism value every oracle replays; a deployment sizes
+    it to the corpus (nlist ∝ √n, the Faiss guideline) via
+    ``SPARK_GRAFT_<NAME>``. Read once at import so the Spark builders
+    and the f-string DuckDB oracles bake the SAME geometry — the
+    cross-engine value check stays exact at any setting (SCALE.md's
+    "IVF geometry sweep" has the measured nlist 64-vs-256 slope)."""
+    import os
+
+    return int(os.environ.get(f"SPARK_GRAFT_{name}", default))
+
+
 TOP_K = 10
-N_PROBE = 2
+N_PROBE = _geo("IVF_NPROBE", 2)
 QUERY_MOD = 100   # vec_id % 100 == 0 → query set
 CENTROID_MOD = 50
 CENTROID_OFF = 7  # vec_id % 50 == 7 → centroid set
@@ -35,8 +48,8 @@ CENTROID_OFF = 7  # vec_id % 50 == 7 → centroid set
 # replica (100k vectors × 2000 centroids). The cap keeps the fixture
 # SFs unchanged (sf0.1 has 40 modular centroids < 64) and bounds the
 # index at scale, where you would train nlist centroids, not sample
-# n/50.
-CENTROID_CAP = 64  # max centroids: vec_id DIV 50 < 64 → vec_id < 3200
+# n/50. Overridable: SPARK_GRAFT_IVF_NLIST (see _geo).
+CENTROID_CAP = _geo("IVF_NLIST", 64)  # vec_id DIV 50 < cap
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,7 +848,7 @@ RAG_TOP_K = 3
 # nearest cells. 25 cells at sf0.01, 64 from sf0.1 up.
 RAG_CENT_MOD = 20
 RAG_CENT_OFF = 3
-RAG_CENT_CAP = 64
+RAG_CENT_CAP = _geo("RAG_NLIST", 64)
 # nprobe sweep at sf0.001 (25 cells, recall vs the brute truth):
 #   nprobe  scan%  mean recall@3  strong recall (cos>=0.9)
 #     2       8%      0.533            0.857
@@ -844,14 +857,14 @@ RAG_CENT_CAP = 64
 # Background recall tracks scan fraction on the near-uniform fixture
 # vectors (same regime as SRP-LSH — see LSH_BITS note); the served
 # high-cos regime is what the floor pins (tests/test_ann_recall.py).
-RAG_N_PROBE = 3
+RAG_N_PROBE = _geo("RAG_NPROBE", 3)
 # Redundant assignment: each chunk is indexed in its top-RAG_ASSIGN
 # cells (the standard IVF boundary-straddle fix — a 0.9-cos neighbor
 # sitting just across a Voronoi edge from the query's probed cells is
 # otherwise unreachable at ANY nprobe; measured at sf0.01, one of the
 # four strong pairs was exactly this case). Index size ×RAG_ASSIGN,
 # recall contract restored; the serving scan is unchanged.
-RAG_ASSIGN = 2
+RAG_ASSIGN = _geo("RAG_ASSIGN", 2)
 
 
 def _rag_frames(
@@ -1711,17 +1724,19 @@ FROM pairs
 
 
 SPECS = [
-    QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
-              "brute-force baseline + IVF scale-path cosine top-10",
-              headline=True),
-    # round 4 rotations into the driver window:
-    QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
-              "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
-              headline=True),
     # round 5 rotation into the driver window:
     QuerySpec("rag_retrieval", q_rag_retrieval_ivf, _oracle_rag_ivf(),
               "IVF-served RAG chunk retrieval: probe nprobe cells, top-3",
               headline=True),
+    # round 6 rotations: the never-driver-checked quantization /
+    # projection trio takes the slots of ann_topk + semantic_dedup
+    # (driver-green r2–r5 / r4–r5; bench still times the headliners).
+    QuerySpec("unit_pq_quantize", q_pq_quantize, ORACLE_PQ_QUANTIZE,
+              "product-quantization 8x8 codebook encode + exact recon error"),
+    QuerySpec("unit_jl_projection", q_jl_projection, _oracle_jl_projection(),
+              "Johnson-Lindenstrauss 64->16 sign projection + norm audit"),
+    QuerySpec("unit_ann_ivfpq", q_ann_ivfpq, _oracle_ann_ivfpq(),
+              "IVF-PQ: cell-probed ANN with e6-exact ADC LUT scoring"),
 ]
 
 UNIT_SPECS = [
@@ -1734,14 +1749,15 @@ UNIT_SPECS = [
               "per-label centroid cosine matrix, e6-exact reductions"),
     QuerySpec("unit_embed_quantize", q_embed_quantize, ORACLE_EMBED_QUANTIZE,
               "symmetric int8 vector quantization with error audit"),
-    QuerySpec("unit_pq_quantize", q_pq_quantize, ORACLE_PQ_QUANTIZE,
-              "product-quantization 8x8 codebook encode + exact recon error"),
-    QuerySpec("unit_jl_projection", q_jl_projection, _oracle_jl_projection(),
-              "Johnson-Lindenstrauss 64->16 sign projection + norm audit"),
-    QuerySpec("unit_ann_ivfpq", q_ann_ivfpq, _oracle_ann_ivfpq(),
-              "IVF-PQ: cell-probed ANN with e6-exact ADC LUT scoring"),
     QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
               "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
     QuerySpec("unit_hard_negatives", q_hard_negatives, _oracle_hard_negatives(),
               "contrastive pair mining: nearest positive + hard negative"),
+    # rotated out in round 6 (driver-green r2–r5 / r4–r5):
+    QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
+              "brute-force baseline + IVF scale-path cosine top-10",
+              headline=True),
+    QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
+              "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
+              headline=True),
 ]

@@ -214,20 +214,22 @@ SPECS = [
     QuerySpec("streaming_session_totals", q_streaming_session_totals,
               ORACLE_STREAMING_SESSION_TOTALS,
               "append-mode session_window ≡ SQL watermark-closed set"),
+]
+
+
+UNIT_SPECS = [
+    # rotated out in the second round-5 rotation (driver-green r1-r4);
+    # the streaming family keeps the session-window driver row.
+    QuerySpec("streaming_window_counts", q_streaming_window_counts,
+              ORACLE_STREAMING_WINDOW_COUNTS,
+              "Structured Streaming tumbling windows ≡ SQL oracle"),
+    # rotated out in round 6 (user totals driver-green r2–r5,
+    # incremental dedup r4–r5); exactly-once + recovery stay pinned by
+    # tests/test_streaming_recovery.py.
     QuerySpec("streaming_user_totals_final", q_streaming_user_totals_final,
               ORACLE_STREAMING_USER_TOTALS_FINAL,
               "applyInPandasWithState final state ≡ SQL (exact cents)"),
     QuerySpec("streaming_incremental_dedup", q_streaming_incremental_dedup,
               _oracle_streaming_incremental_dedup(),
               "stream-static LSH dedup of an unbounded crawl batch ≡ SQL"),
-]
-
-
-UNIT_SPECS = [
-    # rotated out in the second round-5 rotation (driver-green r1-r4);
-    # the streaming family keeps three driver rows (session totals,
-    # stateful user totals, stream-static incremental dedup).
-    QuerySpec("streaming_window_counts", q_streaming_window_counts,
-              ORACLE_STREAMING_WINDOW_COUNTS,
-              "Structured Streaming tumbling windows ≡ SQL oracle"),
 ]

@@ -2870,6 +2870,10 @@ SPECS += [
     QuerySpec("unit_lm_perplexity_filter", q_lm_perplexity_filter,
               ORACLE_LM_PERPLEXITY_FILTER,
               "CCNet-style add-one bigram-LM perplexity keep/drop filter"),
+    # round 6 rotation: the never-driver-checked classifier gains table
+    # takes unit_km_survival's slot (driver-green r5, now unit surface).
+    QuerySpec("unit_score_lift", q_score_lift, _oracle_score_lift(),
+              "score-band gains/lift table for the quality classifier"),
 ]
 
 
@@ -2935,8 +2939,6 @@ UNIT_SPECS = [
     QuerySpec("unit_source_reputation", q_source_reputation,
               ORACLE_SOURCE_REPUTATION,
               "per-source curation rollup: counts + exact mean quality"),
-    QuerySpec("unit_score_lift", q_score_lift, _oracle_score_lift(),
-              "score-band gains/lift table for the quality classifier"),
     # rotated out in the second round-5 rotation (driver-green r1-r4):
     QuerySpec("text_chunks", q_text_chunks, ORACLE_TEXT_CHUNKS,
               "sliding-window passage chunking (64/16 overlap)"),
