@@ -132,6 +132,11 @@ def main() -> None:
     # of the driver's 50-entry correctness window, but their perf is
     # part of the engine's story).
     specs.update({n: s for n, s in unit_specs().items() if s.headline})
+    if only:
+        # isolation mode may target ANY spec, not just the timed suite
+        specs.update(
+            {n: s for n, s in unit_specs().items() if n not in specs}
+        )
 
     # Warm the JVM + parquet footers (every table, not just orders) so
     # first-run timings measure the engine, not session startup or
@@ -152,7 +157,22 @@ def main() -> None:
     warm: dict[str, float] = {}
     extra = [n for n in specs if n not in HEADLINE and specs[n].headline]
     timed = only if only else HEADLINE + extra
+    # Isolation protocol (VERDICT r5 ask #2): ``--only`` also accepts
+    # the pseudo-entries ``e2e`` and ``baseline_match`` so the
+    # reference-shaped composites get the same fresh-process isolated
+    # cold/warm numbers as the per-query entries.
     for name in timed:
+        if name == "e2e":
+            timings[name] = round(reference_shaped_e2e(spark, sf_dir), 4)
+            warm[name] = round(reference_shaped_e2e(spark, sf_dir), 4)
+            continue
+        if name == "baseline_match":
+            bm_c = baseline_match_point(spark, sf_dir)
+            bm_w = baseline_match_point(spark, sf_dir)
+            if bm_c and bm_w:
+                timings[name] = bm_c["e2e_sec"]
+                warm[name] = bm_w["e2e_sec"]
+            continue
         if name not in specs:
             continue
         fn = specs[name].spark_fn
