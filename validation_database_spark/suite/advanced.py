@@ -991,13 +991,14 @@ FROM l2 JOIN sz ON l2.lbl = sz.lbl
 
 
 UNIT_SPECS = [
-    QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
-              "pairwise Apriori: support/confidence/lift co-purchase rules"),
-    QuerySpec("unit_session_week_overlap", q_session_week_overlap,
-              _oracle_session_week_overlap(),
-              "interval × interval overlap join via daily-bin explosion"),
-    QuerySpec("unit_fuzzy_key_join", q_fuzzy_key_join, ORACLE_FUZZY_KEY_JOIN,
-              "blocked fuzzy key join: prefix blocking + levenshtein best-match"),
+    # rotated out in the second round-6 rotation (driver-green r5):
+    QuerySpec("unit_kcore", q_kcore, _oracle_kcore(),
+              "k-core peeling (3 unrolled rounds), the PageRank pattern"),
+    QuerySpec("unit_hits_scores", q_hits_scores, ORACLE_HITS_SCORES,
+              "HITS hubs/authorities, 2 integer-exact iterations (bipartite)"),
+    QuerySpec("unit_label_propagation", q_label_propagation,
+              ORACLE_LABEL_PROPAGATION,
+              "2-round synchronous LPA communities, min-label tie-break"),
     # rotated out of the driver window in round 4 (driver-green since r2):
     QuerySpec("asof_view_before_purchase", q_asof_view_before_purchase, ORACLE_ASOF,
               "as-of backward join via last_value IGNORE NULLS", headline=True),
@@ -1020,15 +1021,16 @@ SPECS = [
               "k-hop BFS reachability with hop labels (frontier joins)"),
     QuerySpec("unit_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
               "Fellegi-Sunter blocked linkage, integer log-odds scoring"),
-    # round 5 rotation into the driver window:
-    QuerySpec("unit_kcore", q_kcore, _oracle_kcore(),
-              "k-core peeling (3 unrolled rounds), the PageRank pattern"),
-    # second round-5 rotation (new this round, never driver-checked):
-    QuerySpec("unit_hits_scores", q_hits_scores, ORACLE_HITS_SCORES,
-              "HITS hubs/authorities, 2 integer-exact iterations (bipartite)"),
-    QuerySpec("unit_label_propagation", q_label_propagation,
-              ORACLE_LABEL_PROPAGATION,
-              "2-round synchronous LPA communities, min-label tie-break"),
+    # second round-6 rotation: kcore/HITS/LPA (driver-green r5) move to
+    # the unit surface; three more never-checked join/mining ops get
+    # driver rows.
+    QuerySpec("unit_assoc_rules", q_assoc_rules, ORACLE_ASSOC_RULES,
+              "pairwise Apriori: support/confidence/lift co-purchase rules"),
+    QuerySpec("unit_session_week_overlap", q_session_week_overlap,
+              _oracle_session_week_overlap(),
+              "interval × interval overlap join via daily-bin explosion"),
+    QuerySpec("unit_fuzzy_key_join", q_fuzzy_key_join, ORACLE_FUZZY_KEY_JOIN,
+              "blocked fuzzy key join: prefix blocking + levenshtein best-match"),
     # price_percentiles is driver-checked via order_status_profile
     # (suite/analytics.py); q_price_percentiles stays as the
     # unit-tested operator surface.

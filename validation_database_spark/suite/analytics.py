@@ -2384,23 +2384,9 @@ SPECS = [
               "difference-in-differences causal readout, exact moments"),
     QuerySpec("unit_trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
               "5%-trimmed mean per group, exact histogram rank arithmetic"),
-    # round 5 rotations into the driver window:
-    QuerySpec("unit_poisson_bootstrap", q_poisson_bootstrap,
-              _oracle_poisson_bootstrap(),
-              "hash-Poisson bootstrap CI for the mean, one scan",
-              headline=True),
-    QuerySpec("unit_gini_concentration", q_gini_concentration,
-              ORACLE_GINI_CONCENTRATION,
-              "Lorenz deciles + exact-moment Gini revenue concentration"),
-    QuerySpec("unit_chi2_independence", q_chi2_independence,
-              ORACLE_CHI2_INDEPENDENCE,
-              "chi-square independence: nation x segment contingency"),
-    QuerySpec("unit_cube_sales", q_cube_sales, ORACLE_CUBE_SALES,
-              "CUBE full grouping lattice with grouping-id tags"),
-    QuerySpec("unit_rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS,
-              "RFM segmentation via exact integer quantile banding"),
-    # second round-5 rotation: unit_km_survival is appended after its
-    # definition below (SPECS += block).
+    # second round-6 rotation: the round-5 quintet (each driver-green
+    # r5) moves to the unit surface so five more never-checked specs
+    # get driver rows — see the UNIT_SPECS block below.
 ]
 
 
@@ -2560,6 +2546,21 @@ UNIT_SPECS_KM = [
 UNIT_SPECS = UNIT_SPECS_KM + [
     QuerySpec("unit_ab_ztest", q_ab_ztest, ORACLE_AB_ZTEST,
               "two-sample z-test from exact decimal moments"),
+    # rotated out in the second round-6 rotation (driver-green r5):
+    QuerySpec("unit_poisson_bootstrap", q_poisson_bootstrap,
+              _oracle_poisson_bootstrap(),
+              "hash-Poisson bootstrap CI for the mean, one scan",
+              headline=True),
+    QuerySpec("unit_gini_concentration", q_gini_concentration,
+              ORACLE_GINI_CONCENTRATION,
+              "Lorenz deciles + exact-moment Gini revenue concentration"),
+    QuerySpec("unit_chi2_independence", q_chi2_independence,
+              ORACLE_CHI2_INDEPENDENCE,
+              "chi-square independence: nation x segment contingency"),
+    QuerySpec("unit_cube_sales", q_cube_sales, ORACLE_CUBE_SALES,
+              "CUBE full grouping lattice with grouping-id tags"),
+    QuerySpec("unit_rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS,
+              "RFM segmentation via exact integer quantile banding"),
     # rotated out of the driver window in round 6 (driver-green r1–r5):
     QuerySpec("agg_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
               "TPC-H Q1 measure set at every ROLLUP grouping level",

@@ -1333,6 +1333,10 @@ SPECS = [
               ORACLE_DEDUP_CONTAINMENT_CAPPED,
               "df-capped containment: certified lower bound + n_dropped audit",
               headline=True),
+    # second round-6 rotation (never driver-checked before):
+    QuerySpec("unit_minhash_estimate", q_minhash_estimate,
+              _oracle_minhash_estimate(),
+              "MinHash estimator audit: signature estimate vs exact Jaccard"),
 ]
 
 
@@ -1379,7 +1383,4 @@ UNIT_SPECS = [
               q_dedup_containment_exact_baseline,
               ORACLE_DEDUP_CONTAINMENT,
               "asymmetric shingle containment (uncapped exactness baseline)"),
-    QuerySpec("unit_minhash_estimate", q_minhash_estimate,
-              _oracle_minhash_estimate(),
-              "MinHash estimator audit: signature estimate vs exact Jaccard"),
 ]

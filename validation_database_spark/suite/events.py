@@ -1817,14 +1817,20 @@ FROM hist JOIN p95 ON hist.event_type = p95.event_type
 # round 5 rotations into the driver window: the interval/forecast/
 # chain family gets its first driver rows.
 SPECS += [
-    QuerySpec("unit_active_time", q_active_time,
-              _oracle_active_time().replace("{SESS}", ORACLE_EVENTS_SESSIONIZE),
-              "per-user interval-union active time in exact micros"),
-    # second round-5 rotation (never driver-checked before):
-    QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,
-              "strict-order funnel: stage N only after stage N-1"),
-    QuerySpec("unit_cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
-              "weekly signup-cohort retention matrix"),
+    # second round-6 rotation: active_time / funnel_strict /
+    # cohort_retention (driver-green r5) move to the unit surface;
+    # four more never-checked event ops take their slots below.
+    QuerySpec("unit_watermark_audit", q_watermark_audit,
+              ORACLE_WATERMARK_AUDIT.replace("{EV}", _EV_CTE),
+              "lateness histogram + exact p95 for watermark tuning"),
+    QuerySpec("unit_attribution_last_touch", q_attribution_last_touch,
+              ORACLE_ATTRIBUTION_LAST_TOUCH.replace("{EV}", _EV_CTE),
+              "7-day last-touch purchase attribution, one window pass"),
+    QuerySpec("unit_feature_lags", q_feature_lags, ORACLE_FEATURE_LAGS,
+              "per-user lag/delta/gap/rolling-mean feature table"),
+    QuerySpec("unit_churn_labels", q_churn_labels,
+              ORACLE_CHURN_LABELS.replace("{EV}", _EV_CTE),
+              "leakage-safe churn training table: label + features"),
     # round 6 rotations: the never-driver-checked churn-AUC / sliding-
     # HLL-WAU / quantile-monitor / MAD quartet (verdict r5 risk list)
     # takes the slots of peak_concurrency / dau_wau / markov /
@@ -1867,15 +1873,6 @@ UNIT_SPECS = [
     QuerySpec("unit_backfill_plan", q_backfill_plan,
               ORACLE_BACKFILL_PLAN.replace("{EV}", _EV_CTE),
               "missing-hour backfill work orders per event type"),
-    QuerySpec("unit_churn_labels", q_churn_labels,
-              ORACLE_CHURN_LABELS.replace("{EV}", _EV_CTE),
-              "leakage-safe churn training table: label + features"),
-    QuerySpec("unit_attribution_last_touch", q_attribution_last_touch,
-              ORACLE_ATTRIBUTION_LAST_TOUCH.replace("{EV}", _EV_CTE),
-              "7-day last-touch purchase attribution, one window pass"),
-    QuerySpec("unit_watermark_audit", q_watermark_audit,
-              ORACLE_WATERMARK_AUDIT.replace("{EV}", _EV_CTE),
-              "lateness histogram + exact p95 for watermark tuning"),
     # rotated out in the second round-5 rotation (driver-green r1-r4);
     # its gap semantics stay driver-checked via streaming_session_totals.
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
@@ -1893,8 +1890,14 @@ UNIT_SPECS = [
     QuerySpec("unit_seasonal_naive_backtest", q_seasonal_naive_backtest,
               ORACLE_SEASONAL_NAIVE.replace("{EV}", _EV_CTE),
               "seasonal-naive forecast MAE/bias floor per event type"),
-    QuerySpec("unit_feature_lags", q_feature_lags, ORACLE_FEATURE_LAGS,
-              "per-user lag/delta/gap/rolling-mean feature table"),
+    # rotated out in the second round-6 rotation (driver-green r5):
+    QuerySpec("unit_active_time", q_active_time,
+              _oracle_active_time().replace("{SESS}", ORACLE_EVENTS_SESSIONIZE),
+              "per-user interval-union active time in exact micros"),
+    QuerySpec("unit_funnel_strict", q_funnel_strict, ORACLE_FUNNEL_STRICT,
+              "strict-order funnel: stage N only after stage N-1"),
+    QuerySpec("unit_cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
+              "weekly signup-cohort retention matrix"),
     QuerySpec("unit_events_json_props", q_events_json_props,
               ORACLE_EVENTS_JSON_PROPS, "JSON prop extraction per event"),
     QuerySpec("unit_events_top_paths", q_events_top_paths,

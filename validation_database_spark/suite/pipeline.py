@@ -1682,6 +1682,9 @@ SPECS = [
               "GroupKFold split audit: naive row-hash leaks, by-doc doesn't"),
     QuerySpec("unit_incr_join_view", q_incr_join_view, ORACLE_INCR_JOIN_VIEW,
               "delta-join IVM: four-leg maintenance of a join view"),
+    # second round-6 rotation (never driver-checked before):
+    QuerySpec("unit_cdc_merge", q_cdc_merge, ORACLE_CDC_MERGE,
+              "ordered CDC apply: update/delete/re-insert, LWW by seq"),
 ]
 
 
@@ -1705,8 +1708,6 @@ UNIT_SPECS = [
               "fixed-bin width_bucket histogram"),
     QuerySpec("doc_sampling", q_doc_sampling, ORACLE_DOC_SAMPLING,
               "per-doc split + hash/weighted keep + stratified rank in one pass"),
-    QuerySpec("unit_cdc_merge", q_cdc_merge, ORACLE_CDC_MERGE,
-              "ordered CDC apply: update/delete/re-insert, LWW by seq"),
     QuerySpec("unit_zorder_layout", q_zorder_layout, ORACLE_ZORDER_LAYOUT,
               "Z-order layout buckets with per-dimension pruning audit"),
     QuerySpec("unit_url_dedup", q_url_dedup, ORACLE_URL_DEDUP,

@@ -1131,6 +1131,9 @@ SPECS = [
     QuerySpec("unit_hll_join_overlap", q_hll_join_overlap,
               ORACLE_HLL_JOIN_OVERLAP,
               "HLL union + inclusion-exclusion join-key overlap estimate"),
+    # second round-6 rotation (never driver-checked before):
+    QuerySpec("unit_dq_freshness", q_dq_freshness, ORACLE_DQ_FRESHNESS,
+              "per-table freshness ages + SLA flags vs a fixed instant"),
 ]
 
 
@@ -1157,6 +1160,4 @@ UNIT_SPECS = [
               "C4-style corpus filter funnel with per-stage drop counts"),
     QuerySpec("unit_key_skew_stats", q_key_skew_stats, ORACLE_KEY_SKEW_STATS,
               "join-key skew diagnostics: top-N heavy keys + shares"),
-    QuerySpec("unit_dq_freshness", q_dq_freshness, ORACLE_DQ_FRESHNESS,
-              "per-table freshness ages + SLA flags vs a fixed instant"),
 ]

@@ -1737,6 +1737,11 @@ SPECS = [
               "Johnson-Lindenstrauss 64->16 sign projection + norm audit"),
     QuerySpec("unit_ann_ivfpq", q_ann_ivfpq, _oracle_ann_ivfpq(),
               "IVF-PQ: cell-probed ANN with e6-exact ADC LUT scoring"),
+    # second round-6 rotation (never driver-checked before):
+    QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
+              "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
+    QuerySpec("unit_hard_negatives", q_hard_negatives, _oracle_hard_negatives(),
+              "contrastive pair mining: nearest positive + hard negative"),
 ]
 
 UNIT_SPECS = [
@@ -1749,10 +1754,6 @@ UNIT_SPECS = [
               "per-label centroid cosine matrix, e6-exact reductions"),
     QuerySpec("unit_embed_quantize", q_embed_quantize, ORACLE_EMBED_QUANTIZE,
               "symmetric int8 vector quantization with error audit"),
-    QuerySpec("unit_kmeans_clusters", q_kmeans_clusters, ORACLE_KMEANS,
-              "exact fixed-point Lloyd k-means (2 iterations, e6 integers)"),
-    QuerySpec("unit_hard_negatives", q_hard_negatives, _oracle_hard_negatives(),
-              "contrastive pair mining: nearest positive + hard negative"),
     # rotated out in round 6 (driver-green r2–r5 / r4–r5):
     QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
               "brute-force baseline + IVF scale-path cosine top-10",

@@ -2700,9 +2700,6 @@ SPECS = [
     # driver slot of text_chunks/doc_redact (green r1-r4) — appended
     # after its definition below (SPECS += block).
     # round 5 rotations into the driver window:
-    QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
-              ORACLE_BOILERPLATE_BLOCKS,
-              "cross-document boilerplate block detection (block-hash dedup)"),
     QuerySpec("unit_quality_classifier", q_quality_classifier,
               _oracle_quality_classifier(),
               "linear BoW quality-model scoring, integer-exact logits"),
@@ -2883,6 +2880,10 @@ SPECS += [
 UNIT_SPECS = [
     # rotated out of the driver window in round 5 (driver-green in r4;
     # pytest oracles keep them true, bench keeps timing the headliners):
+    # rotated out in the second round-6 rotation (driver-green r5):
+    QuerySpec("unit_boilerplate_blocks", q_boilerplate_blocks,
+              ORACLE_BOILERPLATE_BLOCKS,
+              "cross-document boilerplate block detection (block-hash dedup)"),
     QuerySpec("unit_line_dedup_rewrite", q_line_dedup_rewrite,
               ORACLE_LINE_DEDUP_REWRITE,
               "C4 line dedup with hash-verified document rewrite",
