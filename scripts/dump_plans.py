@@ -97,6 +97,34 @@ SHOWCASE = {
     "unit_lm_perplexity_filter": "CCNet LM filter: bigram/context/vocab aggs "
     "over the reference half, model joined back on bg and w1 "
     "(vocabulary-dimension joins), exact-integer keep decision",
+    "unit_record_linkage": "Fellegi-Sunter linkage: (nation, segment) "
+    "block equi-join bounds the pair space (never a cross product), JVM "
+    "integer scoring, per-left argmax as a map-side-combining "
+    "lexicographic max(struct) — no rank window, no scale-conditional "
+    "key encoding",
+    "unit_khop_reach": "k-hop BFS: per-hop frontier equi-joins with a "
+    "left-anti subtraction of the visited set, so each hop's work tracks "
+    "the NEW frontier, not the closed set",
+    "unit_target_encode": "out-of-fold target encoding: |cat|xK-row "
+    "encoder built from exact integer moments, subtract-own-fold "
+    "arithmetic, broadcast back onto the fact — the fact never shuffles",
+    "unit_cdc_merge": "ordered CDC apply: last-writer-wins via one "
+    "max(struct(seq, payload)) per key with map-side combine — no "
+    "per-key rank window over the log",
+    "unit_churn_auc": "exact AUC via the Mann-Whitney identity: score "
+    "histogram agg (map-side combine), cumulative negatives over the "
+    "bounded score grain, one integer cross-multiplication — windows "
+    "bounded by feature dimension, never user count",
+    "unit_ann_ivfpq": "IVF-PQ serving: broadcast codebooks, per-query ADC "
+    "LUT (K·M rows) joined to cell-probed codes — the scored pair space "
+    "is the probed cells' codes, the vectors themselves never move",
+    "unit_media_dedup": "binary-payload dedup: md5 computed in the scan "
+    "projection, groupBy ships only (hash, length) — payload bytes never "
+    "shuffle",
+    "unit_simhash60_wide": "corpus-scale SimHash: 60-bit signatures as "
+    "four exact 15-bit chunk aggregates, 3x20-bit band explode, "
+    "bucket-capped self-join, exact Hamming verify — band width grows "
+    "with log2(n) so chance collisions stay subcritical",
 }
 
 
