@@ -5,7 +5,16 @@ The headline ``value`` is the BASELINE-comparable number: wall
 seconds for one full reference-shaped validation run — a tiny source
 reconciled against the complete orders table (the reference's golden
 run was 2 rows vs 1.94M, see BASELINE.md), including both CSV report
-writes. The ``queries`` dict additionally times every headline suite
+writes. The reference's 8.94 s golden number is a WARM run, so
+``value`` is the steady (second) run and ``value_cold`` the first
+(cold-plan) run. Since round 6 the composites
+(``value``/``baseline_match``) are measured BEFORE the timed suite,
+on the freshly warmed session — the isolation study (SCALE.md
+"Parity-family isolation") showed measuring them after 28 suite
+queries mixes in session load, which is what the r5 "regression" was;
+in rounds 1–5 ``value`` was a single run taken after the whole suite,
+i.e. effectively warm, so the warm definition is also the continuous
+one. The ``queries`` dict additionally times every headline suite
 query end-to-end (noop writes — full plan execution, no driver
 collect), plus ``__suite_total``.
 
@@ -105,10 +114,15 @@ def baseline_match_point(spark, sf_dir: str) -> dict | None:
             "overwrite"
         ).parquet(os.path.join(cache, "orders.parquet"))
     rows = spark.read.parquet(os.path.join(cache, "orders.parquet")).count()
+    # the baseline's 8.94 s is a warm run (BASELINE.md), so e2e_sec —
+    # the number compared against baseline_sec — is the matched-state
+    # second run; the first (cold-plan) run is reported alongside
+    sec_cold = round(reference_shaped_e2e(spark, cache), 4)
     sec = round(reference_shaped_e2e(spark, cache), 4)
     return {
         "rows": rows,
         "e2e_sec": sec,
+        "e2e_cold_sec": sec_cold,
         "baseline_rows": 1_940_000,
         "baseline_sec": 8.94,
     }
@@ -155,6 +169,21 @@ def main() -> None:
     # 8.94 s golden number is itself a warm run, see BASELINE.md).
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+
+    # The BASELINE-comparable composites run FIRST, before the timed
+    # suite: the round-6 isolation study (SCALE.md "Parity-family
+    # isolation") showed the after-28-queries session inflates them by
+    # up to ~60% vs their isolated numbers (r5's apparent e2e
+    # regression was exactly this). Measuring them on the freshly
+    # warmed session makes the headline a property of the engine, not
+    # of the suite's length that round. ``value`` is the warm run —
+    # the baseline's 8.94 s is warm (see docstring).
+    e2e_cold = None if only else round(reference_shaped_e2e(spark, sf_dir), 4)
+    e2e = None if only else round(reference_shaped_e2e(spark, sf_dir), 4)
+    try:
+        bm = None if only else baseline_match_point(spark, sf_dir)
+    except Exception:
+        bm = None
     extra = [n for n in specs if n not in HEADLINE and specs[n].headline]
     timed = only if only else HEADLINE + extra
     # Isolation protocol (VERDICT r5 ask #2): ``--only`` also accepts
@@ -183,7 +212,6 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 4)
 
-    e2e = None if only else round(reference_shaped_e2e(spark, sf_dir), 4)
     timings["__suite_total"] = round(sum(timings.values()), 4)
     warm["__suite_total"] = round(sum(warm.values()), 4)
 
@@ -195,10 +223,8 @@ def main() -> None:
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    try:
-        bm = None if only else baseline_match_point(spark, sf_dir)
-    except Exception:
-        bm = None
+    if e2e_cold is not None:
+        payload["value_cold"] = e2e_cold
     if bm is not None:
         payload["baseline_match"] = bm
     print(json.dumps(payload))
