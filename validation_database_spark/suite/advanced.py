@@ -764,10 +764,14 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair table is the `unit_triangle_counts` edge construction
     WITH multiplicity (count of co-occurring orders, not distinct
-    edges); item supports broadcast back onto the pairs. The support
-    floor prunes the pair space before any ratio math — the Apriori
-    antimonotonicity argument, applied as one HAVING. Exact integer
-    counts; confidence/lift are shared-shape rounded divisions."""
+    edges); item supports broadcast back onto the pairs. Apriori
+    antimonotonicity is applied TWICE: items with individual support
+    below the floor are semi-joined OUT of the baskets BEFORE the
+    pair self-join (n_pair ≤ min(n_a, n_b), so no dropped item can
+    appear in a qualifying pair — semantics-preserving, and on a
+    long-tail catalog it removes most of the pair space), then the
+    pair floor itself is one HAVING. Exact integer counts;
+    confidence/lift are shared-shape rounded divisions."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     baskets = li.distinct()
     n_orders = baskets.agg(
@@ -776,9 +780,15 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count("*").alias("n_item")
     )
+    frequent = item.filter(F.col("n_item") >= AR_MIN_PAIR).select(
+        F.col("item").alias("l_partkey")
+    )
+    # no broadcast hint: `frequent` is catalog-sized (AQE broadcasts
+    # it when it fits, shuffles otherwise — the lm_perplexity rule)
+    baskets_f = baskets.join(frequent, "l_partkey", "left_semi")
     pairs = (
-        baskets.alias("x")
-        .join(baskets.alias("y"), "l_orderkey")
+        baskets_f.alias("x")
+        .join(baskets_f.alias("y"), "l_orderkey")
         .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .groupBy(
             F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
