@@ -37,3 +37,23 @@ def test_all_queries_return_dataframes(spark, sf_dir):
     for name, fn in mod.queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+
+
+def test_registry_rotation_invariants():
+    """The driver hash-checks the FIRST 50 registry entries, so the
+    rotation machinery must hold exactly: 50 window specs, disjoint
+    from the unit surface, and the only window spec without a DuckDB
+    oracle is the by-design SequenceMatcher parity path."""
+    from validation_database_spark import suite
+
+    window = suite.all_specs()
+    unit = suite.unit_specs()
+    assert len(window) == 50, len(window)
+    overlap = set(window) & set(unit)
+    assert not overlap, overlap
+    no_oracle = [n for n, s in window.items() if s.oracle is None]
+    assert no_oracle == ["diff_string_fuzzy_approx"], no_oracle
+    # every unit spec keeps an oracle: the pytest parity gate is the
+    # only check they get between driver rotations
+    unit_no_oracle = [n for n, s in unit.items() if s.oracle is None]
+    assert not unit_no_oracle, unit_no_oracle
