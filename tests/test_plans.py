@@ -474,3 +474,38 @@ def test_kcore_semi_joins_only(spark, sf_dir):
     plan = physical_plan(q_kcore(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_record_linkage_block_equijoin_struct_argmax_no_window(spark, sf_dir):
+    """Candidates come from the (nation, segment) block equi-join —
+    never a cross product — and the per-left argmax is an aggregation
+    (lexicographic struct max with a map-side partial), not a rank
+    window over the pair table."""
+    from validation_database_spark.suite.advanced import q_record_linkage
+
+    plan = physical_plan(q_record_linkage(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan
+
+
+def test_khop_frontier_joins_no_cartesian_no_window(spark, sf_dir):
+    """Each hop is an edge equi-join plus a left-anti subtraction of
+    the visited set — work tracks the NEW frontier."""
+    from validation_database_spark.suite.advanced import q_khop_reach
+
+    plan = physical_plan(q_khop_reach(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_assoc_rules_item_preprune_semi_join(spark, sf_dir):
+    """The Apriori antimonotone item pre-prune is a semi-join below
+    the pair self-join, and the pair space is generated by an
+    equi-join on the order key — never a cross product."""
+    from validation_database_spark.suite.advanced import q_assoc_rules
+
+    plan = physical_plan(q_assoc_rules(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
