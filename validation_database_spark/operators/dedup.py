@@ -272,6 +272,59 @@ def simhash60(toks: Column) -> Column:
     )
 
 
+def simhash60_signatures(docs, id_col: str, toks: Column):
+    """(id_col, sig) signature TABLE — same value as the
+    :func:`simhash60` column expression, built in the codegen-friendly
+    shape: explode the distinct feature set, hash once per feature,
+    then 60 per-bit vote sums as ordinary aggregate expressions with
+    map-side combine.
+
+    Why a second form exists: a projection that folds the votes inside
+    nested higher-order functions (aggregate → zip_with → transform,
+    the :func:`simhash60` shape) drops out of whole-stage codegen and
+    evaluates interpreted — measured 2.4× slower at sf0.1 and the
+    dominant term of the sf10 signature build (SCALE.md "SimHash
+    signature build"). Here every expression the executor loops over
+    is plain integer arithmetic inside `* HashAggregate`; the explode
+    fan-out (docs × distinct shingles) is exactly the rows the fold
+    visited anyway. Empty feature sets survive via ``explode_outer``
+    (null hash → null sums → all bits 0 → sig 0, matching the fold).
+
+    The value is bit-identical to :func:`simhash60` (votes are
+    order-independent integer sums), so the DuckDB oracle replay
+    (``simhash60_bits_sql``) is unchanged."""
+    h = docs.select(id_col, F.explode_outer(F.array_distinct(toks)).alias("tok"))
+    h = h.select(id_col, F.substring(F.md5("tok"), 1, _CHUNK).alias("hx"))
+    nib = [
+        F.conv(F.substring("hx", i + 1, 1), 16, 10).cast("bigint")
+        for i in range(_CHUNK)
+    ]
+    sums = [
+        F.sum((F.shiftright(nib[j // 4], 3 - (j % 4)) % 2) * 2 - 1).alias(f"v{j}")
+        for j in range(SIMHASH60_BITS)
+    ]
+    agg = h.groupBy(id_col).agg(*sums)
+
+    def chunk(c: int) -> Column:
+        e = None
+        for i in range(_CHUNK):
+            j = _CHUNK * c + i
+            t = (
+                F.when(F.col(f"v{j}") > 0, F.lit(1 << i).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            )
+            e = t if e is None else e + t
+        return e
+
+    sig = (
+        chunk(0)
+        + chunk(1) * F.lit(1 << _CHUNK)
+        + chunk(2) * F.lit(1 << (2 * _CHUNK))
+        + chunk(3) * F.lit(2 ** (3 * _CHUNK))
+    )
+    return agg.select(id_col, sig.alias("sig"))
+
+
 def simhash16(toks: Column) -> Column:
     """16-bit SimHash of the distinct-token set, as a bigint.
 

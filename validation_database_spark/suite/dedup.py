@@ -749,9 +749,11 @@ def _simhash60_bands(
     """(doc_id, sig, band, bv) band table of the 60-bit signatures —
     the one banding pipeline both geometry configs share."""
     docs = spread(_docs_with_planted_neardups(spark, sf_dir))
-    sigs = docs.select(
-        "doc_id",
-        D.simhash60(D.word_shingles(D.tokens("text"))).alias("sig"),
+    # codegen-shape signature build (explode + 60 vote sums) — value-
+    # identical to the D.simhash60 fold, 2.4× faster at sf0.1 and the
+    # dominant sf10 term (see operators.dedup.simhash60_signatures)
+    sigs = D.simhash60_signatures(
+        docs, "doc_id", D.word_shingles(D.tokens("text"))
     )
     mask = (1 << band_bits) - 1
     return sigs.select(
