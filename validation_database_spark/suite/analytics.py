@@ -2387,6 +2387,13 @@ SPECS = [
     # second round-6 rotation: the round-5 quintet (each driver-green
     # r5) moves to the unit surface so five more never-checked specs
     # get driver rows — see the UNIT_SPECS block below.
+    # Third round-6 rotation: two more never-driver-checked A/B-stats
+    # ops take the seats freed by dedup_containment_capped and
+    # unit_hll_distinct (both green r4/r5 in other modules).
+    QuerySpec("unit_ab_ztest", q_ab_ztest, ORACLE_AB_ZTEST,
+              "two-sample z-test from exact decimal moments"),
+    QuerySpec("unit_cuped_adjustment", q_cuped_adjustment, ORACLE_CUPED,
+              "CUPED variance-reduced A/B readout from exact moments"),
 ]
 
 
@@ -2544,8 +2551,8 @@ UNIT_SPECS_KM = [
 # operators. Kept as documented standalone operators;
 # tests/test_oracle_parity.py checks them with the same comparator.
 UNIT_SPECS = UNIT_SPECS_KM + [
-    QuerySpec("unit_ab_ztest", q_ab_ztest, ORACLE_AB_ZTEST,
-              "two-sample z-test from exact decimal moments"),
+    # unit_ab_ztest / unit_cuped_adjustment moved to the driver window
+    # in the third round-6 rotation.
     # rotated out in the second round-6 rotation (driver-green r5):
     QuerySpec("unit_poisson_bootstrap", q_poisson_bootstrap,
               _oracle_poisson_bootstrap(),
@@ -2570,8 +2577,6 @@ UNIT_SPECS = UNIT_SPECS_KM + [
               "salted join under deliberate key skew", headline=True),
     QuerySpec("unit_ab_srm", q_ab_srm, ORACLE_AB_SRM,
               "sample-ratio-mismatch chi-square guardrail"),
-    QuerySpec("unit_cuped_adjustment", q_cuped_adjustment, ORACLE_CUPED,
-              "CUPED variance-reduced A/B readout from exact moments"),
     QuerySpec("unit_discount_effect", q_discount_effect, ORACLE_DISCOUNT_EFFECT,
               "discount-band demand + forgone-revenue readout"),
     QuerySpec("unit_priority_ontime_matrix", q_priority_ontime_matrix,

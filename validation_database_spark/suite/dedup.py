@@ -1329,12 +1329,9 @@ SPECS = [
               _oracle_simhash60_wide_pairs(),
               "corpus-scale SimHash: 3x20-bit bands, Hamming<=2"),
     # round 6: Jaccard/df-capped/minhash/clusters rotate out
-    # (driver-green r1–r5; bench still times the headline entries);
-    # the df-capped containment stays as the dedup family's window rep.
-    QuerySpec("dedup_containment_capped", q_dedup_containment_capped,
-              ORACLE_DEDUP_CONTAINMENT_CAPPED,
-              "df-capped containment: certified lower bound + n_dropped audit",
-              headline=True),
+    # (driver-green r1–r5; bench still times the headline entries).
+    # Third round-6 rotation: dedup_containment_capped (green r4–r5)
+    # yields its seat too — the family keeps two window reps below.
     # second round-6 rotation (never driver-checked before):
     QuerySpec("unit_minhash_estimate", q_minhash_estimate,
               _oracle_minhash_estimate(),
@@ -1343,6 +1340,12 @@ SPECS = [
 
 
 UNIT_SPECS = [
+    # rotated out in the third round-6 rotation (driver-green r4–r5;
+    # headline=True keeps it in bench.py's timed suite):
+    QuerySpec("dedup_containment_capped", q_dedup_containment_capped,
+              ORACLE_DEDUP_CONTAINMENT_CAPPED,
+              "df-capped containment: certified lower bound + n_dropped audit",
+              headline=True),
     # rotated out of the driver window in round 5 (driver-green in r4;
     # pytest oracles keep them true):
     QuerySpec("unit_dedup_incremental", q_dedup_incremental, _oracle_incremental(),

@@ -1121,10 +1121,8 @@ FROM lineitem
 
 
 SPECS = [
-    # second round-5 rotation: the HLL sketch (never driver-checked)
-    # takes profile_orders' slot (driver-green r2-r4).
-    QuerySpec("unit_hll_distinct", q_hll_distinct, ORACLE_HLL_DISTINCT,
-              "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
+    # Third round-6 rotation: unit_hll_distinct (green r5) yields its
+    # seat; the sketch family keeps unit_hll_join_overlap below.
     # round 6 rotation: the never-driver-checked HLL join-overlap
     # estimator takes the dq_orders/dq_benford slots (driver-green
     # r2–r5; pytest oracles keep them true).
@@ -1138,6 +1136,9 @@ SPECS = [
 
 
 UNIT_SPECS = [
+    # rotated out in the third round-6 rotation (driver-green r5):
+    QuerySpec("unit_hll_distinct", q_hll_distinct, ORACLE_HLL_DISTINCT,
+              "HyperLogLog distinct sketch, deterministic hash-exact oracle"),
     # rotated out of the driver window in round 5 (driver-green in r4;
     # pytest oracles keep them true):
     QuerySpec("unit_psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,

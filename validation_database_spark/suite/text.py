@@ -2696,15 +2696,16 @@ SPECS = [
     QuerySpec("doc_profile", q_doc_profile, _oracle_doc_profile(),
               "one-scan document profiler: tokens/quality/lang/fingerprints/"
               "repetition/simhash/hash-embedding/unigram-LM", headline=True),
-    # second round-5 rotation: the CCNet-style LM filter takes the
-    # driver slot of text_chunks/doc_redact (green r1-r4) — appended
-    # after its definition below (SPECS += block).
-    # round 5 rotations into the driver window:
-    QuerySpec("unit_quality_classifier", q_quality_classifier,
-              _oracle_quality_classifier(),
-              "linear BoW quality-model scoring, integer-exact logits"),
-    QuerySpec("unit_span_corruption", q_span_corruption, ORACLE_SPAN_CORRUPTION,
-              "T5 span-corruption (input, target) example generation"),
+    # Third round-6 rotation: unit_quality_classifier /
+    # unit_span_corruption / unit_lm_perplexity_filter (each green r5)
+    # yield their seats to three never-driver-checked per-metric text
+    # ops; the r5 singles stay oracle-true in UNIT_SPECS below.
+    QuerySpec("unit_tfidf_top_terms", q_tfidf_top_terms,
+              ORACLE_TFIDF_TOP_TERMS, "top-K TF-IDF terms per doc"),
+    QuerySpec("unit_decontaminate", q_decontaminate, _oracle_decontaminate(),
+              "benchmark decontamination: cross-split 8-gram overlap"),
+    QuerySpec("unit_zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
+              "Zipf's-law OLS fit over the top-100 corpus terms"),
 ]
 
 
@@ -2864,9 +2865,6 @@ FROM (
 
 
 SPECS += [
-    QuerySpec("unit_lm_perplexity_filter", q_lm_perplexity_filter,
-              ORACLE_LM_PERPLEXITY_FILTER,
-              "CCNet-style add-one bigram-LM perplexity keep/drop filter"),
     # round 6 rotation: the never-driver-checked classifier gains table
     # takes unit_km_survival's slot (driver-green r5, now unit surface).
     QuerySpec("unit_score_lift", q_score_lift, _oracle_score_lift(),
@@ -2878,6 +2876,16 @@ SPECS += [
 # doc_profile for the driver window. Parity-tested locally so each
 # standalone operator stays executable and oracle-true.
 UNIT_SPECS = [
+    # rotated out in the third round-6 rotation (driver-green r5;
+    # pytest oracles keep them true):
+    QuerySpec("unit_quality_classifier", q_quality_classifier,
+              _oracle_quality_classifier(),
+              "linear BoW quality-model scoring, integer-exact logits"),
+    QuerySpec("unit_span_corruption", q_span_corruption, ORACLE_SPAN_CORRUPTION,
+              "T5 span-corruption (input, target) example generation"),
+    QuerySpec("unit_lm_perplexity_filter", q_lm_perplexity_filter,
+              ORACLE_LM_PERPLEXITY_FILTER,
+              "CCNet-style add-one bigram-LM perplexity keep/drop filter"),
     # rotated out of the driver window in round 5 (driver-green in r4;
     # pytest oracles keep them true, bench keeps timing the headliners):
     # rotated out in the second round-6 rotation (driver-green r5):
@@ -2920,10 +2928,8 @@ UNIT_SPECS = [
               ORACLE_TEXT_HASH_EMBEDDINGS, "hashing-trick BoW embedding"),
     QuerySpec("unit_text_bigram_logprob", q_text_bigram_logprob,
               ORACLE_TEXT_BIGRAM_LOGPROB, "corpus bigram-LM avg log P(w2|w1)"),
-    QuerySpec("unit_tfidf_top_terms", q_tfidf_top_terms,
-              ORACLE_TFIDF_TOP_TERMS, "top-K TF-IDF terms per doc"),
-    QuerySpec("unit_decontaminate", q_decontaminate, _oracle_decontaminate(),
-              "benchmark decontamination: cross-split 8-gram overlap"),
+    # unit_tfidf_top_terms / unit_decontaminate / unit_zipf_fit moved
+    # to the driver window in the third round-6 rotation.
     QuerySpec("unit_cms_counts", q_cms_counts, ORACLE_CMS_COUNTS,
               "count-min sketch term counts, deterministic hash family"),
     QuerySpec("unit_text_entropy", q_text_entropy, ORACLE_TEXT_ENTROPY,
@@ -2933,8 +2939,6 @@ UNIT_SPECS = [
               "per-source robust-z token-count outlier docs"),
     QuerySpec("unit_ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
               "crawl-order marginal-novelty ratio per doc"),
-    QuerySpec("unit_zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
-              "Zipf's-law OLS fit over the top-100 corpus terms"),
     QuerySpec("unit_vocab_coverage", q_vocab_coverage, ORACLE_VOCAB_COVERAGE,
               "frozen top-K vocab OOV-rate audit per doc"),
     QuerySpec("unit_source_reputation", q_source_reputation,
