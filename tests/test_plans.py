@@ -509,3 +509,44 @@ def test_assoc_rules_item_preprune_semi_join(spark, sf_dir):
     plan = physical_plan(q_assoc_rules(spark, sf_dir))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_peak_concurrency_sweep_sharded_by_day(spark, sf_dir):
+    """The sweep-line running sum is partitioned by day — the
+    boundary-point stream never funnels through one task; the only
+    global-order window left is the carry-in prefix over the
+    calendar-bounded day frame."""
+    from validation_database_spark.suite.events import q_peak_concurrency
+
+    plan = physical_plan(q_peak_concurrency(spark, sf_dir))
+    assert "hashpartitioning(day" in plan, plan
+
+
+def test_gini_rank_is_distributed_range_partition(spark, sf_dir):
+    """The per-customer-total rank is the two-pass global_row_number
+    (range partition + local rank + prefix offsets), never a
+    single-partition row_number over the customer dimension."""
+    from validation_database_spark.suite.analytics import q_gini_concentration
+
+    plan = physical_plan(q_gini_concentration(spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+
+
+def test_hits_rank_is_distributed_range_partition(spark, sf_dir):
+    """The auth_rank over the part dimension is the two-pass
+    global_row_number — no single-partition WindowExec on a frame
+    that grows with the part dimension."""
+    from validation_database_spark.suite.advanced import q_hits_scores
+
+    plan = physical_plan(q_hits_scores(spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+
+
+def test_bm25_topk_is_take_ordered_not_rank_window(spark, sf_dir):
+    """The BM25 top-K compiles to TakeOrderedAndProject (per-partition
+    partial top-N + an N-row merge); the rank window then sees only
+    BM25_TOP_K rows — never a global rank over the scored-doc frame."""
+    from validation_database_spark.suite.text import q_bm25_topk
+
+    plan = physical_plan(q_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

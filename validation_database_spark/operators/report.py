@@ -26,20 +26,25 @@ from .reconcile import ReconcileResult
 
 
 def global_row_number(
-    df: DataFrame, order_col: str, rn_col: str = "rn", partitions: int | None = None
+    df: DataFrame,
+    order_col: str | list[str] | tuple[str, ...],
+    rn_col: str = "rn",
+    partitions: int | None = None,
 ) -> DataFrame:
-    """Global 1-based rank by ``order_col`` WITHOUT a single-partition
-    sort: range-partition on the key, rank locally per partition, then
-    add per-partition offsets (a tiny cumulative sum over partition
-    counts). Two passes, fully distributed — the scalable form of
-    ``row_number() OVER (ORDER BY …)`` for unique keys.
+    """Global 1-based rank by ``order_col`` (one column name or a
+    sequence for a composite sort key) WITHOUT a single-partition
+    sort: range-partition on the key(s), rank locally per partition,
+    then add per-partition offsets (a tiny cumulative sum over
+    partition counts). Two passes, fully distributed — the scalable
+    form of ``row_number() OVER (ORDER BY …)`` for unique keys.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
-    local_w = Window.partitionBy("__pid").orderBy(order_col)
+    local_w = Window.partitionBy("__pid").orderBy(*order_cols)
     # persist: the ranked subtree feeds BOTH the offsets aggregation
     # and the final join. RangePartitioner samples boundaries per
     # evaluation, so without pinning, the two branches can see

@@ -867,8 +867,13 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; each half-iteration is a groupBy on one side's key
     joined back along the edges — linear in |E| with map-side combine,
     keys are the high-cardinality customer/part ids (no single-task
-    window), hot parts are AQE-splittable. The final rank orders the
-    20k-part DIMENSION, not the fact table."""
+    window), hot parts are AQE-splittable. The final rank over the
+    part dimension is the two-pass distributed ``global_row_number``
+    (range-partition on (-auth2, p), local rank, tiny prefix offsets)
+    — no single-partition WindowExec even when the part dimension is
+    hundreds of millions of rows."""
+    from ..operators.report import global_row_number
+
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     e = (
@@ -882,12 +887,12 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hub2 = e.join(auth1, "p").groupBy("c").agg(F.sum("a1").alias("h2"))
     auth2 = e.join(hub2, "c").groupBy("p").agg(F.sum("h2").alias("a2"))
-    w = Window.orderBy(F.col("a2").desc(), F.col("p"))
-    return auth1.join(auth2, "p").select(
+    joined = auth1.join(auth2, "p").withColumn("__neg_a2", -F.col("a2"))
+    return global_row_number(joined, ["__neg_a2", "p"], rn_col="__rn").select(
         F.col("p").alias("partkey"),
         F.col("a1").cast("bigint").alias("auth1"),
         F.col("a2").cast("bigint").alias("auth2"),
-        F.row_number().over(w).cast("bigint").alias("auth_rank"),
+        F.col("__rn").cast("bigint").alias("auth_rank"),
     )
 
 

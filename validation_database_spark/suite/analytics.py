@@ -854,18 +854,22 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^40), so the only float is the final two-term formula, shared
     shape, rounded 6.
 
-    Scale note: the rank window over per-customer totals is a global
-    sort of the CUSTOMER dimension (not the fact table) — the same
-    deliberate trade as `keys_projection`'s sort_rank; at 100 TB the
-    dimension is still ~millions of rows, a one-partition-per-range
-    sort Spark handles routinely."""
+    Scale note: the rank over per-customer totals is the two-pass
+    distributed ``global_row_number`` (range-partition on
+    ``(v, o_custkey)``, local rank, tiny prefix offsets) — the same
+    shape as `keys_projection`'s sort_rank and `report_summary`'s
+    pad rank, so no single-partition WindowExec touches the customer
+    dimension at any scale."""
     from pyspark.sql import Window
+
+    from ..operators.report import global_row_number
 
     orders = load_table(spark, "orders", sf_dir)
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("v"))
-    w = Window.orderBy("v", "o_custkey")
-    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("bigint"))
+    ranked = global_row_number(
+        per_cust, ["v", "o_custkey"], rn_col="__rn"
+    ).withColumn("i", F.col("__rn").cast("bigint")).drop("__rn")
     tot = ranked.agg(
         F.count("*").alias("n"),
         F.sum("v").alias("sv"),

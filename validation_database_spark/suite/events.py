@@ -1167,12 +1167,15 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same instant — a session ending exactly when another starts
     overlaps it), so both engines walk the identical sweep.
 
-    The sweep's running sum is a global-order window over 2·|sessions|
-    boundary points — session grain, not event grain; at 100 TB the
-    sweep shards by day with per-day open-session carry-in (one extra
-    aggregate), the standard distributed sweep-line split. Fixture
-    scale keeps the simple global form, same deliberate trade as the
-    Gini rank."""
+    Distributed sweep-line split: because ``date_trunc('day', ts)``
+    is monotone in the sweep order, the global running sum factors
+    into a per-DAY running sum (window partitioned by day — shards
+    across executors, no single-partition WindowExec) plus a
+    carry-in prefix of whole-day delta totals (a window over the
+    #days frame — calendar-bounded at any corpus size, never
+    session grain). ``peak(day) = carry_in(day) + max(local_open)``
+    is an integer identity, so the result is bit-equal to the
+    single-sweep oracle at any scale."""
     from pyspark.sql import Window
 
     sess = q_events_sessionize(spark, sf_dir).select(
@@ -1186,14 +1189,31 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_end").alias("ts"), F.lit(-1).alias("delta"),
             "user_id", "session_idx",
         )
-    )
-    w = Window.orderBy(
+    ).withColumn("day", F.date_trunc("day", "ts"))
+    # per-day sharded sweep: running sum within each day partition
+    w_day = Window.partitionBy("day").orderBy(
         "ts", F.desc("delta"), "user_id", "session_idx"
     ).rowsBetween(Window.unboundedPreceding, 0)
-    swept = pts.withColumn("open_sessions", F.sum("delta").over(w))
+    local = pts.withColumn("local_open", F.sum("delta").over(w_day))
+    per_day = local.groupBy("day").agg(
+        F.max("local_open").alias("local_peak"),
+        F.sum("delta").alias("day_total"),
+    )
+    # carry-in = open sessions at each day's start: prefix sum of the
+    # PRIOR days' whole-day totals over the calendar-bounded day frame
+    w_cal = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     return (
-        swept.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.max("open_sessions").cast("bigint").alias("peak_concurrency"))
+        per_day.withColumn(
+            "carry_in", F.coalesce(F.sum("day_total").over(w_cal), F.lit(0))
+        )
+        .select(
+            "day",
+            (F.col("carry_in") + F.col("local_peak"))
+            .cast("bigint")
+            .alias("peak_concurrency"),
+        )
     )
 
 

@@ -720,10 +720,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_terms"),
         )
     )
+    # orderBy+limit compiles to TakeOrdered (per-partition partial
+    # top-N + an N-row merge) — never a global sort of the scored
+    # document frame; the rank window then sees only BM25_TOP_K rows.
+    topk = scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP_K)
     rk_w = Window.orderBy(F.desc("score"), "doc_id")
     return (
-        scored.withColumn("rk", F.row_number().over(rk_w).cast("bigint"))
-        .filter(F.col("rk") <= BM25_TOP_K)
+        topk.withColumn("rk", F.row_number().over(rk_w).cast("bigint"))
         .select("rk", "doc_id", "score", "n_terms")
     )
 
