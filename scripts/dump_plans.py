@@ -49,7 +49,19 @@ SHOWCASE = {
     "vectors, then the near-dup pair join confined WITHIN clusters "
     "(fan-out bounded by cluster sizes, never corpus²)",
     "unit_bm25_topk": "BM25: tf/dl map-side aggs over the exploded token "
-    "stream, broadcast df/avgdl model joined back, one top-K window",
+    "stream, broadcast df/avgdl model joined back, TakeOrderedAndProject "
+    "top-K (partial top-N per partition) then a K-row rank window",
+    "unit_peak_concurrency": "distributed sweep-line: boundary points "
+    "shuffled once on day, running open-session sum per day partition, "
+    "carry-in prefix over the calendar-bounded day frame — no "
+    "session-grain single-partition window",
+    "unit_gini_concentration": "Lorenz rank over per-customer totals via "
+    "two-pass global_row_number (range partition + local rank + "
+    "triangular prefix offsets) — no single-partition WindowExec on the "
+    "customer dimension",
+    "unit_hits_scores": "HITS: four edge-grain groupBy+join half-"
+    "iterations with map-side combine; auth_rank over the part dimension "
+    "via the same two-pass global_row_number",
     "unit_ann_lsh": "multi-probe SRP-LSH: narrow integer bucket-code map, "
     "probe explosion, candidate equi-join on the code (no cross product)",
     "unit_ewma_user_value": "per-user EWMA recurrence: single hash "
