@@ -330,9 +330,13 @@ FROM starts
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality signal: average unigram log-probability
     per document (low = unusual token mix). Two-pass: corpus unigram
-    model (one groupBy), then a broadcast join back onto the token
-    stream. Per-token logprobs are rounded to 4 then summed in
-    DECIMAL so the per-doc average is cross-engine exact."""
+    model (one groupBy), then a model join back onto the token
+    stream — left UNHINTED so AQE broadcasts the vocabulary-sized
+    model while it fits and falls back to a key-partitioned shuffle
+    when the corpus vocabulary outgrows the threshold (a forced
+    broadcast would OOM the driver at 100 TB vocabularies). Per-token
+    logprobs are rounded to 4 then summed in DECIMAL so the per-doc
+    average is cross-engine exact."""
     docs = spread(load_table(spark, "documents", sf_dir))
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
@@ -341,7 +345,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", F.round(F.log(F.col("c") / F.col("t")), 4).alias("lp")
     )
     per_doc = (
-        tok.join(F.broadcast(model), "tok")
+        tok.join(model, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -537,7 +541,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bg", F.round(F.log(F.col("cb") / F.col("cw")), 4).alias("lp")
     )
     per = (
-        big.join(F.broadcast(model), "bg")
+        big.join(model, "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -614,7 +618,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = df.crossJoin(F.broadcast(n_docs)).select(
         "tok", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")
     )
-    scored = tf.join(F.broadcast(idf), "tok").select(
+    scored = tf.join(idf, "tok").select(
         "doc_id",
         "tok",
         "tf",
@@ -1272,7 +1276,9 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", F.round(F.log(F.col("c") / F.col("t")), 4).alias("lp")
     )
     per_doc = (
-        tok.join(F.broadcast(model), "tok")
+        # unhinted: AQE broadcasts the vocab-sized LM while it fits,
+        # shuffle-joins when the corpus vocabulary outgrows it
+        tok.join(model, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_lm"),
