@@ -469,9 +469,12 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: edges are distinct (min,max) part pairs per order — the
     per-order pair fan-out is bounded by order size². Two equi-joins on
-    vertex keys (AQE-planned), one broadcast of the O(V) degree table;
-    the final per-vertex rollup unions each triangle's three vertices.
-    All-integer except the rounded coefficient."""
+    vertex keys (AQE-planned), one broadcast of the O(V) degree table —
+    ~16 B/vertex, so the hint holds to hundreds of millions of
+    vertices; past that, drop it and the two rank joins become
+    key-partitioned shuffles (the orientation logic is join-strategy
+    agnostic). The final per-vertex rollup unions each triangle's
+    three vertices. All-integer except the rounded coefficient."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     e1 = li.alias("x").join(li.alias("y"), "l_orderkey").select(
         F.least("x.l_partkey", "y.l_partkey").alias("a"),
@@ -764,7 +767,9 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair table is the `unit_triangle_counts` edge construction
     WITH multiplicity (count of co-occurring orders, not distinct
-    edges); item supports broadcast back onto the pairs. Apriori
+    edges); item supports join back onto the pairs UNHINTED (a
+    part-dimension frame: AQE broadcasts it while it fits and
+    shuffle-joins on the item key at catalog scale). Apriori
     antimonotonicity is applied TWICE: items with individual support
     below the floor are semi-joined OUT of the baskets BEFORE the
     pair self-join (n_pair ≤ min(n_a, n_b), so no dropped item can
@@ -804,8 +809,8 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.withColumnRenamed("item", "a").withColumnRenamed("n_item", "n_a")
     ib = item.withColumnRenamed("item", "b").withColumnRenamed("n_item", "n_b")
     return (
-        directed.join(F.broadcast(ia), "a")
-        .join(F.broadcast(ib), "b")
+        directed.join(ia, "a")
+        .join(ib, "b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             F.col("a").alias("antecedent"),

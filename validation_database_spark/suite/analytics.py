@@ -428,7 +428,9 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     monthly = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # unhinted: customer is a growing dimension — AQE broadcasts
+        # the 2-column projection while it fits, shuffle-joins past it
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.col("c_nationkey").alias("nation"),
             F.date_trunc("month", "o_orderdate").alias("month"),

@@ -772,15 +772,19 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day split of active users into NEW (first-ever active day)
     and RETURNING — the acquisition-vs-retention decomposition every
     growth dashboard leads with, and the daily-grain companion of
-    `unit_cohort_retention`. First-day table is one per-user min;
-    the split is an equality test on the (user, day) activity table.
-    Exact counts; the new-share ratio is the one rounded division."""
+    `unit_cohort_retention`. First-day table is one per-user min; the
+    split is an equality test on the (user, day) activity table. The
+    first-day join is left UNHINTED: it is a USER-dimension frame, so
+    AQE broadcasts it while it fits and shuffle-joins on user_id when
+    the user base outgrows the threshold (both sides already hash the
+    same key). Exact counts; the new-share ratio is the one rounded
+    division."""
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     ud = ev.distinct()
     first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    tagged = ud.join(F.broadcast(first), "user_id").withColumn(
+    tagged = ud.join(first, "user_id").withColumn(
         "is_new", F.col("day") == F.col("first_day")
     )
     return (
