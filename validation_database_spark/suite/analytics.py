@@ -119,7 +119,13 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem ⋈ nation: the big fact-to-fact
     join shuffles on the join keys; the tiny nation dim is explicitly
-    broadcast (25 rows — never shuffle the fact table for it)."""
+    broadcast (25 rows — never shuffle the fact table for it).
+
+    Lineitem revenue/counts are pre-aggregated per orderkey before
+    the orders join (Catalyst does not push partial aggregation
+    through joins), so the widest shuffle carries one row per ORDER
+    (~4× fewer); decimal sum-of-sums and count-of-counts make the
+    regrouping exact."""
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
@@ -127,14 +133,18 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(25,6)"
     )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("ord_rev"),
+        F.count("*").alias("ord_n"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
-            F.count("*").alias("n_lineitems"),
+            F.sum("ord_rev").cast("double").alias("revenue"),
+            F.sum("ord_n").alias("n_lineitems"),
         )
     )
 
@@ -419,15 +429,23 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed" screen an ops review starts from. Calendar-lag equi-join
     on the nation×month rollup (25×84 rows — dimension-bounded), exact
     integer cent deltas, TakeOrdered top-K by |Δ| with full
-    tie-breaks."""
+    tie-breaks.
+
+    Scale: lineitem cents are pre-aggregated per orderkey BEFORE the
+    orders join (Catalyst does not push partial aggregation through
+    joins itself), so the fact shuffle carries one row per ORDER, not
+    per lineitem (~4× smaller), and the join reuses the same key
+    partitioning. Exact integer sums, so the regrouping is an
+    identity."""
     from pyspark.sql import Window
 
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    per_order = li.groupBy("l_orderkey").agg(F.sum(cents).alias("ord_cents"))
     monthly = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         # unhinted: customer is a growing dimension — AQE broadcasts
         # the 2-column projection while it fits, shuffle-joins past it
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -435,7 +453,7 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nation"),
             F.date_trunc("month", "o_orderdate").alias("month"),
         )
-        .agg(F.sum(cents).alias("rev"))
+        .agg(F.sum("ord_cents").alias("rev"))
     )
     prev = monthly.select(
         "nation",
