@@ -313,19 +313,25 @@ def q_priority_ontime_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders missing SLA more often than low-priority ones is the
     fulfilment-process smell this one table surfaces. Order-grain max
     shipdate (one shuffle on the order key), then a 5-row rollup;
-    integer day arithmetic, one rounded share."""
+    integer day arithmetic, one rounded share. The max-shipdate
+    aggregation runs BEFORE the orders join (o_orderdate is constant
+    per order, so the regrouping is an identity): map-side combine
+    collapses the lineitems, the join sees one row per order on both
+    sides, and the pre-agg output partitioning is the join key."""
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
-    per_order = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority")
-        .agg(
-            F.datediff(
-                F.max("l_shipdate").cast("date"), F.min("o_orderdate").cast("date")
-            ).alias("days")
-        )
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    per_order = last_ship.join(
+        orders, last_ship.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
     )
     return (
         per_order.groupBy(F.col("o_orderpriority").alias("priority"))
@@ -980,16 +986,20 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
-    per_order = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority")
-        .agg(
-            F.datediff(
-                F.max("l_shipdate").cast("date"), F.min("o_orderdate").cast("date")
-            )
-            .cast("bigint")
-            .alias("cycle_days")
+    # max shipdate per order BEFORE the join (o_orderdate is constant
+    # per order) — the join sees order-grain rows on both sides
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    per_order = last_ship.join(
+        orders, last_ship.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")
         )
+        .cast("bigint")
+        .alias("cycle_days"),
     )
     hist = per_order.groupBy("o_orderpriority", "cycle_days").agg(
         F.count("*").alias("n")
