@@ -15,6 +15,8 @@ deterministic and needs no such treatment.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1098,14 +1100,23 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     each row hashes ONCE (md5 → two 60-bit slices), per-replicate
     32-bit uniforms come from Kirsch–Mitzenmacher double hashing
     (h1 + b·h2, the Bloom-filter trick), and the weight is the count
-    of Poisson(1) inverse-CDF thresholds ≤ the uniform — so the
-    32-weight array is a narrow map with no per-replicate hashing.
+    of Poisson(1) inverse-CDF thresholds ≤ the uniform — with no
+    per-replicate hashing.
     Partial aggregation collapses everything to B weighted (n, sum)
     pairs before the shuffle; the CI is the exact-rank 2nd/31st
     replicate mean and the bootstrap SE comes from DECIMAL sums of
     the rounded replicate means. The whole summary is ONE aggregation
     over the 32-row rank table (no multi-branch recompute of the
     replicate DAG — the first cut re-ran the scan 3×, 38 s → ~3 s).
+
+    Codegen shape (round 6): the replicate index is EXPLODED and the
+    weight is a flat chain of 7 integer comparisons — the first cut
+    built a 32-element array via ``transform`` over nested ``filter``,
+    which (like the SimHash nibble fold, SCALE.md "nested-HOF
+    projection cliff") drops the projection out of whole-stage codegen
+    and evaluates interpreted: measured 3.2× slower at sf0.1 (3.5 →
+    1.1 s warm) for identical values. The explode fan-out (rows × B)
+    is exactly what the array form shuffled anyway.
 
     Determinism: fixed integer thresholds + md5 → the oracle rebuilds
     identical replicates and the check is hash-exact, which no
@@ -1118,14 +1129,17 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
         F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
-    thr = F.array(*[F.lit(t) for t in _POIS_CUM])
-    w_arr = F.transform(
-        F.sequence(F.lit(1), F.lit(BOOT_B)),
-        lambda b: F.size(
-            F.filter(thr, lambda t: t <= (F.col("h1") + b * F.col("h2")) % F.lit(2**32))
-        ).cast("bigint"),
+    rep = base.select(
+        "cents", "h1", "h2",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
     )
-    rep = base.select("cents", F.posexplode(w_arr).alias("i", "w"))
+    u = (F.col("h1") + F.col("b") * F.col("h2")) % F.lit(2**32)
+    w = reduce(
+        lambda acc, t: acc + (u >= F.lit(t)).cast("bigint"),
+        _POIS_CUM,
+        F.lit(0).cast("bigint"),
+    )
+    rep = rep.select("cents", (F.col("b") - 1).alias("i"), w.alias("w"))
     reps = (
         rep.groupBy("i")
         .agg(F.sum("w").alias("n_b"), F.sum(F.col("w") * F.col("cents")).alias("s_b"))
