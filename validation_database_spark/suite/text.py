@@ -2584,19 +2584,32 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine; island windows run per doc over only its
     duplicate positions. Stride-1 costs L× the block variant's span
     count — the price of unaligned detection; at 100 TB you shard the
-    hash space (the groupBy key) and both stages stay linear."""
+    hash space (the groupBy key) and both stages stay linear.
+
+    Span-hash shape (round 6): the per-doc window hashes are built
+    ROW-LOCALLY (one transform → array of md5s) and only then
+    posexploded. The first cut exploded the POSITION first and sliced
+    ``toks`` per exploded row — but GenerateExec copies every carried
+    child column per output row, so each doc's full token array was
+    materialized once PER POSITION: O(n_tok²) bytes per doc, invisible
+    on short fixture docs and fatal on a 100k-token document
+    (~40 GB for one row). Both shapes produce identical (doc, p, h)
+    rows (measured equal at sf0.1, ~0.3 s either way); the row-local
+    array is O(n_tok · 32 B) — the narrow-map claim above, now true
+    of the plan."""
     docs = spread(load_table(spark, "documents", sf_dir))
     toks = _tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tok")
     )
-    spans = base.filter(F.col("n_tok") >= ESS_L).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("n_tok") - ESS_L + 1)).alias("p"),
-        F.col("toks"),
-    ).select(
-        "doc_id", "p",
-        F.md5(F.array_join(F.slice(F.col("toks"), F.col("p"), ESS_L), " ")).alias("h"),
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), F.col("n_tok") - ESS_L + 1),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, ESS_L), " ")),
+    )
+    spans = (
+        base.filter(F.col("n_tok") >= ESS_L)
+        .select("doc_id", F.posexplode(window_hashes).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "h")
     )
     hot = (
         spans.groupBy("h")
