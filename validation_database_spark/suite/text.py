@@ -2560,6 +2560,7 @@ FROM m
 # --- ExactSubstr-style duplicated-span accounting ------------------------
 
 ESS_L = 16  # span length in tokens (Lee et al. 2021 use 50; fixture docs are short)
+ESS_CHUNK = 1024  # chunk size bounding the explode carry (see q_exact_substr_spans)
 
 
 def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2586,30 +2587,53 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the price of unaligned detection; at 100 TB you shard the
     hash space (the groupBy key) and both stages stay linear.
 
-    Span-hash shape (round 6): the per-doc window hashes are built
-    ROW-LOCALLY (one transform → array of md5s) and only then
-    posexploded. The first cut exploded the POSITION first and sliced
-    ``toks`` per exploded row — but GenerateExec copies every carried
-    child column per output row, so each doc's full token array was
-    materialized once PER POSITION: O(n_tok²) bytes per doc, invisible
-    on short fixture docs and fatal on a 100k-token document
-    (~40 GB for one row). Both shapes produce identical (doc, p, h)
-    rows (measured equal at sf0.1, ~0.3 s either way); the row-local
-    array is O(n_tok · 32 B) — the narrow-map claim above, now true
-    of the plan."""
+    Span-hash shape (round 6): a CHUNKED two-level explode. The naive
+    position-first explode slices ``toks`` per exploded row, and
+    GenerateExec copies every carried child column per output row —
+    each doc's full token array materializes once PER POSITION,
+    O(n_tok²) bytes per doc: invisible on short fixture docs, fatal on
+    a 100k-token document (~40 GB through one Generate). Hashing the
+    windows row-locally (transform → array of md5s → posexplode)
+    avoids the carry but moves md5 into a nested-HOF projection that
+    evaluates interpreted — measured 40% slower on the 100× replica.
+    The chunked form keeps BOTH properties: one row-local transform
+    slices the doc into overlapping ≤1024-token chunks (stride
+    1024−L+1, so every window lives in exactly one chunk; O(2·n_tok)
+    bytes total), the chunk explode carries ≤1024 tokens per row, and
+    the inner position explode + md5(slice) stays whole-stage codegen.
+    Docs shorter than a chunk — the fixture, and most of any crawl —
+    take literally the naive plan (one chunk, offset 0): measured a
+    wash at sf10 (within session variance), identical (doc, p, h)
+    rows pinned at sf0.01 and on a synthetic 5000-token
+    boundary-straddling doc."""
     docs = spread(load_table(spark, "documents", sf_dir))
     toks = _tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tok")
     )
-    window_hashes = F.transform(
-        F.sequence(F.lit(1), F.col("n_tok") - ESS_L + 1),
-        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, ESS_L), " ")),
+    stride = ESS_CHUNK - ESS_L + 1
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.col("n_tok") - ESS_L) / stride).cast("int")
+        ),
+        lambda c: F.struct(
+            (c * stride).cast("int").alias("off"),
+            F.slice(F.col("toks"), c * stride + 1, ESS_CHUNK).alias("ct"),
+        ),
     )
     spans = (
         base.filter(F.col("n_tok") >= ESS_L)
-        .select("doc_id", F.posexplode(window_hashes).alias("p0", "h"))
-        .select("doc_id", (F.col("p0") + 1).alias("p"), "h")
+        .select("doc_id", F.explode(chunks).alias("ch"))
+        .select("doc_id", F.col("ch.off").alias("off"), F.col("ch.ct").alias("ct"))
+        .select(
+            "doc_id", "off", "ct",
+            F.explode(F.sequence(F.lit(1), F.size("ct") - ESS_L + 1)).alias("lp"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("lp")).alias("p"),
+            F.md5(F.array_join(F.slice(F.col("ct"), F.col("lp"), ESS_L), " ")).alias("h"),
+        )
     )
     hot = (
         spans.groupBy("h")
