@@ -184,3 +184,73 @@ def test_lm_perplexity_filter_smoothing_penalty(spark, sf_dir):
     assert all(r["avg_logprob"] < 0 for r in rows)
     kinds = {r["keep"] for r in rows}
     assert kinds == {True, False}, "keep floor must split the corpus"
+
+
+def test_exact_substr_chunked_spans_match_naive(spark):
+    """The chunked two-level explode in q_exact_substr_spans must
+    produce the identical (doc_id, p, h) span table as the naive
+    position-first explode — including for documents long enough to
+    straddle several chunk boundaries, where the stride arithmetic
+    (every window lives in exactly one chunk) is actually exercised.
+    Pins the round-6 quadratic-carry fix (SCALE.md "Nested-HOF cliff
+    round 2")."""
+    from validation_database_spark.suite.text import ESS_CHUNK, ESS_L
+
+    # 3 docs: shorter than L (no spans), exactly one chunk, and one
+    # straddling four chunk boundaries (with enough repetition that
+    # window content repeats across chunks).
+    lens = {1: ESS_L - 1, 2: ESS_CHUNK, 3: 4 * ESS_CHUNK + 37}
+    rows = spark.createDataFrame(
+        [(d, n) for d, n in lens.items()], "doc_id int, n int"
+    )
+    base = rows.select(
+        "doc_id",
+        F.expr("transform(sequence(1, n), i -> concat('w', i % 97))").alias("toks"),
+        F.col("n").alias("n_tok"),
+    )
+
+    naive = (
+        base.filter(F.col("n_tok") >= ESS_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tok") - ESS_L + 1)
+            ).alias("p"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.array_join(F.slice("toks", F.col("p"), ESS_L), " ")).alias("h"),
+        )
+    )
+
+    stride = ESS_CHUNK - ESS_L + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.col("n_tok") - ESS_L) / stride).cast("int")),
+        lambda c: F.struct(
+            (c * stride).cast("int").alias("off"),
+            F.slice(F.col("toks"), c * stride + 1, ESS_CHUNK).alias("ct"),
+        ),
+    )
+    chunked = (
+        base.filter(F.col("n_tok") >= ESS_L)
+        .select("doc_id", F.explode(chunks).alias("ch"))
+        .select("doc_id", F.col("ch.off").alias("off"), F.col("ch.ct").alias("ct"))
+        .select(
+            "doc_id", "off", "ct",
+            F.explode(F.sequence(F.lit(1), F.size("ct") - ESS_L + 1)).alias("lp"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("lp")).alias("p"),
+            F.md5(F.array_join(F.slice("ct", F.col("lp"), ESS_L), " ")).alias("h"),
+        )
+    )
+
+    a = sorted(naive.collect())
+    b = sorted(chunked.collect())
+    assert a == b
+    # every in-range position exactly once, none from the short doc
+    assert len(a) == sum(max(n - ESS_L + 1, 0) for n in lens.values())
+    assert {r.doc_id for r in a} == {2, 3}
