@@ -80,9 +80,10 @@ SHOWCASE = {
     "unit_triangle_counts": "degree-oriented triangle counting: wedge "
     "equi-joins only, broadcast degree table, fan-out bounded by d_out "
     "not the hub's degree²",
-    "unit_exact_substr_spans": "ExactSubstr spans: stride-1 window hashes "
-    "(narrow map), hot-hash groupBy with map-side combine, per-doc "
-    "islands window over duplicate positions only",
+    "unit_exact_substr_spans": "ExactSubstr spans: chunked two-level "
+    "explode (codegen md5, carry bounded at 1024 tokens — not the "
+    "quadratic position-first carry), hot-hash groupBy with map-side "
+    "combine, per-doc islands window over duplicate positions only",
     "unit_line_dedup_rewrite": "C4 line dedup + rewrite: hash-only hot-line "
     "shuffle, anti-join drop, per-doc array_sort reassembly — no global "
     "sort",
