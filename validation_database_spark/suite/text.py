@@ -351,14 +351,16 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.sum(F.col("lp").cast("decimal(18,4)")).alias("sum_lp"),
         )
+        .withColumn("s_e4", (F.col("sum_lp") * 10000).cast("bigint"))
     )
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.col("sum_lp").cast("double") / F.col("n_tokens"), 4).alias(
-            "avg_logprob"
-        ),
+    # avg rounded to 4 dp in EXACT integer arithmetic — the same
+    # sign-split form as the bigram twin below: double round(sum/n, 4)
+    # splits engines on near-ties (the sf0.1 sweep hit 9 of 5000 docs).
+    avg = F.expr(
+        "CAST((CASE WHEN s_e4 < 0 THEN -1 ELSE 1 END)"
+        " * ((2 * abs(s_e4) + n_tokens) DIV (2 * n_tokens)) AS DOUBLE) / 10000"
     )
+    return per_doc.select("doc_id", "n_tokens", avg.alias("avg_logprob"))
 
 
 ORACLE_TEXT_UNIGRAM_LOGPROB = f"""
@@ -370,10 +372,15 @@ model AS (
   SELECT tok, ROUND(ln(c / (SELECT CAST(sum(c) AS DOUBLE) FROM vocab)), 4) AS lp
   FROM vocab
 )
-SELECT doc_id, count(*) AS n_tokens,
-       ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_logprob
-FROM tok JOIN model USING (tok)
-GROUP BY doc_id
+SELECT doc_id, n_tokens,
+       (CASE WHEN s_e4 < 0 THEN -1 ELSE 1 END)
+         * ((2 * abs(s_e4) + n_tokens) // (2 * n_tokens)) / 10000.0 AS avg_logprob
+FROM (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(SUM(CAST(lp AS DECIMAL(18,4))) * 10000 AS BIGINT) AS s_e4
+  FROM tok JOIN model USING (tok)
+  GROUP BY doc_id
+)
 """
 
 
@@ -1293,13 +1300,20 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("lp").cast("decimal(18,4)")).alias("sum_lp"),
         )
     )
+    # avg rounded to 4 dp in EXACT integer arithmetic (the bigram
+    # twin's sign-split form): double round(sum/n, 4) splits engines
+    # on near-ties — the sf0.1 full-window sweep hit 9 of 5000 docs.
     return (
         profile.join(per_doc, "doc_id", "left")
+        .withColumn("__s_e4", (F.col("sum_lp") * 10000).cast("bigint"))
         .withColumn(
             "avg_logprob",
-            F.round(F.col("sum_lp").cast("double") / F.col("n_lm"), 4),
+            F.expr(
+                "CAST((CASE WHEN __s_e4 < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * abs(__s_e4) + n_lm) DIV (2 * n_lm)) AS DOUBLE) / 10000"
+            ),
         )
-        .drop("n_lm", "sum_lp")
+        .drop("n_lm", "sum_lp", "__s_e4")
     )
 
 
@@ -1351,7 +1365,7 @@ model AS (
 ),
 lm AS (
   SELECT doc_id, count(*) AS n_lm,
-         CAST(SUM(CAST(lp AS DECIMAL(18,4))) AS DOUBLE) AS sum_lp
+         CAST(SUM(CAST(lp AS DECIMAL(18,4))) * 10000 AS BIGINT) AS s_e4
   FROM tok JOIN model USING (tok)
   GROUP BY doc_id
 )
@@ -1377,7 +1391,8 @@ SELECT m.doc_id, n_ws_tokens, n_bpe_tokens, n_chars_measured,
          list_transform(counts, x -> printf('%.6f',
            ROUND(x / greatest(sqrt(list_aggregate(list_transform(counts, y -> y * y), 'sum')), 1e-12), 6))),
          ',') AS embedding_csv,
-       ROUND(lm.sum_lp / lm.n_lm, 4) AS avg_logprob
+       (CASE WHEN lm.s_e4 < 0 THEN -1 ELSE 1 END)
+         * ((2 * abs(lm.s_e4) + lm.n_lm) // (2 * lm.n_lm)) / 10000.0 AS avg_logprob
 FROM m LEFT JOIN lm ON m.doc_id = lm.doc_id
 """
 
