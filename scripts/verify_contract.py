@@ -6,7 +6,13 @@ queries() entry against its oracle_sql() in DuckDB at sf0.01 with the
 driver's canonicalization (sort columns, NaN->None, round floats to
 9, naive timestamps, sorted rows). Exit 0 iff zero mismatches.
 
-Usage: python scripts/verify_contract.py
+Usage: python scripts/verify_contract.py [sf_dir]
+
+``sf_dir`` defaults to the driver's /root/testdata/sf0.01; pass
+/root/testdata/sf0.1 for the 10×-the-driver sweep — worth one run per
+round: value hazards are scale-dependent (the round-6 sweep caught a
+round-half-tie in doc_profile's avg_logprob that sf0.01 never hits,
+9 of 5000 docs).
 """
 import importlib.util, math, sys
 import duckdb, pandas as pd
@@ -27,7 +33,7 @@ vals = list(rows[0].asDict().values())
 assert all((v or 0) > 0 for v in vals if isinstance(v, (int, float))), rows
 print("entry OK:", rows[0].asDict())
 
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
