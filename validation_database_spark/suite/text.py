@@ -2678,11 +2678,18 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     )
+    # One two-level aggregation chain: the island rollup carries the
+    # dup-position count along (sum of per-island counts ≡ the count
+    # a separate dup groupBy would produce), so the per-doc stats are
+    # one groupBy + ONE join instead of two of each — one fewer pass
+    # over the duplicate-position table, already doc_id-partitioned
+    # from the islands window.
     per_island = isl.groupBy("doc_id", "island").agg(
-        (F.max("p") - F.min("p") + ESS_L).alias("tok_span")
+        F.count("*").alias("n_in_island"),
+        (F.max("p") - F.min("p") + ESS_L).alias("tok_span"),
     )
-    per_doc_dup = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
-    per_doc_isl = per_island.groupBy("doc_id").agg(
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.sum("n_in_island").cast("bigint").alias("n_dup_spans"),
         F.count("*").alias("n_islands"),
         F.sum("tok_span").cast("bigint").alias("dup_tokens"),
     )
@@ -2692,8 +2699,7 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spans",
             F.greatest(F.col("n_tok") - ESS_L + 1, F.lit(0)).cast("bigint"),
         )
-        .join(per_doc_dup, "doc_id", "left")
-        .join(per_doc_isl, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_tok").cast("bigint").alias("n_tokens"),
