@@ -315,11 +315,13 @@ def _kmeans_assignments(
 
     Scale shape per iteration: assignment is a broadcast of K
     centroids against the vector table (narrow, no shuffle of the big
-    side) + one per-vector window over K rows; the update is one
+    side) + a map-side-combining ``min(struct(dist, cid))`` argmin —
+    the same no-rank-window shape as the IVF assignment (the r4 100×
+    OOM fix): partial aggregation collapses the K-expanded rows per
+    vector BEFORE the exchange, where the previous per-vector
+    row_number window shuffled all |vecs|·K rows. The update is one
     posexplode groupBy (map-side combining, K·dims result rows).
     Initial centroids are the deterministic modular selection."""
-    from pyspark.sql import Window
-
     if vecs is None:
         emb = _emb(spark, sf_dir)
         vecs = emb.select("vec_id", _to_e6(F.col("embedding")).alias("x"))
@@ -336,11 +338,19 @@ def _kmeans_assignments(
                 lambda acc, v: acc + v,
             ),
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        # lexicographic min(struct) ≡ (min dist, tie → min cid), the
+        # window's ORDER BY dist, cid — but with map-side combine; x
+        # is constant per vec_id, so first(x) is deterministic.
+        best = F.min(F.struct(F.col("dist"), F.col("cid")))
         return (
-            d.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cid", "dist", "x")
+            d.groupBy("vec_id")
+            .agg(best.alias("b"), F.first("x").alias("x"))
+            .select(
+                "vec_id",
+                F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"),
+                "x",
+            )
         )
 
     a = assign(cents)
