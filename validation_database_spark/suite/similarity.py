@@ -675,11 +675,16 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-cosine wrong-label neighbors.
 
     Plan: one broadcast of the tiny anchor set against the corpus
-    (same shape as the ANN baseline), then ONE window per (anchor,
-    is_same_label) slot. At corpus scale the anchor side stays
-    broadcast and the scored side is the candidate set of any ANN
-    index (IVF cell or LSH bucket) instead of the full corpus — the
-    mining step itself is unchanged."""
+    (same shape as the ANN baseline), then ONE map-side-combining
+    aggregation per anchor: the best same-label and best other-label
+    neighbors are two conditional ``max(struct(cos, −id, id))``
+    aggregates (lexicographic max ≡ highest cosine, tie → smallest
+    id), so the scored rows collapse BEFORE the exchange and no rank
+    window or pos⋈neg self-join exists — the r4 no-rank-window
+    argmax shape. At corpus scale the anchor side stays broadcast and
+    the scored side is the candidate set of any ANN index (IVF cell
+    or LSH bucket) instead of the full corpus — the mining step
+    itself is unchanged."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding", "label", l2_norm(F.col("embedding")).alias("__nrm")
     )
@@ -704,21 +709,26 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot(F.col("a_u"), F.col("u")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("anchor_id", "same").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
+    pick = F.struct(
+        F.col("cos_sim").alias("c"),
+        (-F.col("vec_id")).alias("m"),
+        F.col("vec_id").alias("i"),
     )
-    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    pos = best.filter(F.col("same")).select(
+    best = scored.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("same"), pick)).alias("p"),
+        F.max(F.when(~F.col("same"), pick)).alias("n"),
+    )
+    # the window+join form inner-joined pos and neg, dropping anchors
+    # missing either slot — mirror that with the two not-null filters
+    return best.filter(
+        F.col("p").isNotNull() & F.col("n").isNotNull()
+    ).select(
         "anchor_id",
-        F.col("vec_id").alias("positive_id"),
-        F.col("cos_sim").alias("positive_cos"),
+        F.col("p.i").alias("positive_id"),
+        F.col("p.c").alias("positive_cos"),
+        F.col("n.i").alias("hard_negative_id"),
+        F.col("n.c").alias("hard_negative_cos"),
     )
-    neg = best.filter(~F.col("same")).select(
-        "anchor_id",
-        F.col("vec_id").alias("hard_negative_id"),
-        F.col("cos_sim").alias("hard_negative_cos"),
-    )
-    return pos.join(neg, "anchor_id")
 
 
 def _oracle_hard_negatives() -> str:
