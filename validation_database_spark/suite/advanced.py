@@ -289,16 +289,21 @@ def q_fuzzy_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         F.levenshtein("dirty_name", "clean_name").alias("dist"),
     ).filter(F.col("dist") <= FUZZY_MAX_DIST)
-    w = Window.partitionBy("dirty_id").orderBy("dist", "clean_name")
+    # best match per dirty key as a map-side-combining min(struct):
+    # lexicographic min ≡ ORDER BY dist, clean_name (clean_name is
+    # unique per block, so the key is total); no rank window — the
+    # blocked-pair rows collapse before the exchange. dirty_name is
+    # constant per dirty_id and rides via first().
+    best = F.min(F.struct("dist", "clean_name", "canonical_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        scored.groupBy("dirty_id")
+        .agg(best.alias("b"), F.first("dirty_name").alias("dirty_name"))
         .select(
             "dirty_id",
             "dirty_name",
-            "clean_name",
-            "canonical_id",
-            F.col("dist").cast("bigint").alias("dist"),
+            F.col("b.clean_name").alias("clean_name"),
+            F.col("b.canonical_id").alias("canonical_id"),
+            F.col("b.dist").cast("bigint").alias("dist"),
         )
     )
 

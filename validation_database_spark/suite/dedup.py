@@ -1181,14 +1181,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = D.jaccard_verify(cand, shingles).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
-    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), "id_b")
+    # best corpus match per incoming doc as a map-side-combining
+    # max(struct(jaccard, −id_b, id_b)) — lexicographic max ≡ ORDER BY
+    # jaccard DESC, id_b ASC, no rank window over the candidate pairs
+    best = F.max(
+        F.struct(
+            F.col("jaccard").alias("j"),
+            (-F.col("id_b")).alias("m"),
+            F.col("id_b").alias("i"),
+        )
+    )
     return (
-        verified.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        verified.groupBy("id_a")
+        .agg(best.alias("b"))
         .select(
             F.col("id_a").alias("new_doc_id"),
-            F.col("id_b").alias("dup_of"),
-            "jaccard",
+            F.col("b.i").alias("dup_of"),
+            F.col("b.j").alias("jaccard"),
         )
     )
 

@@ -59,13 +59,18 @@ def q_streaming_user_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame
     out = run_to_completion(
         streaming_user_totals(stream), "suite_stream_totals", output_mode="update"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    # final state per user = the update with the highest n_events
+    # (strictly increasing across a user's updates, so the key is
+    # total) — a map-side-combining max(struct), no rank window over
+    # the update history
     return (
-        out.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("b"))
+        .select(
+            "user_id",
+            F.col("b.n_events").alias("n_events"),
+            F.col("b.total_value").alias("total_value"),
+        )
     )
 
 
