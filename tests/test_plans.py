@@ -550,3 +550,49 @@ def test_bm25_topk_is_take_ordered_not_rank_window(spark, sf_dir):
 
     plan = physical_plan(q_bm25_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fuzzy_key_join_argmin_is_partial_agg_not_window(spark, sf_dir):
+    """The best-match-per-dirty-key pick is a min(struct) aggregation
+    with map-side combine — the blocked levenshtein pairs collapse
+    before the exchange; no rank window over the candidate pairs."""
+    from validation_database_spark.suite.advanced import q_fuzzy_key_join
+
+    plan = physical_plan(q_fuzzy_key_join(spark, sf_dir))
+    assert "partial_min" in plan, plan
+    assert "WindowExec" not in plan, plan
+
+
+def test_dedup_incremental_best_match_is_partial_agg_not_window(spark, sf_dir):
+    """The best-corpus-match-per-incoming-doc pick is a max(struct)
+    aggregation with map-side combine over the verified candidate
+    pairs — no rank window."""
+    from validation_database_spark.suite.dedup import q_dedup_incremental
+
+    plan = physical_plan(q_dedup_incremental(spark, sf_dir))
+    assert "partial_max" in plan, plan
+    assert "WindowExec" not in plan, plan
+
+
+def test_kmeans_lloyd_assignment_is_partial_agg_not_window(spark, sf_dir):
+    """Each Lloyd iteration's nearest-centroid argmin is a min(struct)
+    aggregation — the K-expanded scored rows collapse map-side instead
+    of shuffling |vecs|*K rows to a rank window (same form as the IVF
+    assignment's r4 100x OOM fix)."""
+    from validation_database_spark.suite.similarity import q_kmeans_clusters
+
+    plan = physical_plan(q_kmeans_clusters(spark, sf_dir))
+    assert "partial_min" in plan, plan
+    assert "WindowExec" not in plan, plan
+
+
+def test_hard_negatives_is_one_conditional_agg_no_self_join(spark, sf_dir):
+    """Best same-label and best other-label neighbors are two
+    conditional max(struct) aggregates in ONE groupBy — no
+    (anchor, same)-partitioned rank window and no pos/neg self-join
+    (the scored frame is aggregated exactly once)."""
+    from validation_database_spark.suite.similarity import q_hard_negatives
+
+    plan = physical_plan(q_hard_negatives(spark, sf_dir))
+    assert "partial_max" in plan, plan
+    assert "WindowExec" not in plan, plan
