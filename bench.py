@@ -128,6 +128,23 @@ def baseline_match_point(spark, sf_dir: str) -> dict | None:
     }
 
 
+def calibration_point(spark) -> float:
+    """Fixed, data-independent control workload: md5-derived integer
+    sum over a 20M-row range, all 32-way parallel JVM codegen. Its
+    wall time measures the BOX, not the engine — identical code has
+    shown 3× swings across sessions on this host (SCALE.md "Box-speed
+    control"), so every bench JSON carries this number to let a reader
+    normalize cross-session comparisons before reading any per-query
+    delta as a regression."""
+    df = spark.range(0, 20_000_000, 1, 32).selectExpr(
+        "sum(cast(conv(substr(md5(cast(id as string)), 1, 8), 16, 10)"
+        " as bigint)) as s"
+    )
+    t0 = time.perf_counter()
+    df.collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -169,6 +186,12 @@ def main() -> None:
     # 8.94 s golden number is itself a warm run, see BASELINE.md).
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+
+    # Box-speed control: first run pays codegen, second is the steady
+    # reading. Reported even in --only mode — isolated numbers need
+    # the control most.
+    calibration_point(spark)
+    calibration = calibration_point(spark)
 
     # The BASELINE-comparable composites run FIRST, before the timed
     # suite: the round-6 isolation study (SCALE.md "Parity-family
@@ -222,6 +245,7 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
     }
     if e2e_cold is not None:
         payload["value_cold"] = e2e_cold
