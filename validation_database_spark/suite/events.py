@@ -1753,8 +1753,22 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     element at ⌈0.95·n⌉ under the (lateness, event_id) order — the
     exact-order-statistic trick shared with `unit_mad_anomalies`.
 
-    Scale: one per-type window pass + one map-side-combining histogram
-    agg; the rank-select runs over the same shuffle. Nothing global."""
+    Scale (both windows partition on keys that GROW with the data —
+    nothing is keyed on the ~5-value event_type alone):
+
+    - The running max partitions by (event_type, bucket), not by
+      event_type: any event in an earlier bucket has
+      epoch_us(ts) < epoch0 + bucket·600e6 ≤ epoch_us(ts_current), so
+      the cross-bucket carry can never exceed the current event's own
+      ts (which the intra-bucket prefix already includes) — the
+      per-type prefix scan decomposes exactly into per-(type, bucket)
+      prefix scans, and the oracle's per-type form pins the identity.
+    - The exact p95 is selected from the (event_type, late_s)
+      histogram: late_s = late_us DIV 1e6 is monotone in the rank
+      order (late_us, event_id), so the ⌈0.95·n⌉-th row's late_s is
+      the smallest s whose cumulative count reaches the rank — the
+      only ordered window runs at the tiny distinct-lateness grain,
+      never over the event frame."""
     from pyspark.sql import Window
 
     ev = (
@@ -1767,19 +1781,25 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
-    wa = Window.partitionBy("event_type").orderBy("bucket", "arr", "event_id")
+    wa = Window.partitionBy("event_type", "bucket").orderBy("arr", "event_id")
     late = ev.withColumn(
         "run_max", F.max("ts").over(wa.rowsBetween(Window.unboundedPreceding, 0))
     ).withColumn(
         "late_us", F.expr("timestampdiff(MICROSECOND, ts, run_max)")
     ).withColumn("late_s", F.expr("late_us DIV 1000000"))
-    wr = Window.partitionBy("event_type").orderBy("late_us", "event_id")
-    ranked = late.withColumn("rk", F.row_number().over(wr)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("event_type"))
+    grain = late.groupBy("event_type", "late_s").agg(F.count("*").alias("c"))
+    wn = Window.partitionBy("event_type")
+    cum = grain.withColumn(
+        "cum",
+        F.sum("c").over(
+            wn.orderBy("late_s").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("c").over(wn))
+    p95 = (
+        cum.filter(F.col("cum") >= F.expr("CAST(ceil(0.95 * n) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(F.min("late_s").alias("p95_late_s"))
     )
-    p95 = ranked.filter(
-        F.col("rk") == F.expr("CAST(ceil(0.95 * n) AS BIGINT)")
-    ).select("event_type", F.col("late_s").alias("p95_late_s"))
     b = F.col("late_s")
     hist = late.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
