@@ -73,6 +73,63 @@ def global_row_number(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: str | list[str] | tuple[str, ...],
+    order_cols: str | list[str] | tuple[str, ...],
+    rn_col: str = "rn",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based rank: the distributed form of
+    ``row_number() OVER (PARTITION BY group ORDER BY key)`` for when a
+    SINGLE group's rows outgrow one partition (a bounded-cardinality
+    group key — language, event type — over a data-grain frame, where
+    the plain window sends a whole group to one reducer).
+
+    Range-partition on the composite (group, key) — a group spans a
+    RUN of partitions — rank locally per (partition, group), then add
+    per-(partition, group) prefix offsets from one triangular
+    self-join over the ≤ n_partitions × |groups| count rows. Same
+    two-pass structure as ``global_row_number`` (which is the
+    group-less special case) and ``_numbered_tagged`` (the fixed
+    two-column union form).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    orders = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        n, *[F.col(c) for c in groups + orders]
+    ).withColumn("__pid", F.spark_partition_id())
+    local_w = Window.partitionBy("__pid", *groups).orderBy(*orders)
+    # persist: same double-evaluation hazard as global_row_number —
+    # the ranged subtree feeds both the offsets agg and the join.
+    local = ranged.withColumn("__lrn", F.row_number().over(local_w)).persist()
+    counts = local.groupBy("__pid", *groups).agg(F.count("*").alias("__cnt"))
+    same_group = None
+    for c in groups:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        same_group = eq if same_group is None else (same_group & eq)
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            same_group & (F.col("b.__pid") < F.col("a.__pid")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.__pid").alias("__pid"),
+            *[F.col(f"a.{c}").alias(c) for c in groups],
+        )
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *groups])
+        .withColumn(rn_col, (F.col("__lrn") + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__lrn", "__offset")
+    )
+
+
 def _numbered_tagged(parts: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """Per-tag global 1-based ranks for several (id, val) lists in ONE
     range-partition pass instead of one ``global_row_number`` job per

@@ -1217,10 +1217,14 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 order (stable under corpus growth, like every sampler here).
 
     Scale: counts are one map-side-combining groupBy; budget/quotas
-    are a |langs|-row broadcast; selection is one per-language window
-    — a single shuffle of (doc_id, lang) pairs, no global sort."""
-    from pyspark.sql import Window
-
+    are a |langs|-row broadcast; selection ranks per language with the
+    two-pass distributed `grouped_row_number` — lang is a ~5-value
+    key, so the plain per-lang rank window would sort ~a fifth of the
+    corpus on ONE reducer each; range-partitioning on (lang, md5 key)
+    spreads every language across the cluster instead (the quota is
+    data-dependent — ~40% of the corpus — so a WindowGroupLimit-style
+    top-K cap can never bound this rank)."""
+    from ..operators.report import grouped_row_number
     from ..util import spread
 
     docs = spread(load_table(spark, "documents", sf_dir).select("doc_id", "lang"))
@@ -1234,10 +1238,13 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(F.col("budget") * F.col("target")).cast("bigint").alias("quota"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))), "doc_id"
+    keyed = docs.withColumn(
+        "__mixkey",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))),
     )
-    ranked = docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    ranked = grouped_row_number(
+        keyed, "lang", ["__mixkey", "doc_id"], rn_col="rk"
+    )
     return (
         ranked.join(F.broadcast(quotas), "lang")
         .filter(F.col("rk") <= F.col("quota"))
