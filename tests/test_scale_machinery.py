@@ -214,3 +214,39 @@ def test_ivf_geometry_env_overrides_bake_into_both_engines():
         "nlist": 128,
         "oracle_has_cap": True,
     }, got
+
+
+def test_grouped_row_number_matches_window_form(spark, sf_dir):
+    """grouped_row_number ≡ row_number() OVER (PARTITION BY group
+    ORDER BY key) — on a round-robin-spread input so the
+    range-partition boundaries genuinely split groups across
+    partitions (the regime the helper exists for), including a group
+    key absent from MIX_TARGETS-style configs and NULL group rows."""
+    from pyspark.sql import Window
+
+    from validation_database_spark.operators.report import grouped_row_number
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "lang")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        .withColumn("key", F.md5(F.col("doc_id").cast("string")))
+        .repartition(16)  # destroy any helpful pre-ordering
+    )
+    got = grouped_row_number(docs, "lang", ["key", "doc_id"], rn_col="rn")
+    w = Window.partitionBy("lang").orderBy("key", "doc_id")
+    want = docs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    cols = ["lang", "doc_id", "rn"]
+
+    def rows(df):
+        return sorted(
+            (r["lang"] or "", r["doc_id"], r["rn"])
+            for r in df.select(cols).collect()
+        )
+
+    assert rows(got) == rows(want)

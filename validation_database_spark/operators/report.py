@@ -123,8 +123,16 @@ def grouped_row_number(
         )
         .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
     )
+    # null-safe on the group key: a plain equi-join would silently
+    # drop NULL-group rows that the window form ranks as their own
+    # partition.
+    back = F.col("l.__pid") == F.col("o.__pid")
+    for c in groups:
+        back = back & F.col(f"l.{c}").eqNullSafe(F.col(f"o.{c}"))
     return (
-        local.join(F.broadcast(offsets), ["__pid", *groups])
+        local.alias("l")
+        .join(F.broadcast(offsets).alias("o"), back)
+        .select("l.*", F.col("o.__offset"))
         .withColumn(rn_col, (F.col("__lrn") + F.col("__offset")).cast("bigint"))
         .drop("__pid", "__lrn", "__offset")
     )
