@@ -596,3 +596,16 @@ def test_hard_negatives_is_one_conditional_agg_no_self_join(spark, sf_dir):
     plan = physical_plan(q_hard_negatives(spark, sf_dir))
     assert "partial_max" in plan, plan
     assert "WindowExec" not in plan, plan
+
+
+def test_doc_sampling_stratum_rank_is_group_limited(spark, sf_dir):
+    """The per-stratum rank runs behind a rk <= K filter that compiles
+    to WindowGroupLimit (per-partition partial top-K before the
+    shuffle) and the K·|langs|-row result broadcast-joins back — the
+    doc frame is never fully sorted per language. A when()-guarded
+    rank over the whole frame would lose both properties."""
+    from validation_database_spark.suite.pipeline import q_doc_sampling
+
+    plan = physical_plan(q_doc_sampling(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

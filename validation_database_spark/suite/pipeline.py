@@ -354,7 +354,16 @@ def q_doc_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       NULL beyond the K-per-stratum cutoff.
 
     Per-doc assignments are a strictly stronger check than the
-    aggregate counts the individual queries reported."""
+    aggregate counts the individual queries reported.
+
+    Scale: the flags are narrow per-row maps. ``strat_rk`` is NULL
+    past the K-per-stratum cutoff, so only the top-K set ever needs a
+    rank: the per-lang window runs behind a ``rk <= K`` FILTER (which
+    compiles to WindowGroupLimit — per-partition partial top-K before
+    the shuffle, never a full per-lang sort on one reducer) and the
+    resulting K·|langs|-row table broadcast-joins back onto the doc
+    frame. The old form ranked EVERY doc per lang because the cutoff
+    lived in a ``when()``, which WindowGroupLimit cannot see."""
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
@@ -366,9 +375,15 @@ def q_doc_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = F.conv(h, 16, 10).cast("double") / 65536.0
     max_chars = docs.agg(F.max("n_chars").alias("mx"))
     w = Window.partitionBy("lang").orderBy(hid, "doc_id")
+    strat = (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_K)
+        .select("doc_id", F.col("rk").cast("bigint").alias("strat_rk"))
+    )
     return (
         docs.crossJoin(F.broadcast(max_chars))
-        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(strat), "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -377,9 +392,7 @@ def q_doc_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u < F.col("n_chars").cast("double") / F.col("mx")).alias(
                 "kept_weighted"
             ),
-            F.when(F.col("rk") <= STRATUM_K, F.col("rk").cast("bigint")).alias(
-                "strat_rk"
-            ),
+            "strat_rk",
         )
     )
 
