@@ -114,6 +114,45 @@ def test_streaming_stateful_user_totals(spark, sf_dir):
     assert latest == want
 
 
+def test_streaming_user_totals_updates_strictly_increase(spark, sf_dir, tmp_path):
+    """Pins the invariant q_streaming_user_totals_final's max(struct)
+    rests on (ADVICE r6): update-mode emissions carry STRICTLY
+    INCREASING n_events per user, because applyInPandasWithState with
+    NoTimeout invokes a group only when the micro-batch contains new
+    rows for it — so two emissions can never tie on n_events and the
+    struct tie-break on total_value is unreachable. Driven over a
+    3-file source with maxFilesPerTrigger=1 so users genuinely re-emit
+    across micro-batches (the single-file fixture yields one batch and
+    would leave the invariant unexercised)."""
+    from validation_database_spark.streaming import streaming_user_totals
+
+    ev = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "ev_parts")
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_to_completion(
+        streaming_user_totals(stream), "totals_multibatch", output_mode="update"
+    )
+    emissions: dict[int, list[int]] = {}
+    for r in out.collect():
+        emissions.setdefault(r.user_id, []).append(r.n_events)
+    assert emissions
+    # non-vacuous: multi-batch source must actually re-emit some user
+    assert any(len(v) > 1 for v in emissions.values())
+    batch_counts = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for uid, ns in emissions.items():
+        assert len(ns) == len(set(ns)), f"user {uid}: tied n_events {ns}"
+        assert max(ns) == batch_counts[uid], uid
+
+
 def test_streaming_dedup_within_watermark(spark, sf_dir):
     """Exactly-once-style dedup on a stream: duplicate the source
     stream, dropDuplicatesWithinWatermark must collapse it back."""
@@ -205,3 +244,82 @@ def test_streaming_ewma_final_state_matches_batch(spark, sf_dir):
     assert set(got) == set(expected)
     mismatches = {u: (got[u], expected[u]) for u in expected if got[u] != expected[u]}
     assert not mismatches, f"{len(mismatches)} users drifted: {list(mismatches.items())[:3]}"
+
+
+def test_streaming_ewma_multibatch_state_carry(spark, sf_dir, tmp_path):
+    """Multi-batch twin of the EWMA final-state test: three
+    time-contiguous files replayed in order (mtimes forced ascending,
+    maxFilesPerTrigger=1) so each user's recurrence genuinely CARRIES
+    STATE across micro-batches — the single-file fixture never enters
+    the state.exists branch, which is how the GroupState.get
+    property-vs-method crash stayed latent (found by the totals twin
+    of this test, ADVICE r6)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from validation_database_spark.operators.timeseries import ewma
+    from validation_database_spark.streaming import streaming_ewma
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    n = ev.count()
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy("ts", "event_id", "user_id")
+        ),
+    )
+    src = tmp_path / "ev_time_parts"
+    src.mkdir()
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        part_dir = tmp_path / f"slice_{i}"
+        (
+            ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+            .drop("rn")
+            .coalesce(1)
+            .write.parquet(str(part_dir))
+        )
+        part = next(
+            p for p in os.listdir(part_dir) if p.endswith(".parquet")
+        )
+        dest = src / f"{i}.parquet"
+        shutil.move(str(part_dir / part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_completion(
+        streaming_ewma(stream), "ewma_multibatch", output_mode="update"
+    )
+    # update mode emits once per (user, batch); the final state is the
+    # emission with the most events behind it — take the LAST per user
+    # by n-th emission == max count ordering via collect order is not
+    # guaranteed, so recompute: the batch EWMA over the full fixture.
+    emitted = {}
+    for r in out.collect():
+        emitted.setdefault(r.user_id, []).append(r.ewma)
+
+    full = ewma(ev, ["user_id"], ["ts", "event_id"], "value", 0.25)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ewma")
+    )
+    expected = {r.user_id: r.ewma for r in last.collect()}
+    assert set(emitted) == set(expected)
+    assert any(len(v) > 1 for v in emitted.values()), "no user re-emitted"
+    drifted = {
+        u: (emitted[u], expected[u])
+        for u in expected
+        if expected[u] not in emitted[u]
+    }
+    assert not drifted, f"{len(drifted)} users: {list(drifted.items())[:3]}"

@@ -196,7 +196,13 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         import pandas as _pd
 
-        n, cents = state.get() if state.exists else (0, 0)
+        # GroupState.get is a PROPERTY in PySpark 4 (raises if absent),
+        # not a method — state.get() crashed on any ≥2-batch stream,
+        # where a group's second invocation hits the exists branch for
+        # the first time (the single-file fixture always yields one
+        # batch, which is why only the multi-batch invariant test,
+        # tests/test_streaming.py, ever reached this line).
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
             # Accumulate EXACT integer cents: the monetary values are
@@ -252,7 +258,8 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
-        s = state.get()[0] if state.exists else None
+        # property, not method — see streaming_user_totals' update
+        s = state.get[0] if state.exists else None
         for pdf in pdf_iter:
             if not len(pdf):
                 continue

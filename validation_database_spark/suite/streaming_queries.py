@@ -60,9 +60,13 @@ def q_streaming_user_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame
         streaming_user_totals(stream), "suite_stream_totals", output_mode="update"
     )
     # final state per user = the update with the highest n_events
-    # (strictly increasing across a user's updates, so the key is
-    # total) — a map-side-combining max(struct), no rank window over
-    # the update history
+    # (strictly increasing across a user's updates — the operator is
+    # only invoked for groups with new rows in the batch, so ties are
+    # impossible and the struct's total_value tie-break is
+    # unreachable; pinned by tests/test_streaming.py::
+    # test_streaming_user_totals_updates_strictly_increase) — a
+    # map-side-combining max(struct), no rank window over the update
+    # history
     return (
         out.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "total_value")).alias("b"))
