@@ -444,22 +444,40 @@ JOIN sizes nb ON common.id_b = nb.doc_id
 """
 
 
-def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash estimator audit: for every LSH candidate pair, the
-    signature-agreement estimate (matching slots / 16 — the unbiased
-    MinHash estimator of Jaccard) next to the EXACT Jaccard and the
-    absolute error. The production use: at 100 TB the estimate is
-    often accurate enough to SKIP the exact-verify join entirely —
-    this op quantifies that trade on real candidates.
+# The estimator-drift audit samples candidate pairs 1-in-8 by md5
+# prefix of the pair key — the same pure-function discipline as
+# q_sample_hash (pipeline.py), so the DuckDB oracle replays the
+# selection exactly and a pair's membership never changes as the
+# corpus grows. Rationale (VERDICT r6 ask #4): the exact form scores
+# EVERY LSH candidate pair and is audit-bound at the 100× replica
+# (118.8 s, 3.17M exactly-scored pairs); a production drift audit
+# needs an unbiased sample, not the census.
+MINHASH_AUDIT_HEX = "2000"  # keep ≈ 1/8 of candidate pairs
 
-    Same plan family as the LSH query; the estimate join touches only
-    the 16-column signature table (one row per doc), so it is strictly
-    cheaper than the shingle-level verify it can replace."""
+
+def _minhash_estimate(
+    spark: SparkSession, sf_dir: str, sampled: bool
+) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     shingles = D.exploded_shingles(docs).persist()
     sigs = D.minhash_signatures(shingles)
     bands = D.lsh_bands(sigs)
     pairs = D.lsh_candidate_pairs(bands)
+    if sampled:
+        pairs = pairs.filter(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("id_a").cast("string"),
+                        F.col("id_b").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            )
+            < F.lit(MINHASH_AUDIT_HEX)
+        )
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"s{i}").alias(f"a{i}") for i in range(D.NUM_HASHES)],
@@ -486,7 +504,38 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_estimate() -> str:
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit (SAMPLED default, VERDICT r6 ask #4):
+    for a deterministic 1-in-8 md5-hash sample of LSH candidate pairs,
+    the signature-agreement estimate (matching slots / 16 — the
+    unbiased MinHash estimator of Jaccard) next to the EXACT Jaccard
+    and the absolute error. The production use: at 100 TB the estimate
+    is often accurate enough to SKIP the exact-verify join entirely —
+    this op quantifies that trade on a replayable sample of real
+    candidates (generalizes the reference's threshold-parity concern,
+    running_validation.py:306-316, to corpus scale).
+
+    Scale: the sample filter sits directly on the candidate-pair
+    frame, BEFORE both the signature join and the shingle-level exact
+    verify, so the expensive legs see 1/8 of the pairs (the exact form
+    was audit-bound: 118.8 s / 3.17M scored pairs at the 100×
+    replica); the census form survives below as the explicitly-named
+    exactness baseline."""
+    return _minhash_estimate(spark, sf_dir, sampled=True)
+
+
+def q_minhash_estimate_exact_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Census form of the estimator audit: every LSH candidate pair
+    exactly scored. Deliberately audit-bound at corpus scale (it IS
+    the full verify join plus the estimate join) — kept as the
+    exactness baseline that certifies the sampled audit on small SF,
+    same pattern as the uncapped/capped containment pair."""
+    return _minhash_estimate(spark, sf_dir, sampled=False)
+
+
+def _oracle_minhash_estimate(sampled: bool = True) -> str:
     sig_cols = ", ".join(
         "min(substr(md5('{seed}|' || sh), {start}, 8)) AS s{i}".format(
             seed=i // D.SLICES_PER_MD5, start=1 + 8 * (i % D.SLICES_PER_MD5), i=i
@@ -506,6 +555,12 @@ def _oracle_minhash_estimate() -> str:
         f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
         for i in range(D.NUM_HASHES)
     )
+    sample_pred = (
+        "WHERE substr(md5(CAST(a.doc_id AS VARCHAR) || '|' || "
+        f"CAST(b.doc_id AS VARCHAR)), 1, 4) < '{MINHASH_AUDIT_HEX}'"
+        if sampled
+        else ""
+    )
     return f"""
 WITH {_SH_CTE},
 sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
@@ -514,6 +569,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  {sample_pred}
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -1344,7 +1400,7 @@ SPECS = [
     # second round-6 rotation (never driver-checked before):
     QuerySpec("unit_minhash_estimate", q_minhash_estimate,
               _oracle_minhash_estimate(),
-              "MinHash estimator audit: signature estimate vs exact Jaccard"),
+              "MinHash estimator audit: md5-sampled pairs, estimate vs exact"),
 ]
 
 
@@ -1397,4 +1453,11 @@ UNIT_SPECS = [
               q_dedup_containment_exact_baseline,
               ORACLE_DEDUP_CONTAINMENT,
               "asymmetric shingle containment (uncapped exactness baseline)"),
+    # round 7 (VERDICT r6 ask #4): the census estimator audit —
+    # every LSH candidate pair exactly scored — relabeled to what it
+    # is; the md5-sampled form above is the scale default.
+    QuerySpec("unit_minhash_estimate_exact_baseline",
+              q_minhash_estimate_exact_baseline,
+              _oracle_minhash_estimate(sampled=False),
+              "census estimator audit (all candidate pairs, exactness baseline)"),
 ]
