@@ -145,6 +145,23 @@ def calibration_point(spark) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def calibration_point_1t(spark) -> float:
+    """Single-thread twin of :func:`calibration_point` (600k rows, ONE
+    partition): measures single-core speed, which can move
+    independently of 32-way throughput (turbo, noisy neighbor pinned
+    to a core). The round-7 window_calendar_funcs adjudication showed
+    why one parallel point is not enough: the query read 1.5× slower
+    isolated while the parallel control read FASTER — the delta was
+    codegen-JIT state, invisible to a throughput-only control."""
+    df = spark.range(0, 600_000, 1, 1).selectExpr(
+        "sum(cast(conv(substr(md5(cast(id as string)), 1, 8), 16, 10)"
+        " as bigint)) as s"
+    )
+    t0 = time.perf_counter()
+    df.collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -192,6 +209,8 @@ def main() -> None:
     # the control most.
     calibration_point(spark)
     calibration = calibration_point(spark)
+    calibration_point_1t(spark)
+    calibration_1t = calibration_point_1t(spark)
 
     # The BASELINE-comparable composites run FIRST, before the timed
     # suite: the round-6 isolation study (SCALE.md "Parity-family
@@ -234,6 +253,13 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 4)
+        # drop the rank-helper determinism pins this spec accumulated
+        # (ADVICE r6: they are corpus-sized and CacheManager never
+        # GCs); released AFTER both runs so warm-run cache semantics
+        # are unchanged vs prior rounds.
+        from validation_database_spark.operators.report import release_rank_pins
+
+        release_rank_pins()
 
     timings["__suite_total"] = round(sum(timings.values()), 4)
     warm["__suite_total"] = round(sum(warm.values()), 4)
@@ -246,6 +272,7 @@ def main() -> None:
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
+        "calibration_1t_sec": calibration_1t,
     }
     if e2e_cold is not None:
         payload["value_cold"] = e2e_cold

@@ -60,6 +60,16 @@ def main() -> None:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, t, sf_dir).limit(1).collect()
 
+    # Box-speed controls (same instruments as bench.py) so sf10 rows
+    # are cross-session comparable — the r6 dedup_incremental read was
+    # un-adjudicatable without them.
+    from bench import calibration_point, calibration_point_1t
+
+    calibration_point(spark)
+    calibration = calibration_point(spark)
+    calibration_point_1t(spark)
+    calibration_1t = calibration_point_1t(spark)
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -73,6 +83,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warm[name] = round(time.perf_counter() - t0, 2)
             rows[name] = fn(spark, sf_dir).count()
+            from validation_database_spark.operators.report import (
+                release_rank_pins,
+            )
+
+            release_rank_pins()
             print(
                 f"{name}: cold {cold[name]} s, warm {warm[name]} s, "
                 f"{rows[name]} rows",
@@ -82,7 +97,10 @@ def main() -> None:
             print(f"{name}: FAILED {type(exc).__name__}", file=sys.stderr)
             rows[name] = -1
 
-    print(json.dumps({"sf_dir": sf_dir, "cold": cold, "warm": warm, "rows": rows}))
+    print(json.dumps({
+        "sf_dir": sf_dir, "cold": cold, "warm": warm, "rows": rows,
+        "calibration_sec": calibration, "calibration_1t_sec": calibration_1t,
+    }))
     spark.stop()
 
 

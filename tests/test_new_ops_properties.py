@@ -193,8 +193,15 @@ def test_exact_substr_chunked_spans_match_naive(spark):
     straddle several chunk boundaries, where the stride arithmetic
     (every window lives in exactly one chunk) is actually exercised.
     Pins the round-6 quadratic-carry fix (SCALE.md "Nested-HOF cliff
-    round 2")."""
-    from validation_database_spark.suite.text import ESS_CHUNK, ESS_L
+    round 2"). The chunked side is the PRODUCTION expression
+    (chunked_span_table, the exact stage q_exact_substr_spans runs),
+    not a re-implementation — a regression in text.py's chunking on
+    boundary-straddling docs fails here (ADVICE r6)."""
+    from validation_database_spark.suite.text import (
+        ESS_CHUNK,
+        ESS_L,
+        chunked_span_table,
+    )
 
     # 3 docs: shorter than L (no spans), exactly one chunk, and one
     # straddling four chunk boundaries (with enough repetition that
@@ -225,28 +232,7 @@ def test_exact_substr_chunked_spans_match_naive(spark):
         )
     )
 
-    stride = ESS_CHUNK - ESS_L + 1
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.floor((F.col("n_tok") - ESS_L) / stride).cast("int")),
-        lambda c: F.struct(
-            (c * stride).cast("int").alias("off"),
-            F.slice(F.col("toks"), c * stride + 1, ESS_CHUNK).alias("ct"),
-        ),
-    )
-    chunked = (
-        base.filter(F.col("n_tok") >= ESS_L)
-        .select("doc_id", F.explode(chunks).alias("ch"))
-        .select("doc_id", F.col("ch.off").alias("off"), F.col("ch.ct").alias("ct"))
-        .select(
-            "doc_id", "off", "ct",
-            F.explode(F.sequence(F.lit(1), F.size("ct") - ESS_L + 1)).alias("lp"),
-        )
-        .select(
-            "doc_id",
-            (F.col("off") + F.col("lp")).alias("p"),
-            F.md5(F.array_join(F.slice("ct", F.col("lp"), ESS_L), " ")).alias("h"),
-        )
-    )
+    chunked = chunked_span_table(base)
 
     a = sorted(naive.collect())
     b = sorted(chunked.collect())

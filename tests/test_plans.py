@@ -609,3 +609,57 @@ def test_doc_sampling_stratum_rank_is_group_limited(spark, sf_dir):
     plan = physical_plan(q_doc_sampling(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_dimension_frames_stay_unhinted(spark, sf_dir):
+    """VERDICT r6 ask #5: round 6 dropped the FORCED broadcast hints
+    on every frame that grows with a dimension or the vocabulary
+    (unigram/bigram LM models, TF-IDF idf, doc_profile's internal LM,
+    new_vs_returning's per-user first-day table, top_movers' customer
+    projection, assoc_rules' item supports) — AQE broadcasts each
+    while it fits its threshold and shuffle-joins past it, so a
+    forced hint is an OOM at 100 TB vocabularies. This pins the
+    analyzed-plan ResolvedHint COUNT per family: the surviving hints
+    are one-row scalars/aggregates only (n_docs, vocab size,
+    n_orders), so a refactor that re-hints a vocabulary frame bumps
+    the count and fails here. AQE's own runtime broadcast choices
+    never appear as ResolvedHint, so this pin is exactly on the
+    *forced* hints."""
+    from validation_database_spark.suite.advanced import q_assoc_rules
+    from validation_database_spark.suite.analytics import q_top_movers
+    from validation_database_spark.suite.events import q_new_vs_returning
+    from validation_database_spark.suite.text import (
+        q_doc_profile,
+        q_lm_perplexity_filter,
+        q_tfidf_top_terms,
+    )
+
+    expected = {
+        # fn -> forced-hint count; every allowed hint is a scalar
+        q_tfidf_top_terms: 1,       # n_docs one-row aggregate
+        q_lm_perplexity_filter: 1,  # vocab-size one-row aggregate
+        q_doc_profile: 0,
+        q_new_vs_returning: 0,
+        q_top_movers: 0,
+        q_assoc_rules: 1,           # n_orders one-row aggregate
+    }
+    for fn, want in expected.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        got = plan.count("ResolvedHint")
+        assert got == want, (
+            f"{fn.__name__}: {got} forced broadcast hints (expected {want}) "
+            "— a vocabulary/dimension-sized frame was re-hinted?"
+        )
+
+
+def test_assoc_rules_prune_semi_join_present(spark, sf_dir):
+    """VERDICT r6 ask #6: the Apriori antimonotone pre-prune (items
+    with support < AR_MIN_PAIR semi-joined OUT of baskets before the
+    pair self-join) must stay in the plan — it is inert on the dense
+    fixture but is what bounds the pair space on a long-tail catalog
+    (scripts/apriori_longtail.py measures the reduction; SCALE.md
+    round 7). A LeftSemi join must appear BELOW the basket self-join."""
+    from validation_database_spark.suite.advanced import q_assoc_rules
+
+    plan = physical_plan(q_assoc_rules(spark, sf_dir))
+    assert "LeftSemi" in plan, plan

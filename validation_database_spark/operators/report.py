@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 
 from .reconcile import ReconcileResult
 
+# Persisted rank-helper subtrees (see the persist comments in
+# global_row_number / grouped_row_number: the pin is for partition-
+# assignment determinism, so it must survive until the CALLER
+# materializes the returned frame — the helper cannot unpersist it
+# itself). Spark's CacheManager keys by logical plan and never GCs,
+# so in a long session each invocation would otherwise accumulate a
+# corpus-sized cached frame (ADVICE r6). Long-running hosts call
+# release_rank_pins() between queries; bench.py does after each
+# spec's cold+warm pair.
+_PINNED: list[DataFrame] = []
+
+
+def release_rank_pins() -> None:
+    """Unpersist every rank-helper cache pinned since the last call."""
+    while _PINNED:
+        _PINNED.pop().unpersist(False)
+
 
 def global_row_number(
     df: DataFrame,
@@ -52,6 +69,7 @@ def global_row_number(
     # the local ranks (observed as nondeterministic ranks under
     # round-robin-spread inputs).
     local = ranged.withColumn("__lrn", F.row_number().over(local_w)).persist()
+    _PINNED.append(local)
     # one row per partition — prefix offsets via a tiny triangular
     # self-join (≤ n_partitions² rows), not an unpartitioned window:
     # keeps every plan in the job free of single-partition WindowExec.
@@ -105,6 +123,7 @@ def grouped_row_number(
     # persist: same double-evaluation hazard as global_row_number —
     # the ranged subtree feeds both the offsets agg and the join.
     local = ranged.withColumn("__lrn", F.row_number().over(local_w)).persist()
+    _PINNED.append(local)
     counts = local.groupBy("__pid", *groups).agg(F.count("*").alias("__cnt"))
     same_group = None
     for c in groups:
@@ -162,6 +181,7 @@ def _numbered_tagged(parts: dict[str, DataFrame]) -> dict[str, DataFrame]:
     # persist: same double-evaluation hazard as global_row_number —
     # the ranged subtree feeds both the offsets agg and the join.
     local = ranged.withColumn("__lrn", F.row_number().over(local_w)).persist()
+    _PINNED.append(local)
     counts = local.groupBy("__tag", "__pid").agg(F.count("*").alias("__cnt"))
     offsets = (
         counts.alias("a")

@@ -2586,6 +2586,42 @@ ESS_L = 16  # span length in tokens (Lee et al. 2021 use 50; fixture docs are sh
 ESS_CHUNK = 1024  # chunk size bounding the explode carry (see q_exact_substr_spans)
 
 
+def chunked_span_table(base: DataFrame) -> DataFrame:
+    """The chunked two-level-explode span stage of
+    :func:`q_exact_substr_spans`, factored out so the boundary-
+    straddling identity test (tests/test_new_ops_properties.py)
+    exercises the PRODUCTION expression instead of re-implementing it
+    (ADVICE r6). Input: (doc_id, toks, n_tok); output: one row per
+    L-token window — (doc_id, p, h) with p the 1-based position and h
+    the md5 of the space-joined window. See q_exact_substr_spans'
+    docstring for why this shape (Generate carry vs interpreted HOF
+    trade)."""
+    stride = ESS_CHUNK - ESS_L + 1
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.col("n_tok") - ESS_L) / stride).cast("int")
+        ),
+        lambda c: F.struct(
+            (c * stride).cast("int").alias("off"),
+            F.slice(F.col("toks"), c * stride + 1, ESS_CHUNK).alias("ct"),
+        ),
+    )
+    return (
+        base.filter(F.col("n_tok") >= ESS_L)
+        .select("doc_id", F.explode(chunks).alias("ch"))
+        .select("doc_id", F.col("ch.off").alias("off"), F.col("ch.ct").alias("ct"))
+        .select(
+            "doc_id", "off", "ct",
+            F.explode(F.sequence(F.lit(1), F.size("ct") - ESS_L + 1)).alias("lp"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("lp")).alias("p"),
+            F.md5(F.array_join(F.slice(F.col("ct"), F.col("lp"), ESS_L), " ")).alias("h"),
+        )
+    )
+
+
 def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-SPAN accounting — the fixed-window
     approximation of ExactSubstr dedup (Lee, Ippolito et al. 2021,
@@ -2634,30 +2670,7 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tok")
     )
-    stride = ESS_CHUNK - ESS_L + 1
-    chunks = F.transform(
-        F.sequence(
-            F.lit(0), F.floor((F.col("n_tok") - ESS_L) / stride).cast("int")
-        ),
-        lambda c: F.struct(
-            (c * stride).cast("int").alias("off"),
-            F.slice(F.col("toks"), c * stride + 1, ESS_CHUNK).alias("ct"),
-        ),
-    )
-    spans = (
-        base.filter(F.col("n_tok") >= ESS_L)
-        .select("doc_id", F.explode(chunks).alias("ch"))
-        .select("doc_id", F.col("ch.off").alias("off"), F.col("ch.ct").alias("ct"))
-        .select(
-            "doc_id", "off", "ct",
-            F.explode(F.sequence(F.lit(1), F.size("ct") - ESS_L + 1)).alias("lp"),
-        )
-        .select(
-            "doc_id",
-            (F.col("off") + F.col("lp")).alias("p"),
-            F.md5(F.array_join(F.slice(F.col("ct"), F.col("lp"), ESS_L), " ")).alias("h"),
-        )
-    )
+    spans = chunked_span_table(base)
     hot = (
         spans.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
