@@ -138,6 +138,15 @@ SHOWCASE = {
     "four exact 15-bit chunk aggregates, 3x20-bit band explode, "
     "bucket-capped self-join, exact Hamming verify — band width grows "
     "with log2(n) so chance collisions stay subcritical",
+    "unit_minhash_estimate": "estimator drift audit (round-7 sampled "
+    "default): md5-prefix pair sample applied to the candidate frame "
+    "BEFORE the signature join and the shingle-level exact verify, so "
+    "both expensive legs see 1/8 of the pairs; the census form is the "
+    "labeled exactness baseline",
+    "unit_assoc_rules": "pairwise Apriori: antimonotone item semi-join "
+    "(LeftSemi, plan-pinned) below the basket self-join — inert on the "
+    "dense fixture, 4-8x pair-space cut on a long-tail catalog "
+    "(scripts/apriori_longtail.py)",
 }
 
 

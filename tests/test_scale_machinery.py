@@ -250,3 +250,30 @@ def test_grouped_row_number_matches_window_form(spark, sf_dir):
         )
 
     assert rows(got) == rows(want)
+
+
+def test_release_rank_pins_unpersists(spark, sf_dir):
+    """The rank helpers pin their ranked subtree for partition-
+    assignment determinism; release_rank_pins() must actually empty
+    the CacheManager afterwards (ADVICE r6 — CacheManager never GCs,
+    so without the release a long session accumulates corpus-sized
+    cached frames per invocation)."""
+    from pyspark.sql import functions as SF
+
+    from validation_database_spark.operators import report
+    from validation_database_spark.sources import load_table
+
+    spark.catalog.clearCache()
+    report._PINNED.clear()
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    ranked = report.global_row_number(orders, "o_orderkey")
+    assert ranked.count() == orders.count()
+    assert report._PINNED, "helper must register its pin"
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty(), "the ranked subtree must be cached"
+    report.release_rank_pins()
+    assert not report._PINNED
+    assert cm.isEmpty(), "release must unpersist every pinned frame"
+    # rank values survive the release (recompute path stays correct)
+    top = ranked.orderBy("rn").limit(3).collect()
+    assert [r.rn for r in top] == [1, 2, 3]
