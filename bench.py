@@ -253,13 +253,13 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 4)
-        # drop the rank-helper determinism pins this spec accumulated
+        # drop the determinism/reuse pins this spec accumulated
         # (ADVICE r6: they are corpus-sized and CacheManager never
         # GCs); released AFTER both runs so warm-run cache semantics
         # are unchanged vs prior rounds.
-        from validation_database_spark.operators.report import release_rank_pins
+        from validation_database_spark.util import release_pins
 
-        release_rank_pins()
+        release_pins()
 
     timings["__suite_total"] = round(sum(timings.values()), 4)
     warm["__suite_total"] = round(sum(warm.values()), 4)

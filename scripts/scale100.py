@@ -20,6 +20,15 @@ import os
 import sys
 import time
 
+# The stress harness sizes its heap for the stress SF: 8g (the
+# engine-wide default) is borderline for the ~sf10 replica's biggest
+# pair joins on local[32] — unit_semantic_dedup OOMed under the
+# cold+warm+count triple pass at 8g (round 7, reproduced on unchanged
+# code) while passing in a single-run session. 16g is the measured
+# comfortable floor on this 128 GiB box; SPARK_DRIVER_MEMORY still
+# overrides.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from validation_database_spark.session import get_spark  # noqa: E402
@@ -83,11 +92,9 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warm[name] = round(time.perf_counter() - t0, 2)
             rows[name] = fn(spark, sf_dir).count()
-            from validation_database_spark.operators.report import (
-                release_rank_pins,
-            )
+            from validation_database_spark.util import release_pins
 
-            release_rank_pins()
+            release_pins()
             print(
                 f"{name}: cold {cold[name]} s, warm {warm[name]} s, "
                 f"{rows[name]} rows",

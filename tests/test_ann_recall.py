@@ -149,3 +149,36 @@ def test_ivfpq_structure_and_recall(spark, sf_dir):
     mean_overlap = sum(overlaps) / len(overlaps)
     # chance overlap ~ TOP_K / cell-candidate count (~0.25 at sf0.001)
     assert mean_overlap >= 0.3, f"mean ADC/exact overlap = {mean_overlap:.3f}"
+
+
+def test_semantic_dedup_hier_recall_vs_exact(spark, sf_dir):
+    """Acceptance gate for the hierarchical SemDeDup scale path: the
+    two-level router may miss boundary-straddling dup pairs (inherent
+    to cluster-then-prune), but (a) planted SCALED copies are immune —
+    identical unit vectors route identically, so every vec the exact
+    form drops for a scaled twin is dropped by hier too — and (b)
+    overall drop-set recall vs the exact baseline must clear 0.8."""
+    from pyspark.sql import functions as F
+
+    from validation_database_spark.suite.similarity import (
+        q_semantic_dedup,
+        q_semantic_dedup_hier,
+    )
+
+    exact = {r.vec_id: r.keep for r in q_semantic_dedup(spark, sf_dir).collect()}
+    hier = {r.vec_id: r.keep for r in q_semantic_dedup_hier(spark, sf_dir).collect()}
+    assert set(exact) == set(hier), "same corpus, same row set"
+    dropped_exact = {v for v, k in exact.items() if not k}
+    dropped_hier = {v for v, k in hier.items() if not k}
+    assert dropped_exact, "fixture must plant dups"
+    # (a) scaled copies: vec_id >= 1_000_000 and < 2_000_000 are the
+    # cos=1 planted twins (suite/dedup.py::_vecs_with_planted_dups) —
+    # each pairs with its base at cosine exactly 1 in BOTH forms, so
+    # every scaled id the exact form drops must be dropped by hier.
+    scaled_dropped = {v for v in dropped_exact if 1_000_000 <= v < 2_000_000}
+    assert scaled_dropped, "exact form must drop planted scaled copies"
+    missed_scaled = scaled_dropped - dropped_hier
+    assert not missed_scaled, f"hier missed scaled twins: {sorted(missed_scaled)[:5]}"
+    # (b) overall drop-set recall
+    recall = len(dropped_exact & dropped_hier) / len(dropped_exact)
+    assert recall >= 0.8, f"hier drop recall {recall:.2f} vs exact"

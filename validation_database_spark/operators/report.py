@@ -24,22 +24,14 @@ from pyspark.sql import functions as F
 
 from .reconcile import ReconcileResult
 
-# Persisted rank-helper subtrees (see the persist comments in
-# global_row_number / grouped_row_number: the pin is for partition-
-# assignment determinism, so it must survive until the CALLER
-# materializes the returned frame — the helper cannot unpersist it
-# itself). Spark's CacheManager keys by logical plan and never GCs,
-# so in a long session each invocation would otherwise accumulate a
-# corpus-sized cached frame (ADVICE r6). Long-running hosts call
-# release_rank_pins() between queries; bench.py does after each
-# spec's cold+warm pair.
-_PINNED: list[DataFrame] = []
-
-
-def release_rank_pins() -> None:
-    """Unpersist every rank-helper cache pinned since the last call."""
-    while _PINNED:
-        _PINNED.pop().unpersist(False)
+# The rank helpers persist their ranked subtree for partition-
+# assignment determinism (see the persist comments in
+# global_row_number / grouped_row_number: the pin must survive until
+# the CALLER materializes the returned frame, so the helper cannot
+# unpersist it itself). Registered in the shared util pin registry;
+# long-running hosts call release_pins() between queries — bench.py
+# does after each spec's cold+warm pair (ADVICE r6).
+from ..util import _PINNED, release_pins as release_rank_pins  # noqa: F401
 
 
 def global_row_number(

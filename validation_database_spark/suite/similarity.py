@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.vectors import dot, dot_sql, l2_norm, unit_sql
 from ..sources import load_table
-from ..util import spread
+from ..util import pin, spread
 from . import QuerySpec
 
 def _geo(name: str, default: int) -> int:
@@ -50,6 +50,17 @@ CENTROID_OFF = 7  # vec_id % 50 == 7 → centroid set
 # index at scale, where you would train nlist centroids, not sample
 # n/50. Overridable: SPARK_GRAFT_IVF_NLIST (see _geo).
 CENTROID_CAP = _geo("IVF_NLIST", 64)  # vec_id DIV 50 < cap
+# K for the k-means OP (and SemDeDup's spherical variant) gets the
+# same treatment (round 7 — the r5 100× note flagged exactly this:
+# "the modular centroid selection grows K with the corpus, so
+# assignment cost is n·K; a production run pins K"). 256 keeps every
+# fixture SF bit-identical (sf0.01 seeds 20, sf0.1 seeds 200 — both
+# below the cap) and bounds the 100× replica at K=256 instead of
+# n/50=2000, where Lloyd assignment alone measured 317 s cold. K=256
+# also balances SemDeDup's two cost terms at that scale (assign n·K
+# vs within-cluster pairs Σc² ≈ n²/K — see SCALE.md round 7).
+# Overridable: SPARK_GRAFT_KMEANS_K.
+KMEANS_K_CAP = _geo("KMEANS_K", 256)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,7 +306,10 @@ def _to_e6(col):
 
 
 def _kmeans_assignments(
-    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame | None = None,
+    k_cap: int | None = None,
 ) -> DataFrame:
     """Final (vec_id, cid, dist) assignment of the exact fixed-point
     Lloyd run — shared by the k-means query and the SemDeDup pruner.
@@ -325,7 +339,18 @@ def _kmeans_assignments(
     if vecs is None:
         emb = _emb(spark, sf_dir)
         vecs = emb.select("vec_id", _to_e6(F.col("embedding")).alias("x"))
-    cents = vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF).select(
+    seed = F.col("vec_id") % CENTROID_MOD == CENTROID_OFF
+    if k_cap is not None:
+        # pinned-K mode (the k-means OP): K is a model hyperparameter,
+        # not a function of corpus size — without the cap the modular
+        # selection yields n/50 seeds and the assignment pass is
+        # O(n²/50): measured 317 s cold at the 100× replica, 9.0 s
+        # with K=256 (SCALE.md round 7). SemDeDup's exact baseline
+        # passes k_cap=None (its Σ cluster² accounting is defined on
+        # the corpus-growing K) — its scale twin is the two-level
+        # q_semantic_dedup_hier below.
+        seed = seed & (F.col("vec_id") < CENTROID_MOD * k_cap)
+    cents = vecs.filter(seed).select(
         F.col("vec_id").alias("cid"), F.col("x").alias("c")
     )
 
@@ -380,7 +405,7 @@ def _kmeans_assignments(
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fixed-point Lloyd k-means assignment after
     ``KMEANS_ITERS`` iterations (see ``_kmeans_assignments``)."""
-    return _kmeans_assignments(spark, sf_dir).select(
+    return _kmeans_assignments(spark, sf_dir, k_cap=KMEANS_K_CAP).select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
     )
 
@@ -395,10 +420,15 @@ def _to_e6_sql(expr: str) -> str:
     )
 
 
-#: The Lloyd iteration CTE chain; expects a prior CTE
-#: ``v(vec_id, x: BIGINT[])`` supplying the fixed-point vectors.
-_LLOYD_CTES = f"""c0 AS (SELECT vec_id AS cid, x AS c
-       FROM v WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}),
+def _lloyd_ctes(k_cap: int | None = None) -> str:
+    """The Lloyd iteration CTE chain; expects a prior CTE
+    ``v(vec_id, x: BIGINT[])`` supplying the fixed-point vectors.
+    ``k_cap`` mirrors _kmeans_assignments' pinned-K mode."""
+    cap_pred = (
+        f"\n         AND vec_id < {CENTROID_MOD * k_cap}" if k_cap else ""
+    )
+    return f"""c0 AS (SELECT vec_id AS cid, x AS c
+       FROM v WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}{cap_pred}),
 d1 AS (
   SELECT v.vec_id, c0.cid, v.x,
          CAST(list_sum(list_transform(generate_series(1, len(v.x)),
@@ -430,7 +460,7 @@ ORACLE_KMEANS = f"""
 WITH v AS (
   SELECT vec_id, {_to_e6_sql('embedding')} AS x FROM embeddings
 ),
-{_LLOYD_CTES}
+{_lloyd_ctes(KMEANS_K_CAP)}
 SELECT vec_id, cid AS cluster, dist FROM a2
 """
 
@@ -801,12 +831,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xu = u.select("vec_id", _to_e6(F.col("u")).alias("x"))
     a = _kmeans_assignments(spark, sf_dir, vecs=xu)
-    au = a.join(u, "vec_id").select("vec_id", "cid", "u")
+    # pin: `au` (and through it the whole Lloyd DAG) feeds BOTH sides
+    # of the within-cluster self-join AND the final result join —
+    # unpinned, the 2-iteration fixed point replicated three times in
+    # one 1,600-line plan (round-7 plan audit). One assignment pass,
+    # read three times.
+    au = pin(a.join(u, "vec_id").select("vec_id", "cid", "u"))
+    return _semdedup_from_assignments(au)
+
+
+def _semdedup_from_assignments(au: DataFrame) -> DataFrame:
+    """The SemDeDup pair/keep tail, shared by the exact Lloyd form and
+    the two-level hierarchical scale path: within-cluster cosine ≥ τ
+    pairs → per-id neighbor stats → keep = no smaller-id neighbor.
+    ``au`` = (vec_id, cid, u) with u unit-normalized."""
     left = au.select(F.col("vec_id").alias("id_a"), "cid", F.col("u").alias("ua"))
     right = au.select(F.col("vec_id").alias("id_b"), "cid", F.col("u").alias("ub"))
-    pairs = (
+    # Each UNORDERED pair's dot is computed once (id_a < id_b halves
+    # the join output and the 64-dim folds vs the old id_a != id_b
+    # form), then exploded into both directions for the per-id
+    # neighbor stats — value-identical because cos is exactly
+    # symmetric here: zip_with preserves element order and per-element
+    # multiplication commutes, so the fold is bitwise the same.
+    upairs = (
         left.join(right, "cid")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
@@ -814,6 +863,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= SEMDEDUP_TAU)
     )
+    pairs = upairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("p"), F.col("id_b").alias("q")),
+                F.struct(F.col("id_b").alias("p"), F.col("id_a").alias("q")),
+            )
+        ).alias("e")
+    ).select(F.col("e.p").alias("id_a"), F.col("e.q").alias("id_b"))
     agg = pairs.groupBy("id_a").agg(
         F.count("*").alias("n_dups"),
         F.max((F.col("id_b") < F.col("id_a")).cast("int")).alias("has_smaller"),
@@ -829,17 +886,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_semantic_dedup() -> str:
-    from .dedup import ALL_VECS_CTE
-
+def _semdedup_tail_sql() -> str:
+    """SQL twin of _semdedup_from_assignments — expects a prior CTE
+    ``au(vec_id, cid, u)``; shared by the exact and hierarchical
+    oracles so the keep-rule text cannot diverge."""
     cos_ab = dot_sql("a.u", "b.u")
-    return f"""
-WITH {ALL_VECS_CTE},
-units AS (SELECT vec_id, {unit_sql('embedding')} AS u FROM all_vecs),
-v AS (SELECT vec_id, {_to_e6_sql('u')} AS x FROM units),
-{_LLOYD_CTES},
-au AS (SELECT a2.vec_id, a2.cid, units.u FROM a2 JOIN units USING (vec_id)),
-pairs AS (
+    return f"""pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos_ab}, 6) AS cos
   FROM au a JOIN au b ON a.cid = b.cid AND a.vec_id <> b.vec_id
   WHERE ROUND({cos_ab}, 6) >= {SEMDEDUP_TAU}
@@ -852,7 +904,152 @@ agg AS (
 SELECT au.vec_id, au.cid AS cluster,
        COALESCE(agg.n_dups, 0) AS n_dups,
        COALESCE(agg.has_smaller, 0) = 0 AS keep
-FROM au LEFT JOIN agg ON au.vec_id = agg.id_a
+FROM au LEFT JOIN agg ON au.vec_id = agg.id_a"""
+
+
+def _oracle_semantic_dedup() -> str:
+    from .dedup import ALL_VECS_CTE
+
+    return f"""
+WITH {ALL_VECS_CTE},
+units AS (SELECT vec_id, {unit_sql('embedding')} AS u FROM all_vecs),
+v AS (SELECT vec_id, {_to_e6_sql('u')} AS x FROM units),
+{_lloyd_ctes()},
+au AS (SELECT a2.vec_id, a2.cid, units.u FROM a2 JOIN units USING (vec_id)),
+{_semdedup_tail_sql()}
+"""
+
+
+# Coarse-cell count for the hierarchical SemDeDup router. 256 coarse
+# cells bound the vector-routing pass at n x 256 regardless of corpus
+# size; the fine seed set keeps GROWING with the corpus (n/50 — the
+# SemDeDup regime: cluster sizes stay ~50, so the within-cluster pair
+# space stays LINEAR in n), and each vector does its exact fine argmin
+# only against the ~K/256 fine seeds routed to its coarse cell.
+SEMDEDUP_COARSE_CAP = _geo("SEMDEDUP_COARSE", 256)
+
+
+def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical SemDeDup — the SCALE PATH twin of
+    unit_semantic_dedup (which stays the exact-Lloyd certification
+    baseline). The exact form's two cost terms cannot both stay
+    sub-quadratic with a FLAT assignment: corpus-growing K makes
+    Lloyd assignment n·K = O(n²/50) (measured 317 s cold at the 100×
+    replica), while pinning K makes the within-cluster pair space
+    Σc² = O(n²/K) (measured 137M pairs / 112 s of pair-dots at K→40
+    effective). The two-level router keeps BOTH terms linear, the
+    same coarse-quantizer idea as IVF (Jégou et al. 2011) applied to
+    centroid search (Sivic & Zisserman's vocabulary-tree lineage):
+
+    1. fine seeds  = vec_id % 50 == 7 (UNCAPPED — K ∝ n, clusters ~50)
+    2. coarse seeds = the first 256 fine seeds (the IVF cap rule)
+    3. each fine seed routes to its nearest coarse seed (K×256, tiny)
+    4. each vector routes to its nearest coarse seed (n×256 broadcast,
+       map-side min(struct) argmin), then takes its exact argmin over
+       ONLY the ~K/256 fine seeds in that coarse cell
+    5. pair/keep tail identical to the exact form (shared helper)
+
+    One-shot Voronoi on the seed vectors (no Lloyd iterations): every
+    step is a pure function of the data, so DuckDB replays the whole
+    routing bit-exactly — the oracle is full-strength, not rows-only.
+    The price vs exact is boundary misses: a dup pair can straddle
+    two fine cells (inherent to SemDeDup itself) or, additionally, two
+    coarse cells; planted scaled copies are IMMUNE (identical unit
+    vectors route identically — pinned by test_ann_recall), and the
+    measured recall vs the exact baseline is the acceptance gate."""
+    from .dedup import _vecs_with_planted_dups
+
+    vecs = _vecs_with_planted_dups(spark, sf_dir)
+    withn = vecs.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+    )
+    u = spread(withn).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("__nrm")).alias("u"),
+    )
+    xu = u.select("vec_id", _to_e6(F.col("u")).alias("x"))
+    fine = xu.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF).select(
+        F.col("vec_id").alias("fcid"), F.col("x").alias("fx")
+    )
+    coarse = fine.filter(
+        F.col("fcid") < CENTROID_MOD * SEMDEDUP_COARSE_CAP
+    ).select(F.col("fcid").alias("ccid"), F.col("fx").alias("cx"))
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    # fine seed -> coarse cell (K×256 rows, trivially small)
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .withColumn("d", _sqdist(F.col("fx"), F.col("cx")))
+        .groupBy("fcid")
+        .agg(
+            F.min(F.struct(F.col("d"), F.col("ccid"))).alias("b"),
+            F.first("fx").alias("fx"),
+        )
+        .select("fcid", F.col("b.ccid").alias("ccid"), "fx")
+    )
+    # vector -> coarse cell (n×256, broadcast, map-side argmin)
+    v2c = (
+        xu.crossJoin(F.broadcast(coarse))
+        .withColumn("d", _sqdist(F.col("x"), F.col("cx")))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("d"), F.col("ccid"))).alias("b"),
+            F.first("x").alias("x"),
+        )
+        .select("vec_id", F.col("b.ccid").alias("ccid"), "x")
+    )
+    # exact fine argmin WITHIN the coarse cell (n × ~K/256 fan-out;
+    # f2c is seed-table-sized — broadcast while it fits, like the IVF
+    # centroid table)
+    a = (
+        v2c.join(F.broadcast(f2c), "ccid")
+        .withColumn("d", _sqdist(F.col("x"), F.col("fx")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d"), F.col("fcid"))).alias("b"))
+        .select("vec_id", F.col("b.fcid").alias("cid"))
+    )
+    au = pin(a.join(u, "vec_id").select("vec_id", "cid", "u"))
+    return _semdedup_from_assignments(au)
+
+
+def _oracle_semantic_dedup_hier() -> str:
+    from .dedup import ALL_VECS_CTE
+
+    sqd = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+    return f"""
+WITH {ALL_VECS_CTE},
+units AS (SELECT vec_id, {unit_sql('embedding')} AS u FROM all_vecs),
+v AS (SELECT vec_id, {_to_e6_sql('u')} AS x FROM units),
+fine AS (SELECT vec_id AS fcid, x AS fx FROM v
+         WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}),
+coarse AS (SELECT fcid AS ccid, fx AS cx FROM fine
+           WHERE fcid < {CENTROID_MOD * SEMDEDUP_COARSE_CAP}),
+f2c AS (SELECT fcid, ccid, fx FROM (
+  SELECT fine.fcid, coarse.ccid, fine.fx,
+         row_number() OVER (PARTITION BY fine.fcid
+            ORDER BY {sqd.format(a='fine.fx', b='coarse.cx')}, coarse.ccid) AS rk
+  FROM fine CROSS JOIN coarse) WHERE rk = 1),
+v2c AS (SELECT vec_id, ccid, x FROM (
+  SELECT v.vec_id, coarse.ccid, v.x,
+         row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {sqd.format(a='v.x', b='coarse.cx')}, coarse.ccid) AS rk
+  FROM v CROSS JOIN coarse) WHERE rk = 1),
+a2 AS (SELECT vec_id, cid FROM (
+  SELECT v2c.vec_id, f2c.fcid AS cid,
+         row_number() OVER (PARTITION BY v2c.vec_id
+            ORDER BY {sqd.format(a='v2c.x', b='f2c.fx')}, f2c.fcid) AS rk
+  FROM v2c JOIN f2c USING (ccid)) WHERE rk = 1),
+au AS (SELECT a2.vec_id, a2.cid, units.u FROM a2 JOIN units USING (vec_id)),
+{_semdedup_tail_sql()}
 """
 
 
@@ -1781,4 +1978,11 @@ UNIT_SPECS = [
     QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
               "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
               headline=True),
+    # round 7: the linear-at-scale twin — two-level coarse→fine
+    # routing so neither the assignment nor the pair space goes
+    # quadratic (SCALE.md round 7); the exact-Lloyd form above stays
+    # the certification baseline, same pattern as capped containment.
+    QuerySpec("unit_semantic_dedup_hier", q_semantic_dedup_hier,
+              _oracle_semantic_dedup_hier(),
+              "hierarchical SemDeDup: coarse-routed fine Voronoi + prune"),
 ]

@@ -19,3 +19,27 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
+
+
+# Persisted frames registered by operators that NEED the cache to
+# survive until the caller materializes the result — either for
+# partition-assignment determinism (the two-pass rank helpers in
+# operators/report.py) or because a reused/iterated subtree would
+# otherwise replicate in the plan (SemDeDup's Lloyd assignments).
+# Spark's CacheManager keys by logical plan and never GCs, so a long
+# session accumulates these without an explicit release; bench.py and
+# scripts/scale100.py call release_pins() between specs (ADVICE r6).
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() + register for the next release_pins()."""
+    df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> None:
+    """Unpersist every frame pinned since the last call."""
+    while _PINNED:
+        _PINNED.pop().unpersist(False)
