@@ -147,6 +147,12 @@ SHOWCASE = {
     "(LeftSemi, plan-pinned) below the basket self-join — inert on the "
     "dense fixture, 4-8x pair-space cut on a long-tail catalog "
     "(scripts/apriori_longtail.py)",
+    "unit_semantic_dedup_hier": "hierarchical SemDeDup (round-7 scale "
+    "path): 256 broadcast coarse cells route vectors, exact fine argmin "
+    "only within the coarse cell (n·(256+K/256) instead of n·K), "
+    "map-side min(struct) argmins, pair space bounded by ~50-vector "
+    "fine clusters — both terms linear where the exact twin is "
+    "quadratic either way",
 }
 
 
