@@ -241,6 +241,58 @@ FROM cells c JOIN row_tot r ON c.true_lang = r.true_lang
 
 # --- fingerprinting ----------------------------------------------------
 
+# Char-shingle geometry for the winnowing fingerprint. The chunked
+# two-level explode is the same stride identity as chunked_span_table
+# (every 8-char window lives in exactly ONE ≤1024-char piece), so the
+# window set — and therefore min(md5) — is exactly the naive
+# position-first set while (a) md5 runs in whole-stage codegen, not
+# an interpreted HOF lambda (the nested-HOF cliff: the lambda form
+# measured 74.8 s warm at the 100× replica for what is a narrow map),
+# and (b) the explode carries ≤1024 chars per row, not O(len²) bytes.
+FP_SHINGLE = 8
+FP_CHUNK = 1024
+
+
+def min_shingle_md5(base: DataFrame, norm_col: str = "norm") -> DataFrame:
+    """(doc_id, shingle_fp): minimum md5 over all character 8-gram
+    windows of ``norm_col`` — min(md5) is aggregation-friendly, so the
+    per-piece explode collapses through a map-side-combining min
+    BEFORE the doc_id shuffle. Shared by q_doc_fingerprint and
+    doc_profile (round 7 — both previously computed this as an
+    interpreted transform() lambda)."""
+    stride = FP_CHUNK - FP_SHINGLE + 1
+    pieces = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor(
+                F.greatest(F.length(norm_col) - FP_SHINGLE, F.lit(0)) / stride
+            ).cast("int"),
+        ),
+        lambda c: F.col(norm_col).substr(
+            (c * stride + 1).cast("int"), F.lit(FP_CHUNK)
+        ),
+    )
+    return (
+        base.select("doc_id", F.explode(pieces).alias("pc"))
+        .select(
+            "doc_id",
+            "pc",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("pc") - FP_SHINGLE + 1, F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.col("pc").substr(F.col("i"), F.lit(FP_SHINGLE))).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("shingle_fp"))
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two content fingerprints per doc:
     - ``exact_fp``: md5 of the whitespace-normalized lowercased text
@@ -248,17 +300,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``shingle_fp``: minimum md5 over all character 8-gram shingles —
       a rolling-hash winnowing fingerprint that is stable under small
       appends/prepends (near-dup key).
+
+    Scale shape (round 7): the shingle minimum comes from the chunked
+    codegen explode (min_shingle_md5 above) joined back onto the
+    narrow exact_fp projection — value-identical to the old
+    transform() lambda (same window set, same md5s), 10× at the 100×
+    replica.
     """
     docs = spread(load_table(spark, "documents", sf_dir))
     norm = F.regexp_replace(F.lower("text"), "\\s+", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
-        lambda i: F.md5(norm.substr(i, F.lit(8))),
-    )
-    return docs.select(
-        "doc_id",
-        F.md5(norm).alias("exact_fp"),
-        F.array_min(shingles).alias("shingle_fp"),
+    base = docs.select("doc_id", norm.alias("norm"))
+    fps = min_shingle_md5(base)
+    return (
+        base.select("doc_id", F.md5("norm").alias("exact_fp"))
+        .join(fps, "doc_id")
+        .select("doc_id", "exact_fp", "shingle_fp")
     )
 
 
@@ -1236,8 +1292,11 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as double) / greatest(length(text), 1), 6) AS punct_ratio",
         *[f"{n_hits_sql(ws)} AS score_{lang}" for lang, ws in STOPWORDS.items()],
         "md5(norm) AS exact_fp",
-        "array_min(transform(sequence(1, greatest(length(norm) - 7, 1)), "
-        "i -> md5(substring(norm, i, 8)))) AS shingle_fp",
+        # shingle_fp: moved OUT of this projection to the chunked
+        # codegen explode (min_shingle_md5, round 7) — the transform()
+        # lambda evaluated md5 interpreted, one call per CHARACTER:
+        # 74.8 s warm at the 100× replica in the standalone
+        # fingerprint op for what is a narrow map. Joined back below.
         # size(tri) is pure arithmetic — greatest(n_tok − 2, 1) — so the
         # trigram array is rendered only once, inside array_distinct.
         # (Measured a WASH at the 100× replica steady state — Spark's
@@ -1276,13 +1335,12 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN score_de > 0 THEN 'de' "
         "ELSE 'unknown' END AS lang_pred",
         "exact_fp",
-        "shingle_fp",
         "n_trigrams",
         "repetition_ratio",
         "simhash",
         "concat_ws(',', transform(counts, x -> format_string('%.6f', "
         f"round(x / greatest({nrm}, 1E-12D), 6)))) AS embedding_csv",
-    )
+    ).join(min_shingle_md5(bound), "doc_id")
 
     tok = bound.select("doc_id", F.explode("toks").alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
