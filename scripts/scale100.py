@@ -92,9 +92,6 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warm[name] = round(time.perf_counter() - t0, 2)
             rows[name] = fn(spark, sf_dir).count()
-            from validation_database_spark.util import release_pins
-
-            release_pins()
             print(
                 f"{name}: cold {cold[name]} s, warm {warm[name]} s, "
                 f"{rows[name]} rows",
@@ -103,6 +100,13 @@ def main() -> None:
         except Exception as exc:  # keep timing the rest of the list
             print(f"{name}: FAILED {type(exc).__name__}", file=sys.stderr)
             rows[name] = -1
+        finally:
+            # release in finally (ADVICE r7): a FAILED spec must also
+            # drop its pins, or its cached frames erode the 16g
+            # headroom the OOM mitigation above provides.
+            from validation_database_spark.util import release_pins
+
+            release_pins()
 
     print(json.dumps({
         "sf_dir": sf_dir, "cold": cold, "warm": warm, "rows": rows,

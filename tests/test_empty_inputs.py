@@ -63,3 +63,22 @@ def test_simhash_of_empty_doc_is_zero(spark):
     docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
     row = docs.select(D.simhash16(D.tokens("text")).alias("sh")).collect()[0]
     assert row.sh == 0
+
+
+def test_null_text_doc_survives_fingerprint(spark, tmp_path):
+    """A NULL-text doc yields zero explode rows from min_shingle_md5,
+    so the fingerprint join must be LEFT to keep the row (shingle_fp
+    NULL), matching the DuckDB oracle's row-preserving list_min
+    projection (ADVICE r7 — latent, fixtures have no NULL text)."""
+    from validation_database_spark.suite.text import q_doc_fingerprint
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "hello world this is a document", "en", "web", 30),
+         (2, None, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in q_doc_fingerprint(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].shingle_fp is None and out[2].exact_fp is None
+    assert out[1].shingle_fp is not None

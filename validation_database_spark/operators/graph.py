@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import pin
+
 
 def connected_components(
     pairs: DataFrame,
@@ -36,14 +38,18 @@ def connected_components(
         pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
         .unionAll(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
         .distinct()
-        .persist()
     )
+    # pin(): registered so hosts' release_pins() drops these even when
+    # the early-exit unpersists don't run (ADVICE r7); the final-round
+    # labels frame in particular must stay cached until the CALLER
+    # materializes the result, so it can only be released by the host.
+    edges = pin(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
     )
+    labels = pin(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -58,8 +64,8 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
         )
+        new_labels = pin(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -115,8 +121,10 @@ def pagerank(
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .persist()
     )
+    # pin(): both frames feed every iteration's plan and the returned
+    # frame — released by the host via release_pins() (ADVICE r7).
+    nodes = pin(nodes)
     n_nodes = nodes.count()
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count("*").alias("out_deg")
@@ -124,8 +132,8 @@ def pagerank(
     e = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
         .join(out_deg, "node")
-        .persist()
     )
+    e = pin(e)
     base = ((damping_den - damping_num) * PAGERANK_SCALE) // (
         damping_den * n_nodes
     )

@@ -11,7 +11,8 @@ Since round 7 the driver window is the explicit ordered name list
 ``WINDOW`` below — the module-level ``SPECS`` / ``UNIT_SPECS`` split
 (rounds 1–6's rotation mechanism, preserved in the modules as
 history) no longer decides window membership; the union of both
-lists is the full 196-spec surface and ``WINDOW`` picks the 50 rows
+lists is the full spec surface (``len(_collect_all())``; don't
+hard-code the count — it grows) and ``WINDOW`` picks the 50 rows
 the driver hash-checks this round. Rotating the window is now a
 one-list edit here instead of a 10-file QuerySpec shuffle.
 """
@@ -33,25 +34,33 @@ class QuerySpec:
     headline: bool = False  # include in bench.py's timed suite
 
 
-# The 50 rows the driver hash-checks this round (CORRECTNESS_r07).
+# The 50 rows the driver hash-checks this round (round 8).
 #
-# Round-7 rotation: the 9-entry parity core is pinned (never rotated —
-# it is the reference's own workload, tests/test_entry.py);
-# unit_minhash_estimate KEEPS its seat because round 7 rewrites its
-# default to the hash-sampled audit (verdict r6 ask #4) and the new
-# semantics deserve the driver's independent check, not just pytest's.
-# The other 40 round-6 window rows (all driver-green in
-# CORRECTNESS_r06) rotate to the unit surface, and 40 never-driver-
-# checked standalone specs take their seats — chosen from COVERAGE.md's
-# audited queue, skipping the 9 whose semantics are closest to an
-# already-green family host (unit_dedup_simhash / unit_simhash_pairs /
-# unit_dedup_eval next to the green simhash60+minhash rows,
-# unit_text_bigram_logprob / unit_text_entropy next to doc_profile's
-# hash-checked logprob/entropy discipline, unit_label_centroid_sim /
-# unit_embed_quantize next to the green kmeans/pq rows,
-# unit_ngram_novelty next to the green n-gram dedup family,
-# unit_dedup_keep_best next to the green dedup_clusters) — those 9
-# rotate in round 8.
+# STEADY-STATE ROTATION POLICY (from round 8 on, VERDICT r7 ask #3):
+#   1. The 9-entry parity core is pinned — never rotated (it is the
+#      reference's own workload, tests/test_entry.py).
+#   2. Any spec whose semantics were REWRITTEN this round keeps (or
+#      takes) a seat so the driver independently checks the new
+#      semantics, not just pytest (the r7 unit_minhash_estimate rule).
+#   3. Never-driver-checked specs fill seats next, oldest spec first.
+#   4. Remaining seats cycle driver-green specs OLDEST-CHECKED-FIRST:
+#      for each spec, last-checked = the latest CORRECTNESS_r*.json
+#      whose row was fully green (hash_match, or err == "no_oracle"
+#      for the by-design rows-only path); sort ascending by that
+#      round, ties broken by name. At 41 rotating seats over a
+#      ~190-spec green surface every spec is re-driver-checked every
+#      ~4–5 rounds, so a rewrite that silently changes semantics
+#      (like the r7 estimator rewrite) is caught within that horizon.
+#
+# Round-8 application: seats = 9 core + the 10 final never-driver-
+# checked standalones (the 9 deferred from r7 + the late-r7
+# unit_semantic_dedup_hier) + all 20 category (a)/(b)/(c) specs from
+# COVERAGE.md's audit (consolidated components, labeled exactness
+# baselines, the renamed narrow simhash) so even specs whose
+# semantics are hash-checked via a host row get one DIRECT driver
+# check + 11 oldest-checked greens (all last green in round 3; first
+# 11 by name of the 17 tied). After this round the never-driver-
+# checked count is 0 and rule 4 alone picks future windows.
 WINDOW = [
     # parity core — pinned every round
     "keys_projection",
@@ -63,54 +72,53 @@ WINDOW = [
     "diff_string_fuzzy_approx",
     "report_summary",
     "validation_counts",
-    # rewritten this round (sampled default, r6 ask #4) — keeps its seat
-    "unit_minhash_estimate",
-    # round-7 first-timers: BI / rollup family
-    "unit_top_movers",
-    "unit_supplier_hhi",
-    "unit_price_iqr_fences",
-    "unit_return_rate_trend",
-    "unit_discount_effect",
-    "unit_priority_ontime_matrix",
-    "unit_order_cycle_time",
-    "unit_new_vs_returning",
-    "unit_basket_size_dist",
-    "unit_weighted_delivery_quantiles",
-    # A/B-stats tail
-    "unit_ab_srm",
-    "unit_corr_matrix",
-    # text / tokenizer tail
-    "unit_bpe_merges",
-    "unit_bpe_encode",
-    "unit_cms_counts",
-    "unit_vocab_coverage",
-    "unit_phrase_search",
-    "unit_langid_confusion",
-    "unit_corpus_outlier_docs",
-    "unit_url_dedup",
-    # events tail
-    "unit_error_rate_hourly",
-    "unit_events_json_props",
-    "unit_events_top_paths",
-    "unit_map_event_counts",
-    "unit_key_skew_stats",
-    "unit_join_audit",
-    "unit_quality_funnel",
-    "unit_source_reputation",
-    "unit_mix_rebalance",
-    # sampling / layout primitives
-    "unit_negative_sampling",
-    "unit_sample_reservoir_weighted",
-    "unit_shard_rendezvous",
-    "unit_zorder_layout",
-    "unit_zone_map_prune",
-    "unit_compaction_plan",
-    "unit_backfill_plan",
-    # function showcases
-    "unit_math_funcs",
-    "unit_string_funcs",
-    "unit_datetime_functions",
-    "unit_window_functions",
+    # final never-driver-checked standalones (queue emptied this round)
+    "unit_dedup_simhash",
+    "unit_simhash_pairs",
+    "unit_dedup_eval",
+    "unit_dedup_keep_best",
+    "unit_text_bigram_logprob",
+    "unit_text_entropy",
+    "unit_label_centroid_sim",
+    "unit_embed_quantize",
+    "unit_ngram_novelty",
+    "unit_semantic_dedup_hier",
+    # category (a): components of consolidated driver rows — first
+    # direct seat each (semantics previously hash-checked via host)
+    "unit_composite_id",
+    "unit_project_check",
+    "unit_text_tokens",
+    "unit_text_quality",
+    "unit_lang_id",
+    "unit_doc_fingerprint",
+    "unit_text_unigram_logprob",
+    "unit_text_repetition",
+    "unit_text_hash_embeddings",
+    "unit_rollup_pricing",
+    "unit_running_order_total",
+    "unit_sample_hash",
+    "unit_train_split",
+    "unit_sample_weighted",
+    "unit_sample_stratified",
+    "unit_orders_above_cust_avg",
+    # category (b): labeled exactness baselines (scale twin already green)
+    "unit_dedup_containment_exact_baseline",
+    "unit_rag_retrieval",
+    "unit_minhash_estimate_exact_baseline",
+    # category (c): renamed after green
+    "unit_simhash60_narrow_baseline",
+    # rule 4: oldest-checked greens (all last green r3; ties by name)
+    "array_stats",
+    "asof_view_before_purchase",
+    "big_spender_months",
+    "distinct_parts_per_order",
+    "doc_sampling",
+    "events_anomalies",
+    "events_resample_ffill",
+    "events_user_stats",
+    "events_window_agg",
+    "order_status_profile",
+    "price_histogram",
 ]
 
 

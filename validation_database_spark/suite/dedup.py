@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators.vectors import cosine_sql, cosine_rounded, scale_vector
 from ..sources import load_table
-from ..util import spread
+from ..util import pin, spread
 from . import QuerySpec
 
 # Shared DuckDB shingle CTE (mirrors D.exploded_shingles).
@@ -84,7 +84,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides); Spark has no automatic cross-branch subtree reuse, so
     # persist it once instead of recomputing the shingle explode 3x.
     # (At corpus scale this index would be persisted/written anyway.)
-    shingles = D.exploded_shingles(docs).persist()
+    shingles = pin(D.exploded_shingles(docs))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("id_a"), "sh")
     b = shingles.select(F.col("doc_id").alias("id_b"), "sh")
@@ -151,7 +151,7 @@ def q_dedup_containment_exact_baseline(
     df-capped scale path; use this form only to certify the capped
     results on a sample."""
     docs = load_table(spark, "documents", sf_dir)
-    shingles = D.exploded_shingles(docs).persist()
+    shingles = pin(D.exploded_shingles(docs))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("id_a"), "sh")
     b = shingles.select(F.col("doc_id").alias("id_b"), "sh")
@@ -224,14 +224,14 @@ def q_dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical cap. The hot-shingle set is tiny by construction →
     broadcast anti-join, no extra shuffle of the index."""
     docs = _docs_with_boilerplate(spark, sf_dir)
-    all_sh = D.exploded_shingles(docs).persist()
+    all_sh = pin(D.exploded_shingles(docs))
     hot = (
         all_sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > DF_CAP)
         .select("sh")
     )
-    shingles = all_sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+    shingles = pin(all_sh.join(F.broadcast(hot), "sh", "left_anti"))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("id_a"), "sh")
     b = shingles.select(F.col("doc_id").alias("id_b"), "sh")
@@ -307,14 +307,14 @@ def q_dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shingle join fan-out bounded by DF_CAP² regardless of corpus
     size; the hot set is tiny → broadcast anti-join."""
     docs = _docs_with_boilerplate(spark, sf_dir)
-    all_sh = D.exploded_shingles(docs).persist()
+    all_sh = pin(D.exploded_shingles(docs))
     hot = (
         all_sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > DF_CAP)
         .select("sh")
     )
-    cold = all_sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+    cold = pin(all_sh.join(F.broadcast(hot), "sh", "left_anti"))
     sizes_full = all_sh.groupBy("doc_id").agg(F.count("*").alias("n_a"))
     sizes_cold = cold.groupBy("doc_id").agg(F.count("*").alias("n_cold"))
     a = cold.select(F.col("doc_id").alias("id_a"), "sh")
@@ -396,7 +396,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # persist: consumed by the signature pass and (twice) by the
     # exact-Jaccard verify join.
-    shingles = D.exploded_shingles(docs).persist()
+    shingles = pin(D.exploded_shingles(docs))
     sigs = D.minhash_signatures(shingles)
     bands = D.lsh_bands(sigs)
     pairs = D.lsh_candidate_pairs(bands)
@@ -459,7 +459,7 @@ def _minhash_estimate(
     spark: SparkSession, sf_dir: str, sampled: bool
 ) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    shingles = D.exploded_shingles(docs).persist()
+    shingles = pin(D.exploded_shingles(docs))
     sigs = D.minhash_signatures(shingles)
     bands = D.lsh_bands(sigs)
     pairs = D.lsh_candidate_pairs(bands)
@@ -1221,7 +1221,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
-    shingles = D.exploded_shingles(docs).persist()
+    shingles = pin(D.exploded_shingles(docs))
     bands = D.lsh_bands(D.minhash_signatures(shingles))
     new_b = bands.filter(_is_incoming()).select(
         F.col("doc_id").alias("id_a"), "band", "band_hash"

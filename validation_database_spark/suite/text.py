@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from ..util import spread
+from ..util import pin, spread
 from . import QuerySpec
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -313,7 +313,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = min_shingle_md5(base)
     return (
         base.select("doc_id", F.md5("norm").alias("exact_fp"))
-        .join(fps, "doc_id")
+        # left join: a NULL-norm doc yields no explode rows, so an
+        # inner join would silently drop it while the oracle's
+        # list_min projection keeps the row with shingle_fp NULL
+        # (ADVICE r7). Fixtures never hit this (min doc length 47);
+        # pinned by tests/test_empty_inputs.py.
+        .join(fps, "doc_id", "left")
         .select("doc_id", "exact_fp", "shingle_fp")
     )
 
@@ -1244,7 +1249,10 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "filter(split(lower(text), ' '), x -> x != '') AS toks",
         r"regexp_replace(lower(text), '\\s+', ' ') AS norm",
-    ).persist()
+    )
+    # pin(): registered so hosts' release_pins() drops the corpus-
+    # sized tokenized frame between specs (ADVICE r7).
+    bound = pin(bound)
 
     def n_hits_sql(ws: list[str]) -> str:
         inlist = ", ".join(f"'{w}'" for w in ws)
@@ -1340,7 +1348,9 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         "concat_ws(',', transform(counts, x -> format_string('%.6f', "
         f"round(x / greatest({nrm}, 1E-12D), 6)))) AS embedding_csv",
-    ).join(min_shingle_md5(bound), "doc_id")
+        # left join (ADVICE r7): NULL-norm docs produce no explode rows;
+        # keep the row with shingle_fp NULL like the oracle does.
+    ).join(min_shingle_md5(bound), "doc_id", "left")
 
     tok = bound.select("doc_id", F.explode("toks").alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
