@@ -21,6 +21,13 @@ collect), plus ``__suite_total``.
 Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``.
 
+Outlier protection (round 8): each spec's warm reading is checked
+against the prior round's BENCH record (same SF, box-normalized by
+the calibration ratio); a >2x reading triggers two extra steady runs
+and the reported warm is the median of the three post-cold runs, with
+the full detail in ``outlier_reruns``. See GHOST_WARM_RATIO below for
+the BENCH_r07 ann_topk ghost that motivated this.
+
 Isolation mode: ``--only name[,name...]`` (or ``$SPARK_GRAFT_ONLY``)
 times just the named queries — same warm-up, same cold+warm protocol,
 none of the other suite queries sharing the session. Use it to
@@ -162,6 +169,69 @@ def calibration_point_1t(spark) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def prior_round_record(sf: str) -> dict | None:
+    """The latest BENCH_r*.json in the repo root at the SAME sf —
+    the prior round's permanent record, used by the outlier rule
+    below. None when absent or cross-SF (iteration runs at sf0.01
+    must not compare against the driver's sf0.1 record)."""
+    import glob
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        if str(rec.get("sf")) != sf:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), rec)
+    return best[1] if best else None
+
+
+# Outlier rule thresholds (VERDICT r7 ask #2). The BENCH_r07 ghost:
+# ann_topk recorded 10.49 cold / 5.82 warm in the driver's session
+# while the identical suite on the same box (calibration 0.658 vs
+# 0.651) read 1.60/1.28 — a query-local stall (GC/JIT) that the
+# session-global calibration cannot catch. Rule: a warm reading more
+# than GHOST_WARM_RATIO x the prior round's warm (box-normalized by
+# the calibration ratio, plus an absolute slack for sub-second
+# jitter) triggers two extra steady runs, and the reported warm is
+# the MEDIAN of the three post-cold runs — one stalled execution can
+# no longer write the round's number. Cold stays the true first run
+# (it cannot be re-measured in-session), but the flag and all runs
+# are recorded in ``outlier_reruns`` so a cold-side ghost is visible
+# in the round's record instead of masquerading as a regression.
+GHOST_WARM_RATIO = 2.0
+GHOST_WARM_SLACK_SEC = 0.5
+GHOST_COLD_OVER_WARM = 3.0
+
+
+def ghost_suspicious(
+    warm_t: float,
+    cold_t: float,
+    prior_warm: float | None,
+    prior_cal: float | None,
+    calibration: float | None,
+) -> bool:
+    """True when a warm reading should trigger the median re-runs.
+    Pure so tests/test_scale_machinery.py can pin the rule against
+    the r7 ghost's actual numbers."""
+    if prior_warm is not None and prior_cal and calibration:
+        norm = calibration / prior_cal
+        return warm_t > (
+            GHOST_WARM_RATIO * prior_warm * norm + GHOST_WARM_SLACK_SEC
+        )
+    # no comparable prior: a slow cold far above its own warm is the
+    # only in-session signal (warm floor excludes sub-second codegen
+    # ratios that are normal for compile-heavy plans)
+    return cold_t > GHOST_COLD_OVER_WARM * warm_t and warm_t > 1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -212,6 +282,10 @@ def main() -> None:
     calibration_point_1t(spark)
     calibration_1t = calibration_point_1t(spark)
 
+    # Prior round's record for the outlier rule (same-SF only).
+    prior = prior_round_record(sf)
+    outlier_reruns: dict[str, dict] = {}
+
     # The BASELINE-comparable composites run FIRST, before the timed
     # suite: the round-6 isolation study (SCALE.md "Parity-family
     # isolation") showed the after-28-queries session inflates them by
@@ -247,12 +321,33 @@ def main() -> None:
         if name not in specs:
             continue
         fn = specs[name].spark_fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 4)
+
+        def run_once() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 4)
+
+        cold_t = run_once()
+        warm_t = run_once()
+        # In-session outlier rule (VERDICT r7 ask #2, thresholds and
+        # rationale at GHOST_WARM_RATIO above): compare warm against
+        # the prior round's box-normalized warm when available, else
+        # fall back to the cold/warm ratio heuristic.
+        prior_warm = (prior or {}).get("queries_warm", {}).get(name)
+        prior_cal = (prior or {}).get("calibration_sec")
+        if ghost_suspicious(warm_t, cold_t, prior_warm, prior_cal, calibration):
+            extra_runs = [run_once(), run_once()]
+            candidates = sorted([warm_t] + extra_runs)
+            outlier_reruns[name] = {
+                "cold": cold_t,
+                "warm_first": warm_t,
+                "extra": extra_runs,
+                "prior_warm": prior_warm,
+                "prior_calibration": prior_cal,
+            }
+            warm_t = candidates[1]  # median of the three post-cold runs
+        timings[name] = cold_t
+        warm[name] = warm_t
         # drop the determinism/reuse pins this spec accumulated
         # (ADVICE r6: they are corpus-sized and CacheManager never
         # GCs); released AFTER both runs so warm-run cache semantics
@@ -278,6 +373,8 @@ def main() -> None:
         payload["value_cold"] = e2e_cold
     if bm is not None:
         payload["baseline_match"] = bm
+    if outlier_reruns:
+        payload["outlier_reruns"] = outlier_reruns
     print(json.dumps(payload))
     spark.stop()
 

@@ -13,9 +13,13 @@ Stages (each a suite operator, individually oracle-verified):
               rewriting the surviving text.
 3. DEDUP    — MinHash-LSH near-duplicate clusters over the cleaned
               corpus; one representative kept per cluster.
-4. EXAMPLES — T5 span-corruption (input, target) pairs from the
+4. SEMDEDUP — hierarchical SemDeDup over the document embeddings (the
+              linear-at-scale two-level router, SCALE.md round 7 —
+              the exact-Lloyd form stays the certification baseline);
+              knobs: SPARK_GRAFT_SEMDEDUP_COARSE, see README.
+5. EXAMPLES — T5 span-corruption (input, target) pairs from the
               survivors.
-5. EXPORT   — gzip JSONL shards via the executor-written export path.
+6. EXPORT   — gzip JSONL shards via the executor-written export path.
 
 Every stage stays declarative (filters, hash joins, windows) — the
 same plan shapes the suite pins in tests/test_plans.py — so the
@@ -37,6 +41,7 @@ from validation_database_spark.session import get_spark
 from validation_database_spark.sources import load_table
 from validation_database_spark.sources.export import export_jsonl_shards
 from validation_database_spark.suite.dedup import q_dedup_minhash_lsh
+from validation_database_spark.suite.similarity import semantic_dedup_hier_frame
 from validation_database_spark.suite.quality import (
     FUNNEL_LANGS,
     FUNNEL_MIN_CHARS,
@@ -78,13 +83,24 @@ def main() -> None:
     )
     n3 = survivors.count()
 
-    # 4. EXAMPLES — span-corruption pairs for the survivors
+    # 4. SEMDEDUP — semantic near-dup prune via the hierarchical
+    # scale path (embeddings carry one vector per doc: vec_id==doc_id)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    sem_kept = (
+        semantic_dedup_hier_frame(emb)
+        .filter("keep")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    survivors = survivors.join(sem_kept, "doc_id", "left_semi")
+    n3b = survivors.count()
+
+    # 5. EXAMPLES — span-corruption pairs for the survivors
     examples = q_span_corruption(spark, sf_dir).join(
         survivors.select("doc_id"), "doc_id", "left_semi"
     )
     n4 = examples.count()
 
-    # 5. EXPORT — gzip JSONL shards
+    # 6. EXPORT — gzip JSONL shards
     stats = export_jsonl_shards(
         examples, os.path.join(out_dir, "examples"), shards_hint=2
     )
@@ -93,6 +109,7 @@ def main() -> None:
     print(f"after filter:       {n1}")
     print(f"after clean:        {n2}")
     print(f"after near-dedup:   {n3}")
+    print(f"after sem-dedup:    {n3b}")
     print(f"training examples:  {n4}")
     print(f"exported:           {stats} -> {out_dir}/examples")
     spark.stop()

@@ -35,6 +35,7 @@ def test_full_chain_runs_and_prunes_monotonically(spark, sf_dir, tmp_path):
                     },
                     "line_dedup": True,
                     "near_dedup": True,
+                    "semantic_dedup": True,
                     "span_corruption": True,
                 },
                 "output": {"dir": str(tmp_path / "out"), "shards": 2},
@@ -43,8 +44,14 @@ def test_full_chain_runs_and_prunes_monotonically(spark, sf_dir, tmp_path):
     )
     run = run_curation(spark, cfg)
     c = run.counts
-    assert c["input"] >= c["filter"] >= c["line_dedup"] >= c["near_dedup"]
-    assert c["output"] == c["near_dedup"]
+    assert (
+        c["input"]
+        >= c["filter"]
+        >= c["line_dedup"]
+        >= c["near_dedup"]
+        >= c["semantic_dedup"]
+    )
+    assert c["output"] == c["semantic_dedup"]
     assert c["output"] > 0
     # span-corruption output schema, exported as gzip JSONL
     assert {"doc_id", "input_md5", "target_md5"} <= set(run.result.columns)
@@ -91,3 +98,42 @@ def test_empty_or_non_mapping_config_raises_valueerror(tmp_path):
     listy.write_text("- not\n- a\n- mapping\n")
     with pytest.raises(ValueError, match="must be a mapping"):
         load_curation_config(str(listy))
+
+
+def test_semantic_dedup_stage_routes_through_hier_scale_path(
+    spark, sf_dir, tmp_path
+):
+    """The curation ``semantic_dedup`` stage must prune exactly the
+    docs the HIERARCHICAL SemDeDup operator (the linear-at-scale
+    twin, SCALE.md round 7) marks keep=false on the raw embeddings —
+    proving the pipeline path is the scale form, not the exact-Lloyd
+    certification baseline."""
+    from validation_database_spark.sources import load_table
+    from validation_database_spark.suite.similarity import (
+        semantic_dedup_hier_frame,
+    )
+
+    cfg = load_curation_config(
+        _write(
+            tmp_path,
+            {
+                "input": {"sf_dir": sf_dir},
+                "stages": {"semantic_dedup": True},
+            },
+        )
+    )
+    run = run_curation(spark, cfg)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    kept = {
+        r.vec_id
+        for r in semantic_dedup_hier_frame(emb).filter("keep").collect()
+    }
+    doc_ids = {
+        r.doc_id
+        for r in load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .collect()
+    }
+    out_ids = {r.doc_id for r in run.result.select("doc_id").collect()}
+    assert out_ids == doc_ids & kept
+    assert run.counts["semantic_dedup"] == len(out_ids)

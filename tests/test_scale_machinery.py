@@ -277,3 +277,23 @@ def test_release_rank_pins_unpersists(spark, sf_dir):
     # rank values survive the release (recompute path stays correct)
     top = ranked.orderBy("rn").limit(3).collect()
     assert [r.rn for r in top] == [1, 2, 3]
+
+
+def test_bench_ghost_rule_catches_r7_ann_topk_ghost():
+    """The outlier rule must flag the BENCH_r07 ann_topk ghost (warm
+    5.82 vs prior 1.53 at near-identical calibration) while leaving
+    normal readings — including compile-heavy cold/warm ratios like
+    doc_profile's — untouched."""
+    import bench
+
+    # the actual r7 ghost: r6 warm 1.53 @ cal 0.794, r7 warm 5.82 @ cal 0.651
+    assert bench.ghost_suspicious(5.82, 10.49, 1.53, 0.794, 0.651)
+    # the same-box re-run reading is NOT suspicious
+    assert not bench.ghost_suspicious(1.28, 1.60, 1.53, 0.794, 0.658)
+    # compile-heavy but normal: doc_profile cold 5.6 / warm 2.0 vs prior 1.8
+    assert not bench.ghost_suspicious(2.0, 5.6, 1.8, 0.7, 0.7)
+    # no prior record: only a slow cold >>3x a >1s warm triggers
+    assert bench.ghost_suspicious(1.5, 6.0, None, None, 0.7)
+    assert not bench.ghost_suspicious(0.3, 1.6, None, None, 0.7)  # fast spec
+    # box 2x slower across rounds: normalization absorbs the doubling
+    assert not bench.ghost_suspicious(3.2, 6.0, 1.5, 0.65, 1.30)

@@ -18,6 +18,7 @@ DAG per stage boundary (counts are the only actions, and only when
         classifier: true                 # linear quality model keep-flag
       line_dedup: true                   # C4 line dedup, drop emptied docs
       near_dedup: true                   # MinHash-LSH, drop pair losers
+      semantic_dedup: true              # hierarchical SemDeDup, drop pruned
       span_corruption: true             # emit (input, target) pairs
     output:
       dir: /tmp/curated
@@ -59,7 +60,7 @@ def load_curation_config(path: str) -> dict[str, Any]:
         raise ValueError("curation config needs input.sf_dir")
     if "stages" not in config or not config["stages"]:
         raise ValueError("curation config needs at least one stage")
-    known = {"filter", "line_dedup", "near_dedup", "span_corruption"}
+    known = {"filter", "line_dedup", "near_dedup", "semantic_dedup", "span_corruption"}
     unknown = set(config["stages"]) - known
     if unknown:
         raise ValueError(f"unknown curation stages: {sorted(unknown)}")
@@ -131,6 +132,28 @@ def run_curation(spark: SparkSession, config: dict[str, Any]) -> CurationRun:
         survivors = survivors.join(losers, "doc_id", "left_anti")
         if report:
             run.counts["near_dedup"] = survivors.count()
+
+    if stages.get("semantic_dedup"):
+        # Corpus-scale semantic dedup routes through the HIERARCHICAL
+        # SemDeDup twin (both cost terms linear in n — SCALE.md round
+        # 7; the exact-Lloyd form unit_semantic_dedup stays the
+        # certification baseline, never the pipeline path). Embeddings
+        # carry one vector per document (vec_id == doc_id in the
+        # fixture layout); drop the docs the keep-rule prunes.
+        # Geometry knobs: SPARK_GRAFT_SEMDEDUP_COARSE (coarse cells,
+        # default 256) and SPARK_GRAFT_KMEANS_K (exact-form K cap) —
+        # see README "Scale knobs".
+        from .suite.similarity import semantic_dedup_hier_frame
+
+        emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+        kept = (
+            semantic_dedup_hier_frame(emb)
+            .filter("keep")
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        survivors = survivors.join(kept, "doc_id", "left_semi")
+        if report:
+            run.counts["semantic_dedup"] = survivors.count()
 
     if stages.get("span_corruption"):
         result = q_span_corruption(spark, sf_dir).join(

@@ -959,7 +959,16 @@ def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured recall vs the exact baseline is the acceptance gate."""
     from .dedup import _vecs_with_planted_dups
 
-    vecs = _vecs_with_planted_dups(spark, sf_dir)
+    return semantic_dedup_hier_frame(_vecs_with_planted_dups(spark, sf_dir))
+
+
+def semantic_dedup_hier_frame(vecs: DataFrame) -> DataFrame:
+    """The hierarchical SemDeDup routing over ANY (vec_id, embedding)
+    frame — the reusable corpus-scale operator behind the
+    q_semantic_dedup_hier spec (which runs it on the planted-dup
+    fixture corpus). The curation pipeline's ``semantic_dedup`` stage
+    calls this on the raw embeddings table. Returns one row per
+    vector: (vec_id, cluster, n_dups, keep)."""
     withn = vecs.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
     )
