@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Split doc_profile's cold cost into codegen-compile vs execute
+(VERDICT r7 ask #5).
+
+doc_profile is the suite's #1 cold query (4.9-5.6 s cold, 1.8-2.2 s
+warm in the r7 records) because it deliberately evaluates ~40 metric
+expressions — including a 16-bit SimHash vote loop and trigram
+shingles — in ONE scan. The question the judge asked: how much of the
+cold excess is whole-stage-codegen *compile* of that expression tree
+(a fixed per-session cost, invariant at 100 TB) vs *execution* (which
+scales with data)?
+
+Instrument: Spark's CodegenMetrics source
+(org.apache.spark.metrics.source.CodegenMetrics) — Codahale
+histograms fed by CodeGenerator.doCompile. Snapshotting
+METRIC_COMPILATION_TIME's count+sum around each run gives the exact
+ms Janino spent compiling during that run, with no config change and
+no second session (so no JVM-JIT confound).
+
+Variants, each in its OWN session (compile caches are per-JVM
+ClassLoader and would leak between variants):
+  default    — production config
+  split512   — spark.sql.codegen.methodSplitThreshold=512 (smaller
+               generated methods: more, smaller Janino compiles and
+               better HotSpot JIT eligibility for huge methods)
+  nocodegen  — spark.sql.codegen.wholeStage=false (interpreted
+               Volcano fallback: what we'd pay per-ROW forever to
+               save the one-time compile)
+
+Prints one JSON line per variant with cold/steady wall, compile ms
+observed during the cold run, and the session calibration.
+
+Usage: python scripts/doc_profile_cold.py [sf_dir] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from validation_database_spark.session import get_spark  # noqa: E402
+from validation_database_spark.sources import load_table  # noqa: E402
+from validation_database_spark.suite.text import q_doc_profile  # noqa: E402
+from validation_database_spark.util import release_pins  # noqa: E402
+
+VARIANTS = {
+    "default": {},
+    "split512": {"spark.sql.codegen.methodSplitThreshold": "512"},
+    "nocodegen": {"spark.sql.codegen.wholeStage": "false"},
+}
+
+
+def codegen_compile_ms(spark) -> tuple[int, float]:
+    """(compile invocations, total ms Janino spent) so far this JVM."""
+    m = spark._jvm.org.apache.spark.metrics.source.CodegenMetrics
+    hist = m.METRIC_COMPILATION_TIME()
+    snap = hist.getSnapshot()
+    vals = snap.getValues()  # ms per compile, bounded reservoir
+    return int(hist.getCount()), float(sum(vals))
+
+
+def run_variant(name: str, conf: dict, sf_dir: str, runs: int) -> dict:
+    spark = get_spark(app_name=f"doc_profile_cold_{name}", extra_conf=conf)
+    try:
+        from bench import calibration_point
+
+        load_table(spark, "documents", sf_dir).limit(1).collect()
+        calibration_point(spark)
+        calibration = calibration_point(spark)
+
+        walls: list[float] = []
+        compiles: list[float] = []
+        for _ in range(runs):
+            c0, ms0 = codegen_compile_ms(spark)
+            t0 = time.perf_counter()
+            q_doc_profile(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls.append(round(time.perf_counter() - t0, 2))
+            c1, ms1 = codegen_compile_ms(spark)
+            compiles.append(round(ms1 - ms0, 0))
+            release_pins()
+        return {
+            "variant": name,
+            "cold_s": walls[0],
+            "runs_s": walls,
+            "steady_s": round(min(walls[2:]) if len(walls) > 2 else walls[-1], 2),
+            "compile_ms_per_run": compiles,
+            "calibration_sec": calibration,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    for name, conf in VARIANTS.items():
+        print(json.dumps(run_variant(name, conf, sf_dir, runs)))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,12 @@ Document replication has two regimes:
   scaling from density scaling (and keeps shingle df at the df-cap
   boundary instead of vaporizing every shingle at df≈replicas).
 
-Usage: python scripts/make_scale_data.py [out_dir] [replicas]
+Usage: python scripts/make_scale_data.py [out_dir] [replicas] [--tables a,b,c]
+
+``--tables`` restricts generation to the named tables (plus nothing
+else) — the round-8 slope study only needs documents+embeddings at
+three replica counts, and skipping the 60M-row lineitem write makes
+each point ~6x cheaper to build.
 """
 
 from __future__ import annotations
@@ -44,10 +49,19 @@ DOC_GROUP = 10  # near-dup group size in the salted (replicas > 10) regime
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
-    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    argv = list(sys.argv[1:])
+    tables: set[str] | None = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    out = argv[0] if argv else "/tmp/spark_graft_sf1"
+    replicas = int(argv[1]) if len(argv) > 1 else 10
     spark = get_spark(app_name="make_scale_data")
     big_parts = 32 if replicas <= 10 else 64
+
+    def wanted(name):
+        return tables is None or name in tables
 
     def write(df, name, parts=None):
         df.repartition(parts or big_parts).write.mode("overwrite").parquet(
@@ -67,76 +81,82 @@ def main() -> None:
 
     # small dims copied as-is
     for name in ("region", "nation", "supplier", "part", "customer"):
-        write(load_table(spark, name, SRC), name, parts=4)
+        if wanted(name):
+            write(load_table(spark, name, SRC), name, parts=4)
 
-    write(replicate(load_table(spark, "orders", SRC), ["o_orderkey"]), "orders")
-    write(replicate(load_table(spark, "lineitem", SRC), ["l_orderkey"]), "lineitem")
+    if wanted("orders"):
+        write(replicate(load_table(spark, "orders", SRC), ["o_orderkey"]), "orders")
+    if wanted("lineitem"):
+        write(replicate(load_table(spark, "lineitem", SRC), ["l_orderkey"]), "lineitem")
 
     # documents: suffix keeps same-group replicas near- (not exact-)
     # duplicates; past 10 replicas a group-tag token is interleaved so
     # distinct groups stop sharing shingles (see module docstring).
-    docs = with_replica(load_table(spark, "documents", SRC))
-    if replicas <= 10:
-        salted = F.col("text")
-    else:
-        grp = (F.col("_r") / DOC_GROUP).cast("int").cast("string")
-        salted = F.array_join(
-            F.zip_with(
-                F.split(F.col("text"), " "),
-                F.sequence(F.lit(0), F.size(F.split(F.col("text"), " ")) - 1),
-                lambda t, i: F.when(
-                    i % 8 == 0, F.concat(F.lit("grp"), grp, F.lit("x "), t)
-                ).otherwise(t),
+    if wanted("documents"):
+        docs = with_replica(load_table(spark, "documents", SRC))
+        if replicas <= 10:
+            salted = F.col("text")
+        else:
+            grp = (F.col("_r") / DOC_GROUP).cast("int").cast("string")
+            salted = F.array_join(
+                F.zip_with(
+                    F.split(F.col("text"), " "),
+                    F.sequence(F.lit(0), F.size(F.split(F.col("text"), " ")) - 1),
+                    lambda t, i: F.when(
+                        i % 8 == 0, F.concat(F.lit("grp"), grp, F.lit("x "), t)
+                    ).otherwise(t),
+                ),
+                " ",
+            )
+        write(
+            docs.select(
+                (F.col("doc_id") + F.col("_r") * F.lit(KEY_OFFSET)).alias("doc_id"),
+                F.concat(salted, F.lit(" replica"), F.col("_r").cast("string")).alias(
+                    "text"
+                ),
+                "lang",
+                "source",
+                "n_chars",
             ),
-            " ",
+            "documents",
         )
-    write(
-        docs.select(
-            (F.col("doc_id") + F.col("_r") * F.lit(KEY_OFFSET)).alias("doc_id"),
-            F.concat(salted, F.lit(" replica"), F.col("_r").cast("string")).alias(
-                "text"
-            ),
-            "lang",
-            "source",
-            "n_chars",
-        ),
-        "documents",
-    )
 
     # embeddings: replicas // 2 copies, tiny deterministic first-dim shift
-    emb = with_replica(load_table(spark, "embeddings", SRC), max(replicas // 2, 1))
-    shifted = F.concat(
-        F.array(
-            (
-                F.get("embedding", 0).cast("double")
-                + F.col("_r") * F.lit(0.001)
-            ).cast("float")
-        ),
-        F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
-    )
-    write(
-        emb.select(
-            (F.col("vec_id") + F.col("_r") * F.lit(KEY_OFFSET)).alias("vec_id"),
-            shifted.alias("embedding"),
-            "label",
-        ),
-        "embeddings",
-    )
+    if wanted("embeddings"):
+        emb = with_replica(load_table(spark, "embeddings", SRC), max(replicas // 2, 1))
+        shifted = F.concat(
+            F.array(
+                (
+                    F.get("embedding", 0).cast("double")
+                    + F.col("_r") * F.lit(0.001)
+                ).cast("float")
+            ),
+            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+        )
+        write(
+            emb.select(
+                (F.col("vec_id") + F.col("_r") * F.lit(KEY_OFFSET)).alias("vec_id"),
+                shifted.alias("embedding"),
+                "label",
+            ),
+            "embeddings",
+        )
 
     # events: write ts as the natural NTZ timestamp (parquet µs) —
     # sources.load_table probes the footer and reads this natively.
-    ev = with_replica(load_table(spark, "events", SRC))
-    write(
-        ev.select(
-            (F.col("event_id") + F.col("_r") * F.lit(KEY_OFFSET)).alias("event_id"),
-            "ts",
-            (F.col("user_id") + (F.col("_r") % 3) * F.lit(1000)).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
-        ),
-        "events",
-    )
+    if wanted("events"):
+        ev = with_replica(load_table(spark, "events", SRC))
+        write(
+            ev.select(
+                (F.col("event_id") + F.col("_r") * F.lit(KEY_OFFSET)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + (F.col("_r") % 3) * F.lit(1000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            ),
+            "events",
+        )
 
     spark.stop()
     print("done:", out)

@@ -61,8 +61,10 @@ class QuerySpec:
 # check + 11 oldest-checked greens (all last green in round 3; first
 # 11 by name of the 17 tied). After this round the never-driver-
 # checked count is 0 and rule 4 alone picks future windows.
-WINDOW = [
-    # parity core — pinned every round
+# The reference's own workload — rotation rule 1 pins these in every
+# window. scripts/next_window.py derives each round's WINDOW from
+# this constant + the CORRECTNESS_r*.json history (rules 2–4).
+PARITY_CORE = [
     "keys_projection",
     "filter_date_range",
     "missing_ids",
@@ -72,6 +74,11 @@ WINDOW = [
     "diff_string_fuzzy_approx",
     "report_summary",
     "validation_counts",
+]
+
+WINDOW = [
+    # parity core — pinned every round
+    *PARITY_CORE,
     # final never-driver-checked standalones (queue emptied this round)
     "unit_dedup_simhash",
     "unit_simhash_pairs",

@@ -460,7 +460,15 @@ def _minhash_estimate(
 ) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     shingles = pin(D.exploded_shingles(docs))
-    sigs = D.minhash_signatures(shingles)
+    # pin: unlike the lsh pipeline (one consumer), this plan reads the
+    # signature table THREE times — bands→candidate pairs, the a-side
+    # estimate join, the b-side estimate join. Unpinned, Spark
+    # recomputes the 16-slice min-aggregation over the full shingle
+    # frame (~50M rows at the 100× replica) once per consumer: the
+    # round-8 honest-cold protocol (release_pins between specs) read
+    # 244 s isolated cold where r7's cache-confounded A/B read 79.9.
+    # At corpus scale the signature table is written out anyway.
+    sigs = pin(D.minhash_signatures(shingles))
     bands = D.lsh_bands(sigs)
     pairs = D.lsh_candidate_pairs(bands)
     if sampled:
@@ -478,6 +486,10 @@ def _minhash_estimate(
             )
             < F.lit(MINHASH_AUDIT_HEX)
         )
+    # pin: the (sampled) candidate-pair frame feeds the estimate join
+    # AND the exact verify — unpinned, the band self-join + distinct
+    # runs twice.
+    pairs = pin(pairs)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"s{i}").alias(f"a{i}") for i in range(D.NUM_HASHES)],
@@ -1222,7 +1234,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     shingles = pin(D.exploded_shingles(docs))
-    bands = D.lsh_bands(D.minhash_signatures(shingles))
+    # pin: bands feeds BOTH split branches (incoming and corpus), so
+    # the signature aggregation would otherwise run twice.
+    bands = pin(D.lsh_bands(D.minhash_signatures(shingles)))
     new_b = bands.filter(_is_incoming()).select(
         F.col("doc_id").alias("id_a"), "band", "band_hash"
     )
