@@ -922,11 +922,32 @@ au AS (SELECT a2.vec_id, a2.cid, units.u FROM a2 JOIN units USING (vec_id)),
 
 # Coarse-cell count for the hierarchical SemDeDup router. 256 coarse
 # cells bound the vector-routing pass at n x 256 regardless of corpus
-# size; the fine seed set keeps GROWING with the corpus (n/50 — the
+# size; the fine seed set keeps GROWING with the corpus (~n/50 — the
 # SemDeDup regime: cluster sizes stay ~50, so the within-cluster pair
 # space stays LINEAR in n), and each vector does its exact fine argmin
 # only against the ~K/256 fine seeds routed to its coarse cell.
 SEMDEDUP_COARSE_CAP = _geo("SEMDEDUP_COARSE", 256)
+
+# Fine seeds are a 1-in-50 md5-HASH row sample (substr(md5(id),1,4) <
+# '051f' == 1311/65536 ≈ 1/50.0), NOT the id-mod rule the capped IVF
+# index uses (CENTROID_MOD above). The difference matters only for
+# the UNCAPPED seed set: the round-8 slope study caught the id-mod
+# rule going quadratic on the replica fixture because its key offset
+# (10,000,000) is divisible by 50, so every replica of an original
+# aliases into the SAME residue class — the "1-in-50" sample yielded
+# 50 near-identical copies of 1-in-2500 distinct directions, one copy
+# won the argmin for its whole neighborhood, and the within-cell pair
+# space blew up to Σc² = 126M at the 100× replica (41.7 s warm, vs
+# 1.2 s at 10×). Hashing the id breaks ANY id structure correlated
+# with the data, and row-sampling is self-normalizing under
+# duplication: a dup-dense region holds proportionally more rows, so
+# it gets proportionally more seeds and its cells stay ~50. Same
+# hex-prefix idiom as the MinHash estimator sample (dedup.py) —
+# md5-of-string is bit-identical in Spark and DuckDB, so the oracle
+# stays full-strength. The capped IVF rules keep id-mod: with a FIXED
+# nlist, seed skew moves recall (gated by tests/test_ann_recall.py),
+# not the cost class.
+SEMDEDUP_SEED_HEX = "051f"
 
 
 def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,17 +958,34 @@ def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd assignment n·K = O(n²/50) (measured 317 s cold at the 100×
     replica), while pinning K makes the within-cluster pair space
     Σc² = O(n²/K) (measured 137M pairs / 112 s of pair-dots at K→40
-    effective). The two-level router keeps BOTH terms linear, the
-    same coarse-quantizer idea as IVF (Jégou et al. 2011) applied to
+    effective). The two-level router bounds both, the same
+    coarse-quantizer idea as IVF (Jégou et al. 2011) applied to
     centroid search (Sivic & Zisserman's vocabulary-tree lineage):
 
-    1. fine seeds  = vec_id % 50 == 7 (UNCAPPED — K ∝ n, clusters ~50)
-    2. coarse seeds = the first 256 fine seeds (the IVF cap rule)
+    1. fine seeds  = 1-in-50 md5-hash row sample (UNCAPPED — K ∝ n,
+       clusters ~50; hash-not-mod so no id structure can collapse the
+       seed directions, see SEMDEDUP_SEED_HEX)
+    2. coarse seeds = the 256 md5-smallest fine seeds (the IVF cap
+       rule; a 256-row TakeOrdered over the seed table, not a sort)
     3. each fine seed routes to its nearest coarse seed (K×256, tiny)
     4. each vector routes to its nearest coarse seed (n×256 broadcast,
        map-side min(struct) argmin), then takes its exact argmin over
        ONLY the ~K/256 fine seeds in that coarse cell
     5. pair/keep tail identical to the exact form (shared helper)
+
+    COST MODEL (stated honestly after the round-8 slope study): with
+    C coarse cells and K ≈ n/50 fine seeds, routing work is
+    n·C (step 4a) + n·K/C (step 4b) + K·C (step 3) and the pair tail
+    is Σc² ≈ 50n. At FIXED C the 4b term is n²/(50C) — formally
+    quadratic, but its constant keeps it below the linear n·C term
+    until K = C² (n = 50·C², ≈3.3M vectors at the default C=256), so
+    the operator is linear-class throughout the geometry it is sized
+    for, and the balance rule for a bigger corpus is the standard IVF
+    sizing C ≈ √K (set SPARK_GRAFT_SEMDEDUP_COARSE; per-vector
+    routing work then grows as 2√(n/50) — sub-linear per vector,
+    O(n^1.5) total, the same asymptotic every flat-centroid-scan IVF
+    accepts). The measured 3-point slope (sf0.1/sf1/sf10) is in
+    SCALE.md §Round-8.
 
     One-shot Voronoi on the seed vectors (no Lloyd iterations): every
     step is a pure function of the data, so DuckDB replays the whole
@@ -977,12 +1015,20 @@ def semantic_dedup_hier_frame(vecs: DataFrame) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double") / F.col("__nrm")).alias("u"),
     )
     xu = u.select("vec_id", _to_e6(F.col("u")).alias("x"))
-    fine = xu.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF).select(
-        F.col("vec_id").alias("fcid"), F.col("x").alias("fx")
+    mk = F.md5(F.col("vec_id").cast("string"))
+    # pin: fine feeds f2c plus both TakeOrdered coarse consumers —
+    # seed-table-sized (~n/50), so the pin is cheap and saves two
+    # recomputes of the full-corpus normalize+quantize scan.
+    fine = pin(
+        xu.filter(F.substring(mk, 1, 4) < F.lit(SEMDEDUP_SEED_HEX)).select(
+            F.col("vec_id").alias("fcid"), F.col("x").alias("fx"), mk.alias("mk")
+        )
     )
-    coarse = fine.filter(
-        F.col("fcid") < CENTROID_MOD * SEMDEDUP_COARSE_CAP
-    ).select(F.col("fcid").alias("ccid"), F.col("fx").alias("cx"))
+    coarse = (
+        fine.orderBy("mk", "fcid")
+        .limit(SEMDEDUP_COARSE_CAP)
+        .select(F.col("fcid").alias("ccid"), F.col("fx").alias("cx"))
+    )
 
     def _sqdist(a, b):
         return F.aggregate(
@@ -1038,10 +1084,11 @@ def _oracle_semantic_dedup_hier() -> str:
 WITH {ALL_VECS_CTE},
 units AS (SELECT vec_id, {unit_sql('embedding')} AS u FROM all_vecs),
 v AS (SELECT vec_id, {_to_e6_sql('u')} AS x FROM units),
-fine AS (SELECT vec_id AS fcid, x AS fx FROM v
-         WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}),
+fine AS (SELECT vec_id AS fcid, x AS fx, md5(CAST(vec_id AS VARCHAR)) AS mk
+         FROM v
+         WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{SEMDEDUP_SEED_HEX}'),
 coarse AS (SELECT fcid AS ccid, fx AS cx FROM fine
-           WHERE fcid < {CENTROID_MOD * SEMDEDUP_COARSE_CAP}),
+           ORDER BY mk, fcid LIMIT {SEMDEDUP_COARSE_CAP}),
 f2c AS (SELECT fcid, ccid, fx FROM (
   SELECT fine.fcid, coarse.ccid, fine.fx,
          row_number() OVER (PARTITION BY fine.fcid
