@@ -17,8 +17,14 @@ METRIC_COMPILATION_TIME's count+sum around each run gives the exact
 ms Janino spent compiling during that run, with no config change and
 no second session (so no JVM-JIT confound).
 
-Variants, each in its OWN session (compile caches are per-JVM
-ClassLoader and would leak between variants):
+Variants each get their own SparkSession, but NOTE (round-8
+finding): spark.stop() does NOT kill the py4j JVM, so in one python
+process every variant after the first runs in a WARM JVM — and the
+measured order effect is bigger than any variant effect (the first
+variant pays ~8-9 s cold regardless of WHICH it is; the same variant
+re-run warm pays ~2.5 s). Cross-variant comparisons must therefore
+be order-controlled: run one variant per process (``--variant
+name``) or rotate the order and compare like positions.
   default    — production config
   split512   — spark.sql.codegen.methodSplitThreshold=512 (smaller
                generated methods: more, smaller Janino compiles and
@@ -30,7 +36,7 @@ ClassLoader and would leak between variants):
 Prints one JSON line per variant with cold/steady wall, compile ms
 observed during the cold run, and the session calibration.
 
-Usage: python scripts/doc_profile_cold.py [sf_dir] [runs]
+Usage: python scripts/doc_profile_cold.py [sf_dir] [runs] [--variant name]
 """
 
 from __future__ import annotations
@@ -97,10 +103,17 @@ def run_variant(name: str, conf: dict, sf_dir: str, runs: int) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    argv = list(sys.argv[1:])
+    only = None
+    if "--variant" in argv:
+        i = argv.index("--variant")
+        only = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    runs = int(argv[1]) if len(argv) > 1 else 5
     for name, conf in VARIANTS.items():
-        print(json.dumps(run_variant(name, conf, sf_dir, runs)))
+        if only is None or name == only:
+            print(json.dumps(run_variant(name, conf, sf_dir, runs)))
 
 
 if __name__ == "__main__":
