@@ -1037,37 +1037,46 @@ def semantic_dedup_hier_frame(vecs: DataFrame) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    # fine seed -> coarse cell (K×256 rows, trivially small)
-    f2c = (
-        fine.crossJoin(F.broadcast(coarse))
-        .withColumn("d", _sqdist(F.col("fx"), F.col("cx")))
-        .groupBy("fcid")
-        .agg(
-            F.min(F.struct(F.col("d"), F.col("ccid"))).alias("b"),
-            F.first("fx").alias("fx"),
-        )
-        .select("fcid", F.col("b.ccid").alias("ccid"), "fx")
+    def _argmin(cells, x, id_field, vec_field):
+        """id of the cell nearest to x: array_min over struct(d, id)
+        ≡ min(struct(d, id)) — smallest distance, ties to smallest
+        id. Evaluated INSIDE one projection per row, so the n-vector
+        routing passes below are plain narrow maps: no per-candidate
+        row fan-out, no hash-agg, no shuffle (round-8 rewrite — the
+        fan-out form spent 37.5 s of sf10's cold on 26M intermediate
+        rows; this form re-reads as a single codegen'd projection)."""
+        return F.array_min(
+            F.transform(
+                cells,
+                lambda c: F.struct(
+                    _sqdist(c[vec_field], x).alias("d"), c[id_field].alias("id")
+                ),
+            )
+        )["id"]
+
+    # the 256 coarse seeds collapsed into ONE array row (sorted by
+    # ccid; ~64 KB), attached via the crossJoin(broadcast(1-row
+    # scalar)) idiom used across the suite
+    cents = coarse.agg(
+        F.sort_array(F.collect_list(F.struct("ccid", "cx"))).alias("cents")
     )
-    # vector -> coarse cell (n×256, broadcast, map-side argmin)
-    v2c = (
-        xu.crossJoin(F.broadcast(coarse))
-        .withColumn("d", _sqdist(F.col("x"), F.col("cx")))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("d"), F.col("ccid"))).alias("b"),
-            F.first("x").alias("x"),
-        )
-        .select("vec_id", F.col("b.ccid").alias("ccid"), "x")
+    # fine seed -> coarse cell (K seeds × 256, trivially small)
+    f2c = fine.crossJoin(F.broadcast(cents)).select(
+        "fcid", _argmin(F.col("cents"), F.col("fx"), "ccid", "cx").alias("ccid"), "fx"
     )
-    # exact fine argmin WITHIN the coarse cell (n × ~K/256 fan-out;
-    # f2c is seed-table-sized — broadcast while it fits, like the IVF
-    # centroid table)
-    a = (
-        v2c.join(F.broadcast(f2c), "ccid")
-        .withColumn("d", _sqdist(F.col("x"), F.col("fx")))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d"), F.col("fcid"))).alias("b"))
-        .select("vec_id", F.col("b.fcid").alias("cid"))
+    # vector -> coarse cell (n×256 dots, one narrow projection)
+    v2c = xu.crossJoin(F.broadcast(cents)).select(
+        "vec_id", _argmin(F.col("cents"), F.col("x"), "ccid", "cx").alias("ccid"), "x"
+    )
+    # exact fine argmin WITHIN the coarse cell: per-cell seed lists
+    # (the IVF posting list of centroids — ~K/256 entries each, ~√K
+    # under the documented C≈√K sizing) broadcast-joined on ccid, so
+    # the n-row pass again stays narrow: n × ~K/256 dots, zero fan-out
+    cell_seeds = f2c.groupBy("ccid").agg(
+        F.sort_array(F.collect_list(F.struct("fcid", "fx"))).alias("seeds")
+    )
+    a = v2c.join(F.broadcast(cell_seeds), "ccid").select(
+        "vec_id", _argmin(F.col("seeds"), F.col("x"), "fcid", "fx").alias("cid")
     )
     au = pin(a.join(u, "vec_id").select("vec_id", "cid", "u"))
     return _semdedup_from_assignments(au)
