@@ -147,12 +147,14 @@ SHOWCASE = {
     "(LeftSemi, plan-pinned) below the basket self-join — inert on the "
     "dense fixture, 4-8x pair-space cut on a long-tail catalog "
     "(scripts/apriori_longtail.py)",
-    "unit_semantic_dedup_hier": "hierarchical SemDeDup (round-7 scale "
-    "path): 256 broadcast coarse cells route vectors, exact fine argmin "
-    "only within the coarse cell (n·(256+K/256) instead of n·K), "
-    "map-side min(struct) argmins, pair space bounded by ~50-vector "
-    "fine clusters — both terms linear where the exact twin is "
-    "quadratic either way",
+    "unit_semantic_dedup_hier": "hierarchical SemDeDup (scale path, "
+    "round-8 form): md5-hash-sampled fine seeds (immune to id "
+    "structure), 256 coarse seeds collapsed to ONE broadcast array "
+    "row, every argmin a narrow projection (array_min over "
+    "struct(sqdist, id) — no per-candidate fan-out, no hash-agg, "
+    "no shuffle in routing), pair space bounded by ~50-vector fine "
+    "clusters — measured slope ≤0.32 on the top decade where the "
+    "exact twin is quadratic either way",
 }
 
 
