@@ -1,0 +1,130 @@
+"""The Arrow nearest-seed kernel (suite/similarity.py::
+_nearest_seed_arrow) must reproduce the SQL engines' argmin contract
+bit-for-bit: squared-L2 over e6 int64 coordinates, ties broken to the
+SMALLEST seed id — the min(struct(d, id)) / row_number(ORDER BY d, id)
+rule both the JVM form and the DuckDB oracle share. These pins cover
+the two spots a vectorized rewrite can silently diverge: the
+first-occurrence tie-break (only correct because the seed matrix is
+sorted by id) and int64 exactness near the operator's documented
+coordinate bounds (|coord| ≈ 1.4e6, where a float64 detour would
+round the expanded x·x + c·c − 2x·c form)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+
+def _seed_df(spark, rows):
+    schema = StructType(
+        [
+            StructField("sid", LongType()),
+            StructField("sx", ArrayType(LongType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _jvm_argmin(spark, seeds, points):
+    """The reference JVM form: min(struct(sqdist, id)) over a
+    broadcast cross join — the shape the kernel replaced."""
+    pts = spark.createDataFrame(
+        points,
+        StructType(
+            [
+                StructField("pid", LongType()),
+                StructField("x", ArrayType(LongType())),
+            ]
+        ),
+    )
+    d = F.aggregate(
+        F.zip_with("x", "sx", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    out = (
+        pts.crossJoin(F.broadcast(seeds))
+        .groupBy("pid")
+        .agg(F.min(F.struct(d.alias("d"), F.col("sid").alias("id"))).alias("b"))
+        .select("pid", F.col("b.id").alias("sid"))
+    )
+    return {r.pid: r.sid for r in out.collect()}
+
+
+def _kernel_argmin(spark, seeds, points):
+    from validation_database_spark.suite.similarity import _nearest_seed_arrow
+
+    pts = spark.createDataFrame(
+        points,
+        StructType(
+            [
+                StructField("pid", LongType()),
+                StructField("x", ArrayType(LongType())),
+            ]
+        ),
+    )
+    nearest = _nearest_seed_arrow(seeds, "sid", "sx")
+    out = pts.select("pid", nearest(F.col("x")).alias("sid"))
+    return {r.pid: r.sid for r in out.collect()}
+
+
+def test_tie_breaks_to_smallest_seed_id(spark):
+    # seeds 30 and 10 sit symmetrically around the probe on axis 0:
+    # identical sqdist, so the contract picks id 10. Seed 20 is the
+    # unambiguous winner for the second probe. Ids arrive UNSORTED to
+    # prove the kernel's internal id-sort (not input order) settles
+    # the tie.
+    seeds = _seed_df(
+        spark,
+        [
+            (30, [2, 0, 0]),
+            (10, [-2, 0, 0]),
+            (20, [100, 100, 100]),
+        ],
+    )
+    points = [(1, [0, 0, 0]), (2, [99, 99, 99])]
+    got = _kernel_argmin(spark, seeds, points)
+    assert got == {1: 10, 2: 20}
+    assert got == _jvm_argmin(spark, seeds, points)
+
+
+def test_exact_at_e6_coordinate_bounds(spark):
+    # coordinates at the e6 unit-vector extreme (±1.4e6): the
+    # expanded int64 form must stay exact where float64 (53-bit
+    # mantissa) would lose the low bits of x·x + c·c − 2x·c. Two
+    # seeds 1 apart in one dimension force a decision at the last
+    # integer ulp.
+    big = 1_400_000
+    seeds = _seed_df(
+        spark,
+        [
+            (1, [big, -big, big, -big]),
+            (2, [big, -big, big, -big + 1]),
+        ],
+    )
+    # probe sits exactly on seed 2's corner: d(seed2)=0, d(seed1)=1
+    points = [(7, [big, -big, big, -big + 1])]
+    got = _kernel_argmin(spark, seeds, points)
+    assert got == {7: 2}
+    assert got == _jvm_argmin(spark, seeds, points)
+
+
+def test_matches_jvm_form_on_hashed_fanout(spark):
+    # 40 deterministic pseudo-random points vs 7 seeds, full
+    # cross-check against the JVM reference form — the general-case
+    # equivalence sweep (includes negative coords and coincident
+    # points).
+    import hashlib
+
+    def vec(tag: str, d: int = 6) -> list[int]:
+        return [
+            int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16) % 2_800_001
+            - 1_400_000
+            for i in range(d)
+        ]
+
+    seeds = _seed_df(spark, [(s, vec(f"s{s}")) for s in range(7)])
+    points = [(p, vec(f"p{p % 37}")) for p in range(40)]  # 3 repeats
+    assert _kernel_argmin(spark, seeds, points) == _jvm_argmin(
+        spark, seeds, points
+    )
