@@ -135,9 +135,10 @@ def run_curation(spark: SparkSession, config: dict[str, Any]) -> CurationRun:
 
     if stages.get("semantic_dedup"):
         # Corpus-scale semantic dedup routes through the HIERARCHICAL
-        # SemDeDup twin (both cost terms linear in n — SCALE.md round
-        # 7; the exact-Lloyd form unit_semantic_dedup stays the
-        # certification baseline, never the pipeline path). Embeddings
+        # SemDeDup twin (measured linear-class over two decades,
+        # SCALE.md round-8 slope study; the exact-Lloyd form
+        # unit_semantic_dedup stays the certification baseline,
+        # never the pipeline path). Embeddings
         # carry one vector per document (vec_id == doc_id in the
         # fixture layout); drop the docs the keep-rule prunes.
         # Geometry knobs: SPARK_GRAFT_SEMDEDUP_COARSE (coarse cells,
