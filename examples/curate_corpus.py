@@ -14,8 +14,9 @@ Stages (each a suite operator, individually oracle-verified):
 3. DEDUP    — MinHash-LSH near-duplicate clusters over the cleaned
               corpus; one representative kept per cluster.
 4. SEMDEDUP — hierarchical SemDeDup over the document embeddings (the
-              linear-at-scale two-level router, SCALE.md round 7 —
-              the exact-Lloyd form stays the certification baseline);
+              two-level router, measured linear-class over two
+              decades in SCALE.md's round-8 slope study — the
+              exact-Lloyd form stays the certification baseline);
               knobs: SPARK_GRAFT_SEMDEDUP_COARSE, see README.
 5. EXAMPLES — T5 span-corruption (input, target) pairs from the
               survivors.
