@@ -663,3 +663,24 @@ def test_assoc_rules_prune_semi_join_present(spark, sf_dir):
 
     plan = physical_plan(q_assoc_rules(spark, sf_dir))
     assert "LeftSemi" in plan, plan
+
+
+def test_hier_semdedup_routing_is_arrow_narrow_maps(spark, sf_dir):
+    """The hierarchical SemDeDup routing (round-8 form) must stay
+    shuffle-free narrow maps: both nearest-seed passes run as Arrow
+    kernels (ArrowEvalPython — the exact-int64 matmul, never
+    row-at-a-time Python), the fine-cell join is a broadcast hash
+    join, and no pass reintroduces the per-candidate fan-out (no
+    cross/nested-loop join over the seed tables). The ONE allowed
+    ccid exchange is the seed-table-sized cell_seeds aggregation
+    (K rows in, C posting lists out) — the n-row corpus side must
+    never shuffle on the cell id."""
+    from validation_database_spark.suite.similarity import (
+        q_semantic_dedup_hier,
+    )
+
+    plan = physical_plan(q_semantic_dedup_hier(spark, sf_dir))
+    assert plan.count("ArrowEvalPython") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("hashpartitioning(ccid") <= 1, plan
