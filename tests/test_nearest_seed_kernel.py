@@ -128,3 +128,39 @@ def test_matches_jvm_form_on_hashed_fanout(spark):
     assert _kernel_argmin(spark, seeds, points) == _jvm_argmin(
         spark, seeds, points
     )
+
+
+def test_chunked_path_identical_to_unchunked(spark):
+    # The memory-bounding row-chunk loop must not change any
+    # assignment: force chunk=3 (boundary-straddling the 40-point
+    # batch 14 times) and compare against the unchunked kernel.
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from validation_database_spark.suite.similarity import _nearest_seed_arrow
+
+    def vec(tag: str, d: int = 5) -> list[int]:
+        return [
+            int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16) % 2_000_001
+            - 1_000_000
+            for i in range(d)
+        ]
+
+    seeds = _seed_df(spark, [(s, vec(f"cs{s}")) for s in range(9)])
+    pts = spark.createDataFrame(
+        [(p, vec(f"cp{p}")) for p in range(40)],
+        StructType(
+            [
+                StructField("pid", LongType()),
+                StructField("x", ArrayType(LongType())),
+            ]
+        ),
+    )
+    whole = _nearest_seed_arrow(seeds, "sid", "sx")
+    chunked = _nearest_seed_arrow(seeds, "sid", "sx", _chunk=3)
+    out = pts.select(
+        "pid", whole(F.col("x")).alias("a"), chunked(F.col("x")).alias("b")
+    )
+    assert out.filter("a <> b").count() == 0

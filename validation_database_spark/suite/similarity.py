@@ -1002,7 +1002,9 @@ def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_hier_frame(_vecs_with_planted_dups(spark, sf_dir))
 
 
-def _nearest_seed_arrow(seeds: DataFrame, id_col: str, vec_col: str):
+def _nearest_seed_arrow(
+    seeds: DataFrame, id_col: str, vec_col: str, _chunk: int | None = None
+):
     """Exact nearest-seed assignment as a vectorized Arrow kernel:
     returns a pandas_udf mapping an e6-int64 vector column to the id
     of its nearest seed (squared L2, ties to the smallest id — the
@@ -1024,13 +1026,25 @@ def _nearest_seed_arrow(seeds: DataFrame, id_col: str, vec_col: str):
     C = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
     c2 = (C * C).sum(axis=1)
 
+    # Per-chunk rows so the b×|seeds| distance matrix stays ~32 MB
+    # regardless of the SEMDEDUP_COARSE override (a 65536-cell
+    # geometry would otherwise build a multi-GB intermediate per
+    # Arrow batch). Chunking changes memory only — every row's argmin
+    # is computed over the full seed matrix either way (``_chunk``
+    # exists so tests can force the chunked path with few seeds).
+    chunk = _chunk or max(1, (1 << 22) // max(len(ids), 1))
+
     @F.pandas_udf("bigint")
     def nearest(xs: pd.Series) -> pd.Series:
         if len(xs) == 0:
             return pd.Series([], dtype="int64")
         X = np.array(xs.tolist(), dtype=np.int64)
-        d2 = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2 * (X @ C.T)
-        return pd.Series(ids[d2.argmin(axis=1)])
+        out = np.empty(len(X), dtype=np.int64)
+        for i in range(0, len(X), chunk):
+            Xi = X[i : i + chunk]
+            d2 = (Xi * Xi).sum(axis=1)[:, None] + c2[None, :] - 2 * (Xi @ C.T)
+            out[i : i + chunk] = ids[d2.argmin(axis=1)]
+        return pd.Series(out)
 
     return nearest
 
