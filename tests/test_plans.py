@@ -679,8 +679,16 @@ def test_hier_semdedup_routing_is_arrow_narrow_maps(spark, sf_dir):
         q_semantic_dedup_hier,
     )
 
+    import re
+
     plan = physical_plan(q_semantic_dedup_hier(spark, sf_dir))
     assert plan.count("ArrowEvalPython") >= 2, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("hashpartitioning(ccid") <= 1, plan
+    # count DISTINCT ccid exchanges by expression id: the formatted
+    # plan reprints a cached/pinned subtree's lineage once per
+    # reference (the pair tail reads `au` twice), so a raw substring
+    # count is formatting-dependent; a real regression (the corpus
+    # side shuffling on the cell id) would show up as a SECOND
+    # distinct exchange id.
+    assert len(set(re.findall(r"hashpartitioning\(ccid#\d+", plan))) <= 1, plan
