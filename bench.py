@@ -169,16 +169,46 @@ def calibration_point_1t(spark) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def prior_round_record(sf: str) -> dict | None:
-    """The latest BENCH_r*.json in the repo root at the SAME sf —
-    the prior round's permanent record, used by the outlier rule
-    below. None when absent or cross-SF (iteration runs at sf0.01
-    must not compare against the driver's sf0.1 record)."""
+def unwrap_record(rec: dict) -> dict | None:
+    """Normalize a BENCH record to the bench payload shape.
+
+    The repo's permanent BENCH_r*.json files are DRIVER WRAPPERS
+    ``{n, rc, cpus, sf, tail, parsed}`` with the bench payload nested
+    under ``parsed`` (VERDICT r8: reading ``queries_warm`` off the top
+    level made the prior-round ghost branch dead code — ``prior_warm``
+    was always null). This unwraps the wrapper, reconstructs
+    ``queries_warm`` from the compact ``warm_vals`` form (round 9+
+    stdout lines carry warm timings as an array ordered like
+    ``queries`` to stay under the driver's 2000-char tail capture),
+    and returns None for unusable records (e.g. a truncated tail gave
+    ``parsed: null``, as in BENCH_r08)."""
+    if not isinstance(rec, dict):
+        return None
+    inner = rec.get("parsed") if isinstance(rec.get("parsed"), dict) else rec
+    if "queries_warm" not in inner and "warm_vals" in inner:
+        names = list(inner.get("queries", {}))
+        vals = inner["warm_vals"]
+        if len(names) == len(vals):
+            inner = dict(inner)
+            inner["queries_warm"] = dict(zip(names, vals))
+    if "queries_warm" not in inner:
+        return None
+    return inner
+
+
+def prior_round_record(sf: str, root: str | None = None) -> dict | None:
+    """The latest USABLE BENCH_r*.json in the repo root at the SAME
+    sf — the prior round's permanent record, used by the outlier rule
+    below. Driver wrappers are unwrapped via :func:`unwrap_record`;
+    records without recoverable warm timings (truncated tails) are
+    skipped so the rule falls back to the newest round that parsed.
+    None when absent or cross-SF (iteration runs at sf0.01 must not
+    compare against the driver's sf0.1 record)."""
     import glob
     import re
 
     best = None
-    for path in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(root or REPO_ROOT, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
@@ -186,11 +216,58 @@ def prior_round_record(sf: str) -> dict | None:
             rec = json.load(open(path))
         except Exception:
             continue
-        if str(rec.get("sf")) != sf:
+        inner = unwrap_record(rec)
+        if inner is None:
+            continue
+        rec_sf = inner.get("sf", rec.get("sf"))
+        if str(rec_sf) != sf:
             continue
         if best is None or int(m.group(1)) > best[0]:
-            best = (int(m.group(1)), rec)
+            best = (int(m.group(1)), inner)
     return best[1] if best else None
+
+
+def compact_payload(payload: dict) -> dict:
+    """The stdout form of the bench payload, sized for the driver's
+    2000-char tail capture (BENCH_r08 was the first round recorded
+    with ``parsed: null`` because the full-precision line outgrew it).
+    Three reductions, all lossless given BENCH_DETAIL.json:
+
+    - floats rounded to 2 decimals (suite timings are seconds; the
+      jitter band is larger than 10 ms anyway);
+    - ``queries_warm`` replaced by ``warm_vals``, an array ordered
+      like ``queries`` — the query names are the bulk of the line and
+      were emitted twice (readers reconstruct via
+      :func:`unwrap_record`);
+    - constant baseline fields dropped from ``baseline_match``
+      (``baseline_rows``/``baseline_sec`` are documented in
+      BASELINE.md) and ``outlier_reruns`` reduced to the flagged
+      names (full detail goes to BENCH_DETAIL.json + stderr).
+
+    tests/test_scale_machinery.py pins the worst-case line length
+    under 1800 chars."""
+
+    def rnd(o):
+        if isinstance(o, float):
+            return round(o, 2)
+        if isinstance(o, dict):
+            return {k: rnd(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [rnd(v) for v in o]
+        return o
+
+    out = {k: v for k, v in payload.items() if k != "queries_warm"}
+    warm = payload.get("queries_warm", {})
+    out["warm_vals"] = [warm.get(n) for n in payload.get("queries", {})]
+    if isinstance(out.get("baseline_match"), dict):
+        out["baseline_match"] = {
+            k: v
+            for k, v in out["baseline_match"].items()
+            if k not in ("baseline_rows", "baseline_sec")
+        }
+    if isinstance(out.get("outlier_reruns"), dict):
+        out["outlier_reruns"] = sorted(out["outlier_reruns"])
+    return rnd(out)
 
 
 # Outlier rule thresholds (VERDICT r7 ask #2). The BENCH_r07 ghost:
@@ -375,7 +452,17 @@ def main() -> None:
         payload["baseline_match"] = bm
     if outlier_reruns:
         payload["outlier_reruns"] = outlier_reruns
-    print(json.dumps(payload))
+    # Full-precision record (incl. outlier detail) to a side file and,
+    # for flagged entries, stderr; stdout gets the compact line that
+    # fits the driver's 2000-char tail capture (see compact_payload).
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
+    if outlier_reruns:
+        print("outlier_reruns: " + json.dumps(outlier_reruns), file=sys.stderr)
+    print(json.dumps(compact_payload(payload)))
     spark.stop()
 
 

@@ -107,7 +107,19 @@ def main() -> None:
     only = None
     if "--variant" in argv:
         i = argv.index("--variant")
+        # ADVICE r8: a trailing --variant (no value) raised an
+        # unhandled IndexError, and an unknown name silently printed
+        # nothing — both now exit with a usage message.
+        if i + 1 >= len(argv):
+            sys.exit(
+                "usage: doc_profile_cold.py [sf_dir] [runs] "
+                f"[--variant {{{','.join(VARIANTS)}}}]"
+            )
         only = argv[i + 1]
+        if only not in VARIANTS:
+            sys.exit(
+                f"unknown variant {only!r}; choose from: {', '.join(VARIANTS)}"
+            )
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     runs = int(argv[1]) if len(argv) > 1 else 5

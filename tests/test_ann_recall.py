@@ -182,3 +182,46 @@ def test_semantic_dedup_hier_recall_vs_exact(spark, sf_dir):
     # (b) overall drop-set recall
     recall = len(dropped_exact & dropped_hier) / len(dropped_exact)
     assert recall >= 0.8, f"hier drop recall {recall:.2f} vs exact"
+
+
+def test_rag_quant_twin_matches_float_serving(spark, sf_dir):
+    """Round-9 quantized scoring study (VERDICT r8 ask #4): the
+    e6-integer-dot serving twin must retrieve what the float IVF twin
+    retrieves. Same corpus, same geometry, same dedup rule — scoring
+    differs only by e6 quantization (~1e-6 per coordinate), so the
+    retrieved (query, doc, chunk) pair sets may diverge only at exact
+    ranking boundaries. Pins: per-query top-3 sets agree on >= 95% of
+    pairs overall, every query answered, and the strong-neighbor
+    floor vs the brute truth holds at the float twin's own bar."""
+    from validation_database_spark.suite.similarity import (
+        q_rag_retrieval,
+        q_rag_retrieval_ivf,
+        q_rag_retrieval_ivf_quant,
+    )
+
+    fl: dict[int, set] = {}
+    for r in q_rag_retrieval_ivf(spark, sf_dir).collect():
+        fl.setdefault(r.query_doc_id, set()).add((r.doc_id, r.chunk_idx))
+    qt: dict[int, set] = {}
+    for r in q_rag_retrieval_ivf_quant(spark, sf_dir).collect():
+        qt.setdefault(r.query_doc_id, set()).add((r.doc_id, r.chunk_idx))
+
+    assert set(qt) == set(fl), "every query must return results"
+    agree = total = 0
+    for q, pairs in fl.items():
+        agree += len(pairs & qt[q])
+        total += len(pairs)
+    assert total > 0
+    assert agree / total >= 0.95, f"float/quant agreement {agree/total:.3f}"
+
+    # strong-neighbor floor vs the brute truth, same bar as the float
+    # twin's gate above
+    strong_hits = strong_total = 0
+    for r in q_rag_retrieval(spark, sf_dir).collect():
+        if r.cos_sim >= 0.9:
+            strong_total += 1
+            strong_hits += (r.doc_id, r.chunk_idx) in qt.get(
+                r.query_doc_id, set()
+            )
+    assert strong_total > 0
+    assert strong_hits / strong_total >= 0.85, (strong_hits, strong_total)

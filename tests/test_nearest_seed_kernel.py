@@ -164,3 +164,122 @@ def test_chunked_path_identical_to_unchunked(spark):
         "pid", whole(F.col("x")).alias("a"), chunked(F.col("x")).alias("b")
     )
     assert out.filter("a <> b").count() == 0
+
+
+def test_empty_seed_table_routes_all_to_null(spark):
+    """ADVICE r8: an empty seed table (the md5 1-in-50 sample can
+    select nothing on a small corpus) must not crash the kernel build
+    with a 0-row numpy AxisError — every vector routes to NULL, so
+    the downstream equi-join drops it and semantic_dedup_hier_frame
+    degrades to an empty result like the pre-Arrow SQL form did."""
+    seeds = _seed_df(spark, [])
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from validation_database_spark.suite.similarity import _nearest_seed_arrow
+
+    pts = spark.createDataFrame(
+        [(1, [0, 0, 0]), (2, [5, 5, 5])],
+        StructType(
+            [
+                StructField("pid", LongType()),
+                StructField("x", ArrayType(LongType())),
+            ]
+        ),
+    )
+    nearest = _nearest_seed_arrow(seeds, "sid", "sx")
+    rows = pts.select("pid", nearest(F.col("x")).alias("sid")).collect()
+    assert [r.sid for r in rows] == [None, None]
+
+
+def test_null_vectors_route_to_null_not_crash(spark):
+    """ADVICE r8: a null quantized vector or a null ELEMENT (a
+    zero-norm embedding normalizes to null) must null-route through
+    the kernel — the pre-Arrow SQL argmin propagated NULL — instead
+    of throwing from np.array inside the pandas UDF. Valid rows in
+    the same Arrow batch keep their exact assignments."""
+    seeds = _seed_df(spark, [(10, [0, 0, 0]), (20, [100, 100, 100])])
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from validation_database_spark.suite.similarity import _nearest_seed_arrow
+
+    pts = spark.createDataFrame(
+        [
+            (1, [1, 1, 1]),
+            (2, None),
+            (3, [99, None, 99]),
+            (4, [99, 99, 99]),
+        ],
+        StructType(
+            [
+                StructField("pid", LongType()),
+                StructField("x", ArrayType(LongType())),
+            ]
+        ),
+    )
+    nearest = _nearest_seed_arrow(seeds, "sid", "sx")
+    got = {
+        r.pid: r.sid
+        for r in pts.select("pid", nearest(F.col("x")).alias("sid")).collect()
+    }
+    assert got == {1: 10, 2: None, 3: None, 4: 20}
+
+
+def test_hier_frame_short_circuits_on_seedless_corpus(spark):
+    """End-to-end: a corpus whose md5 sample yields zero seeds must
+    produce an EMPTY assignment frame from semantic_dedup_hier_frame
+    (schema intact), not an AxisError from the kernel build."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from validation_database_spark.suite import similarity as S
+
+    # vec_ids chosen so md5(id) first-4-hex >= the seed threshold:
+    # probe a few ids and keep non-seeds only
+    import hashlib
+
+    ids = [
+        i
+        for i in range(1, 400)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] >= S.SEMDEDUP_SEED_HEX
+    ][:20]
+    assert ids, "fixture needs at least one non-seed id"
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in ids],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    out = S.semantic_dedup_hier_frame(vecs)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cluster", "n_dups", "keep"}
+
+
+def test_kernel_memoized_on_seed_fingerprint(spark):
+    """VERDICT r8 ask #5: two builds over IDENTICAL seed tables must
+    return the SAME function object (a pandas UDF embeds the Python
+    function's identity in the plan, so distinct-but-equal kernels
+    produced plans CacheManager could not unify — the scale100 warm
+    pass re-executed the routing). Different seeds or a different
+    chunk setting must still build distinct kernels."""
+    from validation_database_spark.suite.similarity import (
+        _NEAREST_KERNEL_MEMO,
+        _nearest_seed_arrow,
+    )
+
+    _NEAREST_KERNEL_MEMO.clear()
+    seeds = _seed_df(spark, [(10, [0, 0, 0]), (20, [9, 9, 9])])
+    k1 = _nearest_seed_arrow(seeds, "sid", "sx")
+    k2 = _nearest_seed_arrow(_seed_df(spark, [(20, [9, 9, 9]), (10, [0, 0, 0])]), "sid", "sx")
+    assert k1 is k2, "identical seed fingerprint must reuse the kernel"
+    k3 = _nearest_seed_arrow(_seed_df(spark, [(10, [0, 0, 1]), (20, [9, 9, 9])]), "sid", "sx")
+    assert k3 is not k1
+    k4 = _nearest_seed_arrow(seeds, "sid", "sx", _chunk=3)
+    assert k4 is not k1

@@ -692,3 +692,51 @@ def test_hier_semdedup_routing_is_arrow_narrow_maps(spark, sf_dir):
     # side shuffling on the cell id) would show up as a SECOND
     # distinct exchange id.
     assert len(set(re.findall(r"hashpartitioning\(ccid#\d+", plan))) <= 1, plan
+
+
+def test_rag_quant_serving_is_arrow_narrow_maps(spark, sf_dir):
+    """The quantized RAG serving twin (round 9) must keep its three
+    scoring stages out of the JVM interpreter AND out of wide plans:
+    assignment + probing run as mapInPandas (MapInPandas nodes — one
+    Arrow pass each, replacing the float twin's crossJoin + hash-agg
+    pair fan-out), pair scoring as a vectorized ArrowEvalPython
+    (never row-at-a-time BatchEvalPython), the probe side reaches the
+    chunk index via broadcast (no cent_id exchange on the corpus
+    side), and no stage falls back to a cartesian / nested-loop
+    product."""
+    import re
+
+    from validation_database_spark.suite.similarity import (
+        q_rag_retrieval_ivf_quant,
+    )
+
+    plan = physical_plan(q_rag_retrieval_ivf_quant(spark, sf_dir))
+    assert plan.count("MapInPandas") >= 2, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not re.findall(r"hashpartitioning\(cent_id#\d+", plan), plan
+
+
+def test_hier_semdedup_rebuild_cache_shares(spark, sf_dir):
+    """VERDICT r8 ask #5 follow-through: rebuilding the hier SemDeDup
+    frame over the same corpus must produce a plan that unifies with
+    the first build's pinned subtrees (the kernel memo returns the
+    same UDF object for the same seed fingerprint, so the rebuilt
+    plan canonicalizes equal — measured 18.1 s -> 1.9 s at sf0.01).
+    Without the memo the rebuilt plan embedded a fresh Python
+    function identity and re-executed the whole routing."""
+    from validation_database_spark.suite.similarity import (
+        q_semantic_dedup_hier,
+    )
+    from validation_database_spark.util import release_pins
+
+    try:
+        q_semantic_dedup_hier(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rebuilt = q_semantic_dedup_hier(spark, sf_dir)
+        plan = rebuilt._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        release_pins()

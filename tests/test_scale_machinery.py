@@ -297,3 +297,116 @@ def test_bench_ghost_rule_catches_r7_ann_topk_ghost():
     assert not bench.ghost_suspicious(0.3, 1.6, None, None, 0.7)  # fast spec
     # box 2x slower across rounds: normalization absorbs the doubling
     assert not bench.ghost_suspicious(3.2, 6.0, 1.5, 0.65, 1.30)
+
+
+def test_prior_round_record_unwraps_driver_wrapper(tmp_path):
+    """VERDICT r8: the repo's permanent BENCH files are driver
+    wrappers {n, rc, sf, tail, parsed} — reading queries_warm off the
+    top level made the prior-round ghost branch dead code
+    (prior_warm was ALWAYS null). The loader must unwrap the wrapper,
+    skip truncated records (parsed: null, as BENCH_r08), and
+    reconstruct queries_warm from the round-9 compact warm_vals form.
+    This exercises the FILE path, not just the pure predicate."""
+    import json as _json
+
+    import bench
+
+    # r7-style wrapper: payload nested under "parsed"
+    payload7 = {
+        "metric": "validation_e2e_seconds",
+        "value": 2.0,
+        "sf": 0.1,
+        "queries": {"ann_topk": 1.60, "doc_profile": 5.0},
+        "queries_warm": {"ann_topk": 1.28, "doc_profile": 2.0},
+        "calibration_sec": 0.658,
+    }
+    (tmp_path / "BENCH_r07.json").write_text(
+        _json.dumps({"n": 7, "rc": 0, "sf": 0.1, "tail": "x", "parsed": payload7})
+    )
+    # r8-style truncated record: parsed is null -> must be skipped
+    (tmp_path / "BENCH_r08.json").write_text(
+        _json.dumps({"n": 8, "rc": 0, "sf": 0.1, "tail": "trunc", "parsed": None})
+    )
+    rec = bench.prior_round_record("0.1", root=str(tmp_path))
+    assert rec is not None
+    assert rec["queries_warm"]["ann_topk"] == 1.28
+    assert rec["calibration_sec"] == 0.658
+    # the ghost branch that was dead now fires end-to-end off the file
+    assert bench.ghost_suspicious(
+        5.82, 10.49, rec["queries_warm"]["ann_topk"], rec["calibration_sec"], 0.651
+    )
+    # cross-SF records must not match
+    assert bench.prior_round_record("0.01", root=str(tmp_path)) is None
+
+    # round-9 compact form: warm_vals array ordered like queries
+    payload9 = {
+        "sf": 0.1,
+        "queries": {"a": 1.5, "b": 2.5},
+        "warm_vals": [1.1, 2.1],
+        "calibration_sec": 0.7,
+    }
+    (tmp_path / "BENCH_r09.json").write_text(
+        _json.dumps({"n": 9, "rc": 0, "sf": 0.1, "tail": "y", "parsed": payload9})
+    )
+    rec9 = bench.prior_round_record("0.1", root=str(tmp_path))
+    assert rec9["queries_warm"] == {"a": 1.1, "b": 2.1}
+
+
+def test_repo_bench_history_resolves_a_usable_prior():
+    """Against the repo's REAL BENCH_r*.json history the loader must
+    find a usable sf0.1 prior (r8 is parsed:null and must be skipped
+    in favor of r7) with non-null warm timings."""
+    import bench
+
+    rec = bench.prior_round_record("0.1")
+    assert rec is not None
+    assert rec.get("calibration_sec")
+    assert rec["queries_warm"].get("ann_topk") is not None
+
+
+def test_bench_stdout_line_fits_driver_tail_capture():
+    """BENCH_r08 was recorded with parsed:null because the stdout
+    JSON line outgrew the driver's 2000-char tail capture. Pin the
+    worst-case compact line under 1800 chars for the CURRENT spec
+    surface (every timed entry at a 4-digit-seconds reading), and
+    pin the warm_vals reconstruction roundtrip."""
+    import json as _json
+
+    import bench
+    from validation_database_spark.suite import all_specs, unit_specs
+
+    specs = all_specs()
+    specs.update({n: s for n, s in unit_specs().items() if s.headline})
+    # mirror bench.main's timed-set selection exactly
+    extra = [n for n in specs if n not in bench.HEADLINE and specs[n].headline]
+    names = bench.HEADLINE + extra + ["__suite_total"]
+    q = {n: 999.9999 for n in names}
+    payload = {
+        "metric": "validation_e2e_seconds",
+        "value": 999.9999,
+        "unit": "sec",
+        "queries": q,
+        "queries_warm": dict(q),
+        "sf": 0.1,
+        "calibration_sec": 0.7777,
+        "calibration_1t_sec": 0.7777,
+        "value_cold": 999.9999,
+        "baseline_match": {
+            "rows": 1_500_000,
+            "e2e_sec": 999.9999,
+            "e2e_cold_sec": 999.9999,
+            "baseline_rows": 1_940_000,
+            "baseline_sec": 8.94,
+        },
+        "outlier_reruns": {
+            n: {"cold": 9.9, "warm_first": 9.9, "extra": [9.9, 9.9]}
+            for n in names[:3]
+        },
+    }
+    line = _json.dumps(bench.compact_payload(payload))
+    assert len(line) < 1800, f"stdout line {len(line)} chars >= 1800"
+    # roundtrip: unwrap_record recovers the warm dict from the wrapper
+    rec = bench.unwrap_record(
+        {"n": 9, "rc": 0, "sf": 0.1, "tail": "", "parsed": _json.loads(line)}
+    )
+    assert rec["queries_warm"] == {n: 1000.0 for n in names}

@@ -34,7 +34,7 @@ class QuerySpec:
     headline: bool = False  # include in bench.py's timed suite
 
 
-# The 50 rows the driver hash-checks this round (round 8).
+# The 50 rows the driver hash-checks this round (round 9).
 #
 # STEADY-STATE ROTATION POLICY (from round 8 on, VERDICT r7 ask #3):
 #   1. The 9-entry parity core is pinned — never rotated (it is the
@@ -52,15 +52,14 @@ class QuerySpec:
 #      ~4–5 rounds, so a rewrite that silently changes semantics
 #      (like the r7 estimator rewrite) is caught within that horizon.
 #
-# Round-8 application: seats = 9 core + the 10 final never-driver-
-# checked standalones (the 9 deferred from r7 + the late-r7
-# unit_semantic_dedup_hier) + all 20 category (a)/(b)/(c) specs from
-# COVERAGE.md's audit (consolidated components, labeled exactness
-# baselines, the renamed narrow simhash) so even specs whose
-# semantics are hash-checked via a host row get one DIRECT driver
-# check + 11 oldest-checked greens (all last green in round 3; first
-# 11 by name of the 17 tied). After this round the never-driver-
-# checked count is 0 and rule 4 alone picks future windows.
+# Round-9 application: seats = 9 core + 1 rule-3 seat (the round's
+# NEW spec, `unit_rag_retrieval_quant` — the e6-integer-dot serving
+# twin, never driver-checked by definition) + 40 oldest-checked
+# greens under rule 4 — the r3 leftovers (6), the full r4 cohort
+# (24), and the first 10 of the r5 cohort by name. Derived by
+# `python scripts/next_window.py`; provenance note in COVERAGE.md.
+# (Round-8 seated the final 10 never-checked standalones + all 20
+# category (a)/(b)/(c) audit specs, emptying the queue.)
 # The reference's own workload — rotation rule 1 pins these in every
 # window. scripts/next_window.py derives each round's WINDOW from
 # this constant + the CORRECTNESS_r*.json history (rules 2–4).
@@ -77,55 +76,61 @@ PARITY_CORE = [
 ]
 
 WINDOW = [
-    # parity core — pinned every round
-    *PARITY_CORE,
-    # final never-driver-checked standalones (queue emptied this round)
-    "unit_dedup_simhash",
-    "unit_simhash_pairs",
-    "unit_dedup_eval",
-    "unit_dedup_keep_best",
-    "unit_text_bigram_logprob",
-    "unit_text_entropy",
-    "unit_label_centroid_sim",
-    "unit_embed_quantize",
-    "unit_ngram_novelty",
-    "unit_semantic_dedup_hier",
-    # category (a): components of consolidated driver rows — first
-    # direct seat each (semantics previously hash-checked via host)
-    "unit_composite_id",
-    "unit_project_check",
-    "unit_text_tokens",
-    "unit_text_quality",
-    "unit_lang_id",
-    "unit_doc_fingerprint",
-    "unit_text_unigram_logprob",
-    "unit_text_repetition",
-    "unit_text_hash_embeddings",
-    "unit_rollup_pricing",
-    "unit_running_order_total",
-    "unit_sample_hash",
-    "unit_train_split",
-    "unit_sample_weighted",
-    "unit_sample_stratified",
-    "unit_orders_above_cust_avg",
-    # category (b): labeled exactness baselines (scale twin already green)
-    "unit_dedup_containment_exact_baseline",
-    "unit_rag_retrieval",
-    "unit_minhash_estimate_exact_baseline",
-    # category (c): renamed after green
-    "unit_simhash60_narrow_baseline",
-    # rule 4: oldest-checked greens (all last green r3; ties by name)
-    "array_stats",
-    "asof_view_before_purchase",
-    "big_spender_months",
-    "distinct_parts_per_order",
-    "doc_sampling",
-    "events_anomalies",
-    "events_resample_ffill",
-    "events_user_stats",
-    "events_window_agg",
-    "order_status_profile",
-    "price_histogram",
+    # parity core — pinned every round (rule 1)
+    "keys_projection",
+    "filter_date_range",
+    "missing_ids",
+    "join_pairs",
+    "diff_typed",
+    "diff_string_fuzzy",
+    "diff_string_fuzzy_approx",
+    "report_summary",
+    "validation_counts",
+    # rule 3: the round-9 quantized serving twin is new, hence
+    # never-driver-checked — takes the first rotating seat
+    "unit_rag_retrieval_quant",
+    # rule 4: oldest-checked greens (derived by scripts/next_window.py;
+    # provenance in COVERAGE.md)
+    "range_join_price_bands",
+    "regression_spend_trend",
+    "revenue_by_nation",
+    "scalar_funcs",
+    "set_ops_membership",
+    "window_calendar_funcs",
+    "dedup_embedding",
+    "dedup_exact",
+    "diff_multi_column",
+    "doc_redact",
+    "events_sessionize",
+    "multi_source_consensus",
+    "multimodal_meta",
+    "profile_orders",
+    "snapshot_diff",
+    "streaming_window_counts",
+    "text_chunks",
+    "unit_ann_lsh",
+    "unit_bloom_prune",
+    "unit_bm25_topk",
+    "unit_dedup_incremental",
+    "unit_ewma_user_value",
+    "unit_exact_substr_spans",
+    "unit_incr_agg",
+    "unit_k_anonymize",
+    "unit_line_dedup_rewrite",
+    "unit_pack_sequences",
+    "unit_psi_drift",
+    "unit_scd2_as_of",
+    "unit_scd2_history",
+    "agg_pricing_summary",
+    "ann_topk",
+    "dedup_clusters",
+    "dedup_containment_capped",
+    "dedup_minhash_lsh",
+    "dedup_ngram_df_capped",
+    "dedup_ngram_jaccard",
+    "dq_benford",
+    "dq_orders",
+    "multimodal_features",
 ]
 
 

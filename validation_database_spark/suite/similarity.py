@@ -1002,6 +1002,31 @@ def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_hier_frame(_vecs_with_planted_dups(spark, sf_dir))
 
 
+#: kernel memo for _nearest_seed_arrow (VERDICT r8 ask #5) — keyed by
+#: seed fingerprint, capped to the last 8 geometries
+_NEAREST_KERNEL_MEMO: dict = {}
+
+
+def _stack_int64(vecs: list) -> tuple[np.ndarray, np.ndarray]:
+    """(idx, M): positions of the fully-non-null vectors in ``vecs``
+    and their stacked int64 matrix — the vectorized null-routing
+    guard shared by the Arrow vector kernels (ADVICE r8). A null
+    vector arrives as a None row; a null ELEMENT (a zero-norm
+    embedding normalizes to null) promotes the whole Arrow chunk to
+    float64 with NaN, so the isnan scan only runs on float chunks and
+    a clean batch stacks zero-copy to int64 (e6 coords ≤1.4e6
+    roundtrip float64 exactly)."""
+    notnull = np.array([v is not None for v in vecs], dtype=bool)
+    sub = [v for v in vecs if v is not None]
+    M = np.asarray(sub) if sub else np.empty((0, 1), dtype=np.int64)
+    good = (
+        ~np.isnan(M).any(axis=1)
+        if M.dtype.kind == "f"
+        else np.ones(len(sub), dtype=bool)
+    )
+    return np.flatnonzero(notnull)[good], M[good].astype(np.int64, copy=False)
+
+
 def _nearest_seed_arrow(
     seeds: DataFrame, id_col: str, vec_col: str, _chunk: int | None = None
 ):
@@ -1022,8 +1047,33 @@ def _nearest_seed_arrow(
     first-occurrence rule lands on the smallest id because the seed
     matrix is sorted by id."""
     rows = sorted(seeds.collect(), key=lambda r: r[id_col])
+    if not rows:
+        # Empty seed table (possible on small corpora: the md5 1-in-50
+        # sample can select nothing). Mirror the SQL argmin-over-empty
+        # semantics the pre-Arrow form had: every vector routes to
+        # NULL, so the downstream equi-join drops it and the operator
+        # degrades to an empty result instead of crashing on a 0-row
+        # numpy reduction (ADVICE r8).
+        @F.pandas_udf("bigint")
+        def no_seed(xs: pd.Series) -> pd.Series:
+            return pd.Series([None] * len(xs), dtype="object")
+
+        return no_seed
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     C = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
+    # Memoize the built kernel on the SEED-TABLE FINGERPRINT (VERDICT
+    # r8 ask #5): a pandas UDF embeds the Python function's identity
+    # in the plan, so two builds over identical seeds used to produce
+    # plans CacheManager could not unify — scale100's warm pass
+    # re-executed the whole routing instead of hitting the pinned
+    # `au`. Returning the SAME function object for the same
+    # (ids, vectors, chunk) makes the rebuilt plan canonicalize equal
+    # to the cached one. Bounded: the memo holds the last few
+    # geometries only (seed tables are capped index metadata).
+    memo_key = (ids.tobytes(), C.tobytes(), _chunk)
+    hit = _NEAREST_KERNEL_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     c2 = (C * C).sum(axis=1)
 
     # Per-chunk rows so the b×|seeds| distance matrix stays ~32 MB
@@ -1034,18 +1084,33 @@ def _nearest_seed_arrow(
     # exists so tests can force the chunked path with few seeds).
     chunk = _chunk or max(1, (1 << 22) // max(len(ids), 1))
 
-    @F.pandas_udf("bigint")
-    def nearest(xs: pd.Series) -> pd.Series:
-        if len(xs) == 0:
-            return pd.Series([], dtype="int64")
-        X = np.array(xs.tolist(), dtype=np.int64)
+    def _argmin_ids(X: np.ndarray) -> np.ndarray:
         out = np.empty(len(X), dtype=np.int64)
         for i in range(0, len(X), chunk):
             Xi = X[i : i + chunk]
             d2 = (Xi * Xi).sum(axis=1)[:, None] + c2[None, :] - 2 * (Xi @ C.T)
             out[i : i + chunk] = ids[d2.argmin(axis=1)]
-        return pd.Series(out)
+        return out
 
+    @F.pandas_udf("bigint")
+    def nearest(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="int64")
+        vecs = xs.tolist()
+        # Null-routing (ADVICE r8): the pre-Arrow SQL argmin
+        # propagated NULL to the join, which dropped the row —
+        # reproduce that via the shared vectorized guard.
+        idx, M = _stack_int64(vecs)
+        if len(idx) == len(vecs):
+            return pd.Series(_argmin_ids(M))
+        out = pd.array([None] * len(vecs), dtype="Int64")
+        if len(idx):
+            out[idx] = _argmin_ids(M)
+        return pd.Series(out, dtype="Int64")
+
+    if len(_NEAREST_KERNEL_MEMO) >= 8:
+        _NEAREST_KERNEL_MEMO.clear()
+    _NEAREST_KERNEL_MEMO[memo_key] = nearest
     return nearest
 
 
@@ -1563,6 +1628,245 @@ scored AS (
 SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_doc_id
                                ORDER BY cos_sim DESC, doc_id, chunk_idx) AS rk
+  FROM scored
+) WHERE rk <= {RAG_TOP_K}
+"""
+
+
+# --- e6-integer-dot RAG serving twin (round 9, VERDICT r8 ask #4) -----------
+#
+# The float IVF serving path (q_rag_retrieval_ivf) deliberately keeps
+# its cosine scoring in interpreted JVM higher-order functions: numpy
+# pairwise summation vs the engines' sequential fold differ in the
+# last float64 ulp, which ROUND(cos, 6) can surface, so an Arrow
+# kernel would break the bit-exact oracle (SCALE.md round-7/8). The
+# hier-SemDeDup kernel proved the escape: quantize ONCE to the e6
+# int64 domain — where every dot is order-independent integer
+# arithmetic — and numpy reproduces SQL bit-for-bit. This twin moves
+# ALL THREE pairwise-scoring stages of the IVF pipeline into that
+# domain:
+#   1. chunk→cell assignment: the n×nlist crossJoin + collect_list
+#      top-RAG_ASSIGN becomes ONE narrow Arrow map against the
+#      closure-held centroid matrix (no fan-out, no hash-agg, no
+#      shuffle — the hier routing pattern),
+#   2. query→cell probing: same kernel at k=RAG_N_PROBE,
+#   3. pair scoring: a vectorized row-wise int64 dot over the
+#      probed-cell join (the measured 1.59 µs/pair float fold is the
+#      sf10 serving cost center, 636 s wall — SCALE.md round-8).
+# Ranking ties break identically on both engines (dot DESC, id ASC ≡
+# stable argsort over id-sorted columns), so the DuckDB oracle
+# replays the whole pipeline bit-exactly; recall vs the float brute
+# truth is pinned in tests/test_ann_recall.py. |e6 coord| ≤ 1e6
+# (unit vectors), per-dim product ≤ 1e12, 64-dim dot ≤ 6.4e13 —
+# far inside int64.
+
+
+def _topk_cells_explode(
+    df: DataFrame,
+    df_vec_col: str,
+    cents_q: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    keep_cells: bool,
+) -> DataFrame:
+    """Append-and-explode the rank-ordered top-k nearest cells by
+    INTEGER dot (dot DESC, id ASC) in ONE mapInPandas pass: for every
+    input row, emit one row per assigned cell with ``cent_id`` (and,
+    when ``keep_cells``, the full rank-ordered ``cells`` array +
+    0-based ``arn`` the redundant-assignment dedup rule needs).
+
+    One Arrow pass replaces the float twin's crossJoin fan-out +
+    collect_list hash-agg (a full n×nlist pair shuffle) with a NARROW
+    map — no Generate node either, which matters twice: Catalyst
+    cannot evaluate a Python UDF embedded in a generator/filter
+    (INTERNAL_ERROR Cannot evaluate expression), and the explode
+    happens batch-vectorized via np.repeat instead of per-row.
+
+    ``cents_q`` must be a CAPPED centroid table (≤ nlist rows — index
+    metadata, the MLlib-centroid collect pattern, same bound as
+    :func:`_nearest_seed_arrow`). Ties: stable argsort over columns
+    pre-sorted by id ≡ row_number(ORDER BY dot DESC, id). Rows whose
+    vector is null (or holds a null element) emit nothing — the SQL
+    twin's cross-join drops them the same way."""
+    rows = sorted(cents_q.collect(), key=lambda r: r[id_col])
+    passthrough = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    extra = (
+        "cells array<bigint>, arn int, cent_id bigint"
+        if keep_cells
+        else "cent_id bigint"
+    )
+    schema = f"{passthrough}, {extra}"
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    C = (
+        np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
+        if rows
+        else np.empty((0, 1), dtype=np.int64)
+    )
+    kk = min(k, len(ids))
+    cols = list(df.columns)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or kk == 0:
+                continue
+            idx, M = _stack_int64(pdf[df_vec_col].tolist())
+            if not len(idx):
+                continue
+            S = M @ C.T  # exact int64
+            order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            cellmat = ids[order]
+            rep = pdf.iloc[idx].reset_index(drop=True)
+            out = rep.loc[np.repeat(np.arange(len(rep)), kk)].reset_index(
+                drop=True
+            )
+            if keep_cells:
+                lists = [row.tolist() for row in cellmat]
+                out["cells"] = [
+                    lists[i] for i in np.repeat(np.arange(len(lists)), kk)
+                ]
+                out["arn"] = np.tile(np.arange(kk, dtype=np.int32), len(rep))
+            out["cent_id"] = cellmat.ravel()
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+def _rowwise_dot_arrow():
+    """Row-wise exact int64 dot of two e6 array columns as a
+    vectorized Arrow kernel — the scoring hot path of the quantized
+    serving twin ((A*B).sum per Arrow batch vs the interpreted SQL
+    fold's measured ~2M element-ops/core/s). NULL on either side
+    null-routes the row (shared guard)."""
+
+    @F.pandas_udf("bigint")
+    def dot64(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        va, vb = a.tolist(), b.tolist()
+        ia, Ma = _stack_int64(va)
+        ib, Mb = _stack_int64(vb)
+        if len(ia) == len(va) and len(ib) == len(vb):
+            return pd.Series((Ma * Mb).sum(axis=1))
+        common = np.intersect1d(ia, ib)
+        out = pd.array([None] * len(va), dtype="Int64")
+        if len(common):
+            pa = {v: i for i, v in enumerate(ia)}
+            pb = {v: i for i, v in enumerate(ib)}
+            A = Ma[[pa[c] for c in common]]
+            B = Mb[[pb[c] for c in common]]
+            out[common] = (A * B).sum(axis=1)
+        return pd.Series(out, dtype="Int64")
+
+    return dot64
+
+
+def q_rag_retrieval_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-served RAG retrieval scored in the e6-integer-dot domain —
+    the Arrow-kernel serving twin of `q_rag_retrieval_ivf` (module
+    comment above has the full design rationale). Same corpus, same
+    IVF geometry, same redundant-assignment dedup rule; the score
+    column is the raw e12-scale integer dot (`sim_e12` — cosine
+    ×1e12 up to quantization), whose ranking the recall gate checks
+    against the float truth. Generalizes the reference's similarity
+    compare (running_validation.py:306-316) the same way the float
+    twin does."""
+    chunks, queries, cents = _rag_frames(spark, sf_dir)
+    cq = chunks.select("doc_id", "chunk_idx", _to_e6(F.col("cvec")).alias("x"))
+    qq = queries.select("query_doc_id", _to_e6(F.col("qvec")).alias("qx"))
+    ctq = cents.select("cent_id", _to_e6(F.col("c_v")).alias("cx"))
+    # 1+2: assignment and probing as narrow Arrow map-explodes (no
+    # crossJoin, no hash-agg, no Generate)
+    assigned = _topk_cells_explode(
+        cq, "x", ctq, "cent_id", "cx", RAG_ASSIGN, keep_cells=True
+    )
+    probes = _topk_cells_explode(
+        qq, "qx", ctq, "cent_id", "cx", RAG_N_PROBE, keep_cells=False
+    )
+    probe_sets = probes.groupBy("query_doc_id").agg(
+        F.collect_list("cent_id").alias("probed")
+    )
+    probes = probes.join(F.broadcast(probe_sets), "query_doc_id")
+    # 3: pair scoring — broadcast probe side, row-wise int64 dot; the
+    # map-side best-reachable-cell dedup rule is byte-identical to
+    # the float twin's (see q_rag_retrieval_ivf)
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cent_id")
+        .filter(F.col("doc_id") != F.col("query_doc_id"))
+        .filter(
+            ~F.arrays_overlap(
+                F.slice(F.col("cells"), F.lit(1), F.col("arn")),
+                F.col("probed"),
+            )
+        )
+        .select(
+            "query_doc_id",
+            "doc_id",
+            "chunk_idx",
+            _rowwise_dot_arrow()(F.col("qx"), F.col("x")).alias("sim_e12"),
+        )
+    )
+    w = Window.partitionBy("query_doc_id").orderBy(
+        F.col("sim_e12").desc(), "doc_id", "chunk_idx"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= RAG_TOP_K)
+    )
+
+
+def _idot_sql(a: str, b: str) -> str:
+    """Exact integer dot of two BIGINT[] expressions — DuckDB twin of
+    the row-wise Arrow kernel (order-independent, so any evaluation
+    order matches)."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+def _oracle_rag_ivf_quant() -> str:
+    idot = _idot_sql
+    return f"""
+WITH {_rag_oracle_ctes()},
+cq AS (SELECT doc_id, chunk_idx, {_to_e6_sql('v')} AS x FROM cvecs),
+qq AS (SELECT query_doc_id, {_to_e6_sql('v')} AS x FROM qvecs),
+ctq AS (SELECT cent_id, {_to_e6_sql('c_v')} AS x FROM cents),
+assigned AS (
+  SELECT doc_id, chunk_idx, x, cent_id, arn FROM (
+    SELECT c.doc_id, c.chunk_idx, c.x, ct.cent_id,
+           row_number() OVER (PARTITION BY c.doc_id, c.chunk_idx
+                              ORDER BY {idot('c.x', 'ct.x')} DESC,
+                                       ct.cent_id) AS arn
+    FROM cq c CROSS JOIN ctq ct
+  ) WHERE arn <= {RAG_ASSIGN}
+),
+probes AS (
+  SELECT query_doc_id, x, cent_id FROM (
+    SELECT q.query_doc_id, q.x, ct.cent_id,
+           row_number() OVER (PARTITION BY q.query_doc_id
+                              ORDER BY {idot('q.x', 'ct.x')} DESC,
+                                       ct.cent_id) AS prn
+    FROM qq q CROSS JOIN ctq ct
+  ) WHERE prn <= {RAG_N_PROBE}
+),
+scored AS (
+  SELECT p.query_doc_id, a.doc_id, a.chunk_idx,
+         {idot('p.x', 'a.x')} AS sim_e12
+  FROM probes p
+  JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE a.doc_id <> p.query_doc_id
+    AND NOT EXISTS (
+      SELECT 1 FROM assigned a2 JOIN probes p2
+        ON p2.cent_id = a2.cent_id
+       AND p2.query_doc_id = p.query_doc_id
+      WHERE a2.doc_id = a.doc_id AND a2.chunk_idx = a.chunk_idx
+        AND a2.arn < a.arn)
+)
+SELECT query_doc_id, doc_id, chunk_idx, sim_e12, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_doc_id
+                               ORDER BY sim_e12 DESC, doc_id, chunk_idx) AS rk
   FROM scored
 ) WHERE rk <= {RAG_TOP_K}
 """
@@ -2094,6 +2398,11 @@ UNIT_SPECS = [
               "SRP-LSH bucketed cosine top-K (train-free hash-join ANN)"),
     QuerySpec("unit_rag_retrieval", q_rag_retrieval, _oracle_rag_retrieval(),
               "RAG brute chunk retrieval — exactness/recall baseline for rag_retrieval"),
+    QuerySpec("unit_rag_retrieval_quant", q_rag_retrieval_ivf_quant,
+              _oracle_rag_ivf_quant(),
+              "e6-integer-dot IVF RAG serving twin: Arrow-kernel assignment,"
+              " probing and pair scoring (round-9 quantized scoring study)",
+              headline=True),
     QuerySpec("unit_label_centroid_sim", q_label_centroid_sim,
               ORACLE_LABEL_CENTROID_SIM,
               "per-label centroid cosine matrix, e6-exact reductions"),
