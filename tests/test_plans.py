@@ -696,14 +696,16 @@ def test_hier_semdedup_routing_is_arrow_narrow_maps(spark, sf_dir):
 
 def test_rag_quant_serving_is_arrow_narrow_maps(spark, sf_dir):
     """The quantized RAG serving twin (round 9) must keep its three
-    scoring stages out of the JVM interpreter AND out of wide plans:
-    assignment + probing run as mapInPandas (MapInPandas nodes — one
-    Arrow pass each, replacing the float twin's crossJoin + hash-agg
-    pair fan-out), pair scoring as a vectorized ArrowEvalPython
-    (never row-at-a-time BatchEvalPython), the probe side reaches the
-    chunk index via broadcast (no cent_id exchange on the corpus
-    side), and no stage falls back to a cartesian / nested-loop
-    product."""
+    scoring stages out of the JVM interpreter AND out of pair-wide
+    transfers: assignment + probing run as mapInPandas (one Arrow
+    pass each, replacing the float twin's crossJoin + hash-agg pair
+    fan-out), pair scoring as a cogrouped-by-cell applyInPandas
+    (FlatMapCoGroupsInPandas — vectors cross Arrow once per
+    assignment, never once per pair; the per-pair ArrowEvalPython
+    form measured SLOWER than the float fold at sf1), never
+    row-at-a-time BatchEvalPython, and no stage falls back to a
+    cartesian / nested-loop product. The only cent_id exchanges are
+    the two cogroup sides (the chunk index moves once)."""
     import re
 
     from validation_database_spark.suite.similarity import (
@@ -712,10 +714,10 @@ def test_rag_quant_serving_is_arrow_narrow_maps(spark, sf_dir):
 
     plan = physical_plan(q_rag_retrieval_ivf_quant(spark, sf_dir))
     assert plan.count("MapInPandas") >= 2, plan
-    assert "ArrowEvalPython" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert not re.findall(r"hashpartitioning\(cent_id#\d+", plan), plan
+    assert len(set(re.findall(r"hashpartitioning\(cent_id#\d+", plan))) <= 2, plan
 
 
 def test_hier_semdedup_rebuild_cache_shares(spark, sf_dir):

@@ -1275,6 +1275,11 @@ RAG_N_PROBE = _geo("RAG_NPROBE", 3)
 # four strong pairs was exactly this case). Index size ×RAG_ASSIGN,
 # recall contract restored; the serving scan is unchanged.
 RAG_ASSIGN = _geo("RAG_ASSIGN", 2)
+# Cogroup salt for the quantized serving twin: bounds the per-group
+# Arrow batch (chunk rows of a cell split ~evenly into SALT buckets;
+# probes replicate into all buckets). Value-neutral — any setting
+# scores every pair exactly once — so the oracle ignores it.
+RAG_COGROUP_SALT = _geo("RAG_COGROUP_SALT", 8)
 
 
 def _rag_frames(
@@ -1689,7 +1694,11 @@ def _topk_cells_explode(
     pre-sorted by id ≡ row_number(ORDER BY dot DESC, id). Rows whose
     vector is null (or holds a null element) emit nothing — the SQL
     twin's cross-join drops them the same way."""
-    rows = sorted(cents_q.collect(), key=lambda r: r[id_col])
+    rows = (
+        sorted(cents_q.collect(), key=lambda r: r[id_col])
+        if isinstance(cents_q, DataFrame)
+        else list(cents_q)
+    )
     passthrough = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     extra = (
         "cells array<bigint>, arn int, cent_id bigint"
@@ -1732,33 +1741,69 @@ def _topk_cells_explode(
     return df.mapInPandas(gen, schema)
 
 
-def _rowwise_dot_arrow():
-    """Row-wise exact int64 dot of two e6 array columns as a
-    vectorized Arrow kernel — the scoring hot path of the quantized
-    serving twin ((A*B).sum per Arrow batch vs the interpreted SQL
-    fold's measured ~2M element-ops/core/s). NULL on either side
-    null-routes the row (shared guard)."""
-
-    @F.pandas_udf("bigint")
-    def dot64(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="int64")
-        va, vb = a.tolist(), b.tolist()
-        ia, Ma = _stack_int64(va)
-        ib, Mb = _stack_int64(vb)
-        if len(ia) == len(va) and len(ib) == len(vb):
-            return pd.Series((Ma * Mb).sum(axis=1))
-        common = np.intersect1d(ia, ib)
-        out = pd.array([None] * len(va), dtype="Int64")
-        if len(common):
-            pa = {v: i for i, v in enumerate(ia)}
-            pb = {v: i for i, v in enumerate(ib)}
-            A = Ma[[pa[c] for c in common]]
-            B = Mb[[pb[c] for c in common]]
-            out[common] = (A * B).sum(axis=1)
-        return pd.Series(out, dtype="Int64")
-
-    return dot64
+def _score_cell_cogroup(chunk_pdf: pd.DataFrame, probe_pdf: pd.DataFrame):
+    """Per-cell pair scoring for the quantized serving twin: one
+    exact-int64 matmul of the cell's chunk matrix against the cell's
+    probing-query matrix, with the own-document exclusion and the
+    best-reachable-cell dedup rule applied as boolean masks BEFORE
+    any pair row materializes. Only the surviving
+    (query, doc, chunk, sim) id-quadruples leave Python — the 64-dim
+    vectors never ship per pair (the per-pair ArrowEvalPython form
+    measured SLOWER than the interpreted float fold at sf1: ~1 KB of
+    vector transfer per pair dwarfed the arithmetic win; SCALE.md
+    round 9). Row-sliced so the score matrix stays ~32 MB however
+    large the cell."""
+    empty = {
+        "query_doc_id": np.empty(0, dtype=np.int64),
+        "doc_id": np.empty(0, dtype=np.int64),
+        "chunk_idx": np.empty(0, dtype=np.int64),
+        "sim_e12": np.empty(0, dtype=np.int64),
+    }
+    if len(chunk_pdf) == 0 or len(probe_pdf) == 0:
+        return pd.DataFrame(empty)
+    X = np.array(chunk_pdf["x"].tolist(), dtype=np.int64)
+    Q = np.array(probe_pdf["qx"].tolist(), dtype=np.int64)
+    dids = chunk_pdf["doc_id"].to_numpy()
+    cidx = chunk_pdf["chunk_idx"].to_numpy()
+    arn = chunk_pdf["arn"].to_numpy()
+    cells = chunk_pdf["cells"].tolist()
+    qids = probe_pdf["query_doc_id"].to_numpy()
+    probed = probe_pdf["probed"].tolist()
+    P = np.full((len(probed), max(len(p) for p in probed)), -1, dtype=np.int64)
+    for j, p in enumerate(probed):
+        P[j, : len(p)] = p
+    nq = len(qids)
+    step = max(1, (1 << 22) // max(nq, 1))
+    outs = []
+    for lo in range(0, len(X), step):
+        hi = min(lo + step, len(X))
+        S = X[lo:hi] @ Q.T  # exact int64
+        keep = dids[lo:hi, None] != qids[None, :]
+        # drop a pair when a LOWER-rank assigned cell of the chunk is
+        # among this query's probes — the pair is then already served
+        # through that better cell (same rule as the float twin's
+        # arrays_overlap(slice(cells, 1, arn), probed))
+        for r in range(1, int(arn[lo:hi].max(initial=0)) + 1):
+            rows = np.flatnonzero(arn[lo:hi] >= r)
+            if not len(rows):
+                continue
+            prev = np.array(
+                [cells[lo + i][r - 1] for i in rows], dtype=np.int64
+            )
+            hit = (prev[:, None, None] == P[None, :, :]).any(-1)
+            keep[rows] &= ~hit
+        ci, qi = np.nonzero(keep)
+        outs.append(
+            pd.DataFrame(
+                {
+                    "query_doc_id": qids[qi],
+                    "doc_id": dids[lo:hi][ci],
+                    "chunk_idx": cidx[lo:hi][ci],
+                    "sim_e12": S[ci, qi],
+                }
+            )
+        )
+    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(empty)
 
 
 def q_rag_retrieval_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1775,36 +1820,48 @@ def q_rag_retrieval_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     cq = chunks.select("doc_id", "chunk_idx", _to_e6(F.col("cvec")).alias("x"))
     qq = queries.select("query_doc_id", _to_e6(F.col("qvec")).alias("qx"))
     ctq = cents.select("cent_id", _to_e6(F.col("c_v")).alias("cx"))
+    # ONE collect of the capped centroid table serves both kernel
+    # builds (each used to trigger its own corpus-derived scan)
+    cent_rows = sorted(ctq.collect(), key=lambda r: r["cent_id"])
     # 1+2: assignment and probing as narrow Arrow map-explodes (no
     # crossJoin, no hash-agg, no Generate)
     assigned = _topk_cells_explode(
-        cq, "x", ctq, "cent_id", "cx", RAG_ASSIGN, keep_cells=True
+        cq, "x", cent_rows, "cent_id", "cx", RAG_ASSIGN, keep_cells=True
     )
     probes = _topk_cells_explode(
-        qq, "qx", ctq, "cent_id", "cx", RAG_N_PROBE, keep_cells=False
+        qq, "qx", cent_rows, "cent_id", "cx", RAG_N_PROBE, keep_cells=True
+    ).select(
+        "query_doc_id", "qx", F.col("cells").alias("probed"), "cent_id"
     )
-    probe_sets = probes.groupBy("query_doc_id").agg(
-        F.collect_list("cent_id").alias("probed")
+    # 3: pair scoring — cogrouped by (cell, salt): each cell's chunks
+    # and probing queries meet ONCE in Python (each vector crosses
+    # Arrow once per assignment, never once per pair) and are scored
+    # as one exact-int64 matmul, dedup + own-doc masks applied before
+    # any pair row materializes. The cent_id shuffle moves the chunk
+    # index once — the same narrow n-row exchange the float twin's
+    # documented past-broadcast-limit fallback uses. The SALT splits
+    # each cell's chunk rows into bounded buckets (probes replicate
+    # to every bucket — query-sized, cheap): the cogrouped Arrow
+    # runner ships each group as ONE record batch, and an unsalted
+    # skewed cell (hashed-BoW cells are Zipfian) hit a single 2 GB
+    # batch allocation = OutOfDirectMemory at the sf10 replica
+    # (SCALE.md round 9). Each chunk lands in exactly one bucket, so
+    # every pair is still scored exactly once.
+    salt = F.crc32(F.concat_ws("_", "doc_id", "chunk_idx")) % RAG_COGROUP_SALT
+    ak = assigned.withColumn("__salt", salt.cast("int"))
+    pk = probes.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(RAG_COGROUP_SALT - 1))
+        ).alias("__salt"),
     )
-    probes = probes.join(F.broadcast(probe_sets), "query_doc_id")
-    # 3: pair scoring — broadcast probe side, row-wise int64 dot; the
-    # map-side best-reachable-cell dedup rule is byte-identical to
-    # the float twin's (see q_rag_retrieval_ivf)
     scored = (
-        F.broadcast(probes)
-        .join(assigned, "cent_id")
-        .filter(F.col("doc_id") != F.col("query_doc_id"))
-        .filter(
-            ~F.arrays_overlap(
-                F.slice(F.col("cells"), F.lit(1), F.col("arn")),
-                F.col("probed"),
-            )
-        )
-        .select(
-            "query_doc_id",
-            "doc_id",
-            "chunk_idx",
-            _rowwise_dot_arrow()(F.col("qx"), F.col("x")).alias("sim_e12"),
+        ak.groupby("cent_id", "__salt")
+        .cogroup(pk.groupby("cent_id", "__salt"))
+        .applyInPandas(
+            _score_cell_cogroup,
+            "query_doc_id bigint, doc_id bigint, chunk_idx bigint,"
+            " sim_e12 bigint",
         )
     )
     w = Window.partitionBy("query_doc_id").orderBy(
