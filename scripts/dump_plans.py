@@ -155,6 +155,14 @@ SHOWCASE = {
     "no shuffle in routing), pair space bounded by ~50-vector fine "
     "clusters — measured slope ≤0.32 on the top decade where the "
     "exact twin is quadratic either way",
+    "unit_rag_retrieval_quant": "e6-integer-dot RAG serving twin "
+    "(round 9): assignment + probing are single MapInPandas passes "
+    "against the closure-held centroid table (no crossJoin fan-out, "
+    "no hash-agg), pair scoring a salted cogrouped-by-cell "
+    "FlatMapCoGroupsInPandas int64 matmul — vectors cross Arrow once "
+    "per assignment, never per pair; the salt bounds each cell's "
+    "single-record-batch group against Zipfian cell skew. Measured "
+    "0.28x the float fold's warm wall at the sf10 replica",
 }
 
 
