@@ -225,3 +225,26 @@ def test_rag_quant_twin_matches_float_serving(spark, sf_dir):
             )
     assert strong_total > 0
     assert strong_hits / strong_total >= 0.85, (strong_hits, strong_total)
+
+
+def test_rag_quant_salt_is_value_neutral(spark, sf_dir, monkeypatch):
+    """RAG_COGROUP_SALT exists purely to bound the cogrouped Arrow
+    batch against Zipfian cell skew (SCALE.md round 9) — every chunk
+    lands in exactly one salt bucket and probes replicate to all
+    buckets, so ANY setting scores every pair exactly once. Pin the
+    result set identical across salt 1 (no salting) and the
+    default."""
+    from validation_database_spark.suite import similarity as S
+
+    base = sorted(
+        map(tuple, S.q_rag_retrieval_ivf_quant(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(S, "RAG_COGROUP_SALT", 1)
+    one = sorted(
+        map(tuple, S.q_rag_retrieval_ivf_quant(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(S, "RAG_COGROUP_SALT", 3)
+    three = sorted(
+        map(tuple, S.q_rag_retrieval_ivf_quant(spark, sf_dir).collect())
+    )
+    assert base == one == three

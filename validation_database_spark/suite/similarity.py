@@ -1793,29 +1793,46 @@ def _score_cell_cogroup(chunk_pdf: pd.DataFrame, probe_pdf: pd.DataFrame):
             hit = (prev[:, None, None] == P[None, :, :]).any(-1)
             keep[rows] &= ~hit
         ci, qi = np.nonzero(keep)
+        if not len(ci):
+            continue
+        q_out = qids[qi]
+        d_out = dids[lo:hi][ci]
+        c_out = cidx[lo:hi][ci]
+        s_out = S[ci, qi]
+        # Emit only each query's LOCAL top-RAG_TOP_K from this slice:
+        # the global top-k per query must come from some group's local
+        # top-k (every pair lives in exactly one group/slice), so
+        # pre-pruning here is value-neutral — and it is the scale
+        # lever: at the sf10 replica the scored frame is 1.22B pairs,
+        # and feeding them all to the JVM rank window cost more than
+        # the scoring itself (82 s scoring vs 233 s total; SCALE.md
+        # round 9). Exact same order as the final window: sim DESC,
+        # doc, chunk.
+        order = np.lexsort((c_out, d_out, -s_out, q_out))
+        qs = q_out[order]
+        pos = np.arange(len(qs))
+        first = np.r_[True, qs[1:] != qs[:-1]]
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        top = order[(pos - start) < RAG_TOP_K]
         outs.append(
             pd.DataFrame(
                 {
-                    "query_doc_id": qids[qi],
-                    "doc_id": dids[lo:hi][ci],
-                    "chunk_idx": cidx[lo:hi][ci],
-                    "sim_e12": S[ci, qi],
+                    "query_doc_id": q_out[top],
+                    "doc_id": d_out[top],
+                    "chunk_idx": c_out[top],
+                    "sim_e12": s_out[top],
                 }
             )
         )
     return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(empty)
 
 
-def q_rag_retrieval_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-served RAG retrieval scored in the e6-integer-dot domain —
-    the Arrow-kernel serving twin of `q_rag_retrieval_ivf` (module
-    comment above has the full design rationale). Same corpus, same
-    IVF geometry, same redundant-assignment dedup rule; the score
-    column is the raw e12-scale integer dot (`sim_e12` — cosine
-    ×1e12 up to quantization), whose ranking the recall gate checks
-    against the float truth. Generalizes the reference's similarity
-    compare (running_validation.py:306-316) the same way the float
-    twin does."""
+def _rag_quant_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized twin's scored pair frame, already pruned to each
+    group-slice's per-query local top-RAG_TOP_K (value-neutral — see
+    the in-kernel comment; the SCALE.md round-9 pair counts were
+    measured with the pruning disabled). Factored out so the scale
+    study can instrument scoring without the final rank window."""
     chunks, queries, cents = _rag_frames(spark, sf_dir)
     cq = chunks.select("doc_id", "chunk_idx", _to_e6(F.col("cvec")).alias("x"))
     qq = queries.select("query_doc_id", _to_e6(F.col("qvec")).alias("qx"))
@@ -1864,6 +1881,20 @@ def q_rag_retrieval_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             " sim_e12 bigint",
         )
     )
+    return scored
+
+
+def q_rag_retrieval_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-served RAG retrieval scored in the e6-integer-dot domain —
+    the Arrow-kernel serving twin of `q_rag_retrieval_ivf` (module
+    comment above has the full design rationale). Same corpus, same
+    IVF geometry, same redundant-assignment dedup rule; the score
+    column is the raw e12-scale integer dot (`sim_e12` — cosine
+    ×1e12 up to quantization), whose ranking the recall gate checks
+    against the float truth. Generalizes the reference's similarity
+    compare (running_validation.py:306-316) the same way the float
+    twin does."""
+    scored = _rag_quant_scored(spark, sf_dir)
     w = Window.partitionBy("query_doc_id").orderBy(
         F.col("sim_e12").desc(), "doc_id", "chunk_idx"
     )
