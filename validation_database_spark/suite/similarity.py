@@ -1655,9 +1655,14 @@ SELECT query_doc_id, doc_id, chunk_idx, cos_sim, rk FROM (
 #      closure-held centroid matrix (no fan-out, no hash-agg, no
 #      shuffle — the hier routing pattern),
 #   2. query→cell probing: same kernel at k=RAG_N_PROBE,
-#   3. pair scoring: a vectorized row-wise int64 dot over the
-#      probed-cell join (the measured 1.59 µs/pair float fold is the
-#      sf10 serving cost center, 636 s wall — SCALE.md round-8).
+#   3. pair scoring: cogrouped by (cell, salt) — each cell's chunks
+#      and probing queries meet once in Python, score as one int64
+#      matmul, and only each slice's per-query local top-K returns
+#      (the measured path: a per-pair Arrow dot ships ~1 KB of
+#      vectors per pair and read SLOWER than the float fold; the
+#      unpruned cogroup then spent more on the 1.2B-row rank window
+#      than on scoring — both in SCALE.md round-9's four-form study;
+#      shipped form is 8.4× the float serving wall at sf10).
 # Ranking ties break identically on both engines (dot DESC, id ASC ≡
 # stable argsort over id-sorted columns), so the DuckDB oracle
 # replays the whole pipeline bit-exactly; recall vs the float brute
