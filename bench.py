@@ -267,7 +267,13 @@ def compact_payload(payload: dict) -> dict:
         }
     if isinstance(out.get("outlier_reruns"), dict):
         out["outlier_reruns"] = sorted(out["outlier_reruns"])
-    return rnd(out)
+    # Round only the timing payload: sf must survive exactly (the
+    # prior-round loader matches records by SAME SF — rounding 0.001
+    # to 0.0 would orphan sub-0.005 scale factors), and the
+    # calibration numbers feed the ghost ratio at full precision
+    # (ADVICE r9).
+    exempt = {"sf", "calibration_sec", "calibration_1t_sec"}
+    return {k: (v if k in exempt else rnd(v)) for k, v in out.items()}
 
 
 # Outlier rule thresholds (VERDICT r7 ask #2). The BENCH_r07 ghost:
@@ -455,8 +461,12 @@ def main() -> None:
     # Full-precision record (incl. outlier detail) to a side file and,
     # for flagged entries, stderr; stdout gets the compact line that
     # fits the driver's 2000-char tail capture (see compact_payload).
+    # Isolation runs write a SEPARATE file (ADVICE r9: `--only`
+    # adjudication runs used to clobber the round's permanent
+    # full-suite record with a partial payload).
+    detail_name = "BENCH_DETAIL_only.json" if only else "BENCH_DETAIL.json"
     try:
-        with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
+        with open(os.path.join(REPO_ROOT, detail_name), "w") as f:
             json.dump(payload, f, indent=1)
     except OSError:
         pass

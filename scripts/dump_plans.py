@@ -161,8 +161,11 @@ SHOWCASE = {
     "no hash-agg), pair scoring a salted cogrouped-by-cell "
     "FlatMapCoGroupsInPandas int64 matmul — vectors cross Arrow once "
     "per assignment, never per pair; the salt bounds each cell's "
-    "single-record-batch group against Zipfian cell skew. Measured "
-    "0.28x the float fold's warm wall at the sf10 replica",
+    "single-record-batch group against Zipfian cell skew, and each "
+    "slice emits only its per-query local top-k so the 1.2B-pair "
+    "sf10 scored frame never feeds the rank window. Measured 0.119x "
+    "the float fold's warm wall at the sf10 replica (87.1 s vs "
+    "733.4 = 8.4x)",
 }
 
 

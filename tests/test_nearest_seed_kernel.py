@@ -283,3 +283,31 @@ def test_kernel_memoized_on_seed_fingerprint(spark):
     assert k3 is not k1
     k4 = _nearest_seed_arrow(seeds, "sid", "sx", _chunk=3)
     assert k4 is not k1
+
+
+def test_memo_evicts_lru_not_wholesale(spark):
+    """ADVICE r9: at capacity the memo must evict only the LEAST
+    RECENTLY USED geometry — a wholesale clear() made any workload
+    alternating more than 8 geometries thrash and silently lose the
+    plan-cache unification the memo exists for. A hit refreshes
+    recency."""
+    from validation_database_spark.suite.similarity import (
+        _NEAREST_KERNEL_MEMO,
+        _nearest_seed_arrow,
+    )
+
+    _NEAREST_KERNEL_MEMO.clear()
+    seed_tables = [
+        _seed_df(spark, [(10, [i, 0, 0]), (20, [9, 9, 9])]) for i in range(9)
+    ]
+    kernels = [_nearest_seed_arrow(s, "sid", "sx") for s in seed_tables[:8]]
+    assert len(_NEAREST_KERNEL_MEMO) == 8
+    # touch geometry 0 so it becomes most-recent; inserting a 9th must
+    # then evict geometry 1 (the oldest untouched), NOT everything
+    assert _nearest_seed_arrow(seed_tables[0], "sid", "sx") is kernels[0]
+    _nearest_seed_arrow(seed_tables[8], "sid", "sx")
+    assert len(_NEAREST_KERNEL_MEMO) == 8
+    assert _nearest_seed_arrow(seed_tables[0], "sid", "sx") is kernels[0]
+    assert _nearest_seed_arrow(seed_tables[7], "sid", "sx") is kernels[7]
+    assert _nearest_seed_arrow(seed_tables[1], "sid", "sx") is not kernels[1]
+    _NEAREST_KERNEL_MEMO.clear()

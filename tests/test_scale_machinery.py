@@ -410,3 +410,42 @@ def test_bench_stdout_line_fits_driver_tail_capture():
         {"n": 9, "rc": 0, "sf": 0.1, "tail": "", "parsed": _json.loads(line)}
     )
     assert rec["queries_warm"] == {n: 1000.0 for n in names}
+
+
+def test_compact_payload_preserves_metadata_precision():
+    """ADVICE r9: compact_payload must round only timings — ``sf``
+    must survive exactly (prior_round_record matches records by same
+    SF, and round(0.001, 2) == 0.0 would orphan sub-0.005 scale
+    factors) and the calibration numbers feed the ghost ratio at full
+    precision."""
+    import bench
+
+    payload = {
+        "metric": "validation_e2e_seconds",
+        "value": 1.23456,
+        "unit": "sec",
+        "queries": {"a": 1.23456},
+        "queries_warm": {"a": 1.11111},
+        "sf": 0.001,
+        "calibration_sec": 0.7777,
+        "calibration_1t_sec": 0.3333,
+    }
+    out = bench.compact_payload(payload)
+    assert out["sf"] == 0.001
+    assert out["calibration_sec"] == 0.7777
+    assert out["calibration_1t_sec"] == 0.3333
+    assert out["value"] == 1.23
+    assert out["queries"] == {"a": 1.23}
+    assert out["warm_vals"] == [1.11]
+
+
+def test_bench_detail_filename_isolated_in_only_mode():
+    """ADVICE r9: --only isolation runs must not clobber the round's
+    permanent BENCH_DETAIL.json with a partial payload. Pin the
+    filename selection logic as written in bench.main."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert 'BENCH_DETAIL_only.json" if only else "BENCH_DETAIL.json"' in src

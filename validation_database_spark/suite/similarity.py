@@ -1071,8 +1071,11 @@ def _nearest_seed_arrow(
     # to the cached one. Bounded: the memo holds the last few
     # geometries only (seed tables are capped index metadata).
     memo_key = (ids.tobytes(), C.tobytes(), _chunk)
-    hit = _NEAREST_KERNEL_MEMO.get(memo_key)
+    hit = _NEAREST_KERNEL_MEMO.pop(memo_key, None)
     if hit is not None:
+        # re-insert so a HIT refreshes recency (dict order = LRU order
+        # for the eviction below)
+        _NEAREST_KERNEL_MEMO[memo_key] = hit
         return hit
     c2 = (C * C).sum(axis=1)
 
@@ -1108,8 +1111,13 @@ def _nearest_seed_arrow(
             out[idx] = _argmin_ids(M)
         return pd.Series(out, dtype="Int64")
 
-    if len(_NEAREST_KERNEL_MEMO) >= 8:
-        _NEAREST_KERNEL_MEMO.clear()
+    # LRU eviction (ADVICE r9): drop only the OLDEST geometry — a
+    # wholesale clear() made a workload alternating >8 geometries
+    # thrash and silently lose the plan-cache unification the memo
+    # exists for. Python dicts iterate in insertion order, so the
+    # first key is the least recently built.
+    while len(_NEAREST_KERNEL_MEMO) >= 8:
+        _NEAREST_KERNEL_MEMO.pop(next(iter(_NEAREST_KERNEL_MEMO)))
     _NEAREST_KERNEL_MEMO[memo_key] = nearest
     return nearest
 
@@ -1923,8 +1931,10 @@ def _oracle_rag_ivf_quant() -> str:
     idot = _idot_sql
     return f"""
 WITH {_rag_oracle_ctes()},
-cq AS (SELECT doc_id, chunk_idx, {_to_e6_sql('v')} AS x FROM cvecs),
-qq AS (SELECT query_doc_id, {_to_e6_sql('v')} AS x FROM qvecs),
+cq AS (SELECT doc_id, chunk_idx, {_to_e6_sql('v')} AS x FROM cvecs
+       WHERE v IS NOT NULL AND len(list_filter(v, e -> e IS NULL)) = 0),
+qq AS (SELECT query_doc_id, {_to_e6_sql('v')} AS x FROM qvecs
+       WHERE v IS NOT NULL AND len(list_filter(v, e -> e IS NULL)) = 0),
 ctq AS (SELECT cent_id, {_to_e6_sql('c_v')} AS x FROM cents),
 assigned AS (
   SELECT doc_id, chunk_idx, x, cent_id, arn FROM (
