@@ -33,10 +33,16 @@ SHOWCASE = {
     "doc_profile": "one-scan text profiling: tokens/quality/lang-id/"
     "fingerprint/repetition/simhash as narrow projections + one unigram-LM "
     "groupBy joined back broadcast",
-    "rag_retrieval": "IVF-served RAG retrieval: chunk→cell assignment as a "
-    "broadcast nested-loop + map-side max(struct) argmax (no rank window), "
-    "probe side broadcast into the cell join so the chunk index never "
-    "shuffles; top-3 per query as a per-query window",
+    "rag_retrieval": "IVF-served RAG retrieval, e6-integer-dot serving form "
+    "(headline since round 10): assignment + probing are single MapInPandas "
+    "passes against the closure-held centroid table (no crossJoin fan-out, "
+    "no hash-agg), pair scoring a salted cogrouped-by-cell "
+    "FlatMapCoGroupsInPandas int64 matmul — vectors cross Arrow once per "
+    "assignment, never per pair; the salt bounds each cell's "
+    "single-record-batch group against Zipfian cell skew, and each slice "
+    "emits only its per-query local top-k so the 1.2B-pair sf10 scored "
+    "frame never feeds the rank window. Measured 0.119x the float fold's "
+    "warm wall at the sf10 replica (87.1 s vs 733.4 = 8.4x)",
     "events_sessionize": "per-user lag + running-sum windows "
     "(hashpartitioning by user_id, no global sort)",
     "unit_session_week_overlap": "interval × interval overlap join: bin "
@@ -155,17 +161,12 @@ SHOWCASE = {
     "no shuffle in routing), pair space bounded by ~50-vector fine "
     "clusters — measured slope ≤0.32 on the top decade where the "
     "exact twin is quadratic either way",
-    "unit_rag_retrieval_quant": "e6-integer-dot RAG serving twin "
-    "(round 9): assignment + probing are single MapInPandas passes "
-    "against the closure-held centroid table (no crossJoin fan-out, "
-    "no hash-agg), pair scoring a salted cogrouped-by-cell "
-    "FlatMapCoGroupsInPandas int64 matmul — vectors cross Arrow once "
-    "per assignment, never per pair; the salt bounds each cell's "
-    "single-record-batch group against Zipfian cell skew, and each "
-    "slice emits only its per-query local top-k so the 1.2B-pair "
-    "sf10 scored frame never feeds the rank window. Measured 0.119x "
-    "the float fold's warm wall at the sf10 replica (87.1 s vs "
-    "733.4 = 8.4x)",
+    "rag_retrieval_float_baseline": "float-fold IVF RAG serving (the "
+    "headline form until round 10): chunk→cell assignment as a broadcast "
+    "nested-loop + map-side max(struct) argmax (no rank window), probe side "
+    "broadcast into the cell join so the chunk index never shuffles; top-3 "
+    "per query as a per-query window — the cosine-scale exactness baseline "
+    "the quantized headline's float-agreement gate checks against",
 }
 
 

@@ -56,6 +56,15 @@ def canon(pdf):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 qs, osql = mod.queries(), mod.oracle_sql()
+# Release each spec's determinism/reuse pins before the next one runs
+# (mirrors bench.py — ADVICE r6: pins are corpus-sized and
+# CacheManager never GCs). Without this the sf0.1 sweep accumulates
+# every window spec's cached frames in one session and can OOM the
+# driver heap partway through (seen first with the round-10 window's
+# r5-cohort seats), turning the tail of the window into phantom
+# errors.
+from validation_database_spark.util import release_pins
+
 bad = []
 for name, fn in qs.items():
     try:
@@ -72,5 +81,7 @@ for name, fn in qs.items():
             print(f"{name}: ok ({len(s)})")
     except Exception as e:
         bad.append(name); print(f"{name}: ERROR {e}")
+    finally:
+        release_pins()
 print("MISMATCHES:", bad)
 sys.exit(1 if bad else 0)

@@ -34,7 +34,7 @@ class QuerySpec:
     headline: bool = False  # include in bench.py's timed suite
 
 
-# The 50 rows the driver hash-checks this round (round 9).
+# The 50 rows the driver hash-checks this round (round 10).
 #
 # STEADY-STATE ROTATION POLICY (from round 8 on, VERDICT r7 ask #3):
 #   1. The 9-entry parity core is pinned — never rotated (it is the
@@ -47,19 +47,23 @@ class QuerySpec:
 #      for each spec, last-checked = the latest CORRECTNESS_r*.json
 #      whose row was fully green (hash_match, or err == "no_oracle"
 #      for the by-design rows-only path); sort ascending by that
-#      round, ties broken by name. At 41 rotating seats over a
+#      round, ties broken by name. At ~40 rotating seats over a
 #      ~190-spec green surface every spec is re-driver-checked every
 #      ~4–5 rounds, so a rewrite that silently changes semantics
 #      (like the r7 estimator rewrite) is caught within that horizon.
 #
-# Round-9 application: seats = 9 core + 1 rule-3 seat (the round's
-# NEW spec, `unit_rag_retrieval_quant` — the e6-integer-dot serving
-# twin, never driver-checked by definition) + 40 oldest-checked
-# greens under rule 4 — the r3 leftovers (6), the full r4 cohort
-# (24), and the first 10 of the r5 cohort by name. Derived by
-# `python scripts/next_window.py`; provenance note in COVERAGE.md.
-# (Round-8 seated the final 10 never-checked standalones + all 20
-# category (a)/(b)/(c) audit specs, emptying the queue.)
+# Round-10 application: seats = 9 core + 1 rule-2 seat
+# (`rag_retrieval` — REWRITTEN this round: the headline key now runs
+# the e6-integer-dot quantized serving form, result schema `cos_sim`
+# → `sim_e12`; the promotion VERDICT r9 ask #1 / SCALE.md round 9
+# deferred to r10) + 1 rule-3 seat (`rag_retrieval_float_baseline`,
+# the re-registered float fold — a NEW name, hence never
+# driver-checked) + 39 rule-4 oldest-checked greens: the r5 cohort
+# remainder (27) and the first 12 of the r6 cohort by name. Derived
+# by `python scripts/next_window.py --rewritten rag_retrieval`;
+# provenance note in COVERAGE.md. (`unit_rag_retrieval_quant`, green
+# r9, was RENAMED to the rag_retrieval headline in this promotion —
+# its fn+oracle are unchanged under the new name.)
 # The reference's own workload — rotation rule 1 pins these in every
 # window. scripts/next_window.py derives each round's WINDOW from
 # this constant + the CORRECTNESS_r*.json history (rules 2–4).
@@ -76,7 +80,6 @@ PARITY_CORE = [
 ]
 
 WINDOW = [
-    # parity core — pinned every round (rule 1)
     "keys_projection",
     "filter_date_range",
     "missing_ids",
@@ -86,51 +89,47 @@ WINDOW = [
     "diff_string_fuzzy_approx",
     "report_summary",
     "validation_counts",
-    # rule 3: the round-9 quantized serving twin is new, hence
-    # never-driver-checked — takes the first rotating seat
-    "unit_rag_retrieval_quant",
-    # rule 4: oldest-checked greens (derived by scripts/next_window.py;
-    # provenance in COVERAGE.md)
-    "range_join_price_bands",
-    "regression_spend_trend",
-    "revenue_by_nation",
-    "scalar_funcs",
-    "set_ops_membership",
-    "window_calendar_funcs",
-    "dedup_embedding",
-    "dedup_exact",
-    "diff_multi_column",
-    "doc_redact",
-    "events_sessionize",
-    "multi_source_consensus",
-    "multimodal_meta",
-    "profile_orders",
-    "snapshot_diff",
-    "streaming_window_counts",
-    "text_chunks",
-    "unit_ann_lsh",
-    "unit_bloom_prune",
-    "unit_bm25_topk",
-    "unit_dedup_incremental",
-    "unit_ewma_user_value",
-    "unit_exact_substr_spans",
-    "unit_incr_agg",
-    "unit_k_anonymize",
-    "unit_line_dedup_rewrite",
-    "unit_pack_sequences",
-    "unit_psi_drift",
-    "unit_scd2_as_of",
-    "unit_scd2_history",
-    "agg_pricing_summary",
-    "ann_topk",
-    "dedup_clusters",
-    "dedup_containment_capped",
-    "dedup_minhash_lsh",
-    "dedup_ngram_df_capped",
-    "dedup_ngram_jaccard",
-    "dq_benford",
-    "dq_orders",
-    "multimodal_features",
+    "rag_retrieval",
+    "rag_retrieval_float_baseline",
+    "scd_upsert",
+    "skew_salted_revenue",
+    "streaming_incremental_dedup",
+    "streaming_user_totals_final",
+    "unit_active_time",
+    "unit_boilerplate_blocks",
+    "unit_chi2_independence",
+    "unit_cohort_retention",
+    "unit_cube_sales",
+    "unit_dau_wau",
+    "unit_funnel_strict",
+    "unit_gini_concentration",
+    "unit_hits_scores",
+    "unit_hll_distinct",
+    "unit_kcore",
+    "unit_km_survival",
+    "unit_label_propagation",
+    "unit_lm_perplexity_filter",
+    "unit_markov_transitions",
+    "unit_peak_concurrency",
+    "unit_poisson_bootstrap",
+    "unit_quality_classifier",
+    "unit_rfm_segments",
+    "unit_seasonal_naive_backtest",
+    "unit_semantic_dedup",
+    "unit_span_corruption",
+    "unit_triangle_counts",
+    "doc_profile",
+    "streaming_session_totals",
+    "unit_ab_ztest",
+    "unit_ann_ivfpq",
+    "unit_assoc_rules",
+    "unit_attribution_last_touch",
+    "unit_cdc_merge",
+    "unit_churn_auc",
+    "unit_churn_labels",
+    "unit_cuped_adjustment",
+    "unit_decontaminate",
+    "unit_did_readout",
 ]
 
 

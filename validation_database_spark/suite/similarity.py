@@ -2476,9 +2476,20 @@ FROM pairs
 
 
 SPECS = [
-    # round 5 rotation into the driver window:
-    QuerySpec("rag_retrieval", q_rag_retrieval_ivf, _oracle_rag_ivf(),
-              "IVF-served RAG chunk retrieval: probe nprobe cells, top-3",
+    # round 10 (VERDICT r9 ask #1): the headline key now serves the
+    # e6-integer-dot QUANTIZED form — the measured 100 TB serving
+    # shape (8.4x the float fold's wall at the sf10 replica, 36x at
+    # the nlist~sqrt(n) production geometry; SCALE.md round 9, which
+    # deferred this promotion until the twin's first driver row
+    # seated green — recorded in CORRECTNESS_r09). Result schema is
+    # the integer `sim_e12` score (a rotation-rule-2 rewrite of this
+    # key); the float fold stays registered below as
+    # rag_retrieval_float_baseline, mirroring the other `_baseline`
+    # exactness labels.
+    QuerySpec("rag_retrieval", q_rag_retrieval_ivf_quant,
+              _oracle_rag_ivf_quant(),
+              "IVF-served RAG chunk retrieval, e6-integer-dot serving form:"
+              " Arrow assignment/probing + salted cogroup matmul, local top-k",
               headline=True),
     # round 6 rotations: the never-driver-checked quantization /
     # projection trio takes the slots of ann_topk + semantic_dedup
@@ -2501,10 +2512,16 @@ UNIT_SPECS = [
               "SRP-LSH bucketed cosine top-K (train-free hash-join ANN)"),
     QuerySpec("unit_rag_retrieval", q_rag_retrieval, _oracle_rag_retrieval(),
               "RAG brute chunk retrieval — exactness/recall baseline for rag_retrieval"),
-    QuerySpec("unit_rag_retrieval_quant", q_rag_retrieval_ivf_quant,
-              _oracle_rag_ivf_quant(),
-              "e6-integer-dot IVF RAG serving twin: Arrow-kernel assignment,"
-              " probing and pair scoring (round-9 quantized scoring study)",
+    # round 10: the float fold — the rag_retrieval headline key until
+    # its quantized twin's promotion (see SPECS above) — re-registered
+    # under a `_baseline` label with its oracle and recall gates
+    # intact. Stays headline-flagged so every bench round keeps the
+    # float-vs-quant serving walls side by side (the quant form's
+    # sf0.1 overhead regime is pre-adjudicated in SCALE.md round 9).
+    QuerySpec("rag_retrieval_float_baseline", q_rag_retrieval_ivf,
+              _oracle_rag_ivf(),
+              "float-fold IVF RAG serving — cosine-scale exactness and"
+              " serving-compat baseline for the quantized headline",
               headline=True),
     QuerySpec("unit_label_centroid_sim", q_label_centroid_sim,
               ORACLE_LABEL_CENTROID_SIM,
