@@ -161,6 +161,14 @@ SHOWCASE = {
     "no shuffle in routing), pair space bounded by ~50-vector fine "
     "clusters — measured slope ≤0.32 on the top decade where the "
     "exact twin is quadratic either way",
+    "unit_ann_ivf_quant": "e6-integer-dot IVF ANN serving twin (round 10): "
+    "assignment (k=1) + probing as narrow MapInPandas passes against the "
+    "closure-held centroid table — replacing the float arm's n x nlist "
+    "crossJoin + max(struct) hash-agg, which carries the 64-dim vector "
+    "through an exchange — pair scoring one salted cogrouped "
+    "FlatMapCoGroupsInPandas int64 matmul with per-slice local top-k. "
+    "Measured 3.1x the float IVF arm's warm wall at the 100x replica "
+    "(2.84 s vs 8.93, agreement 1.0); 2.3x at 10k vectors",
     "rag_retrieval_float_baseline": "float-fold IVF RAG serving (the "
     "headline form until round 10): chunk→cell assignment as a broadcast "
     "nested-loop + map-side max(struct) argmax (no rank window), probe side "

@@ -11,7 +11,12 @@ QUALITY cost was unmeasured. This script measures it: brute truth
 (geometry-independent float scoring) vs the quantized served top-k at
 whatever geometry the environment pins.
 
-    SPARK_GRAFT_RAG_NLIST=224 python scripts/rag_geometry_recall.py /tmp/spark_graft_sf1
+    SPARK_GRAFT_RAG_NLIST=224 python scripts/rag_geometry_recall.py /tmp/spark_graft_sf1 [truth_dir]
+
+``truth_dir`` (optional) caches the brute truth as parquet: the brute
+scorer is geometry-INDEPENDENT (it never touches the IVF index), so
+when comparing several geometries over the same corpus the expensive
+truth pass runs once and every later invocation reads it back.
 
 Prints one JSON line: {sf_dir, nlist, nprobe, assign, queries,
 recall_at_k, strong_recall, strong_n, served_sec, brute_sec}.
@@ -52,10 +57,19 @@ def main() -> None:
     served.write.format("noop").mode("overwrite").save()
     served_sec = round(time.perf_counter() - t0, 2)
 
+    truth_dir = sys.argv[2] if len(sys.argv) > 2 else None
     t0 = time.perf_counter()
-    brute = q_rag_retrieval(spark, sf_dir)
-    brute.write.format("noop").mode("overwrite").save()
-    brute_sec = round(time.perf_counter() - t0, 2)
+    if truth_dir and os.path.exists(os.path.join(truth_dir, "_SUCCESS")):
+        brute = spark.read.parquet(truth_dir)
+        brute_sec = "cached"
+    else:
+        brute = q_rag_retrieval(spark, sf_dir)
+        if truth_dir:
+            brute.write.mode("overwrite").parquet(truth_dir)
+            brute = spark.read.parquet(truth_dir)
+        else:
+            brute.write.format("noop").mode("overwrite").save()
+        brute_sec = round(time.perf_counter() - t0, 2)
 
     keys = ["query_doc_id", "doc_id", "chunk_idx"]
     served_k = served.select(*keys)

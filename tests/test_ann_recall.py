@@ -248,3 +248,74 @@ def test_rag_quant_salt_is_value_neutral(spark, sf_dir, monkeypatch):
         map(tuple, S.q_rag_retrieval_ivf_quant(spark, sf_dir).collect())
     )
     assert base == one == three
+
+
+def test_ann_quant_twin_matches_float_ivf(spark, sf_dir):
+    """Round-10 crossover study (VERDICT r9 ask #2): the e6-integer
+    IVF ANN twin must retrieve what the float IVF arm retrieves —
+    same corpus, same geometry, same tie-breaks; scoring differs only
+    by e6 quantization, so the top-10 sets may diverge only at exact
+    ranking boundaries (measured agreement 1.0 at the 100x replica,
+    0.999 at 10k vectors). Pins: per-query top-k sets agree on >= 95%
+    of pairs overall and every query is answered."""
+    from validation_database_spark.suite.similarity import (
+        q_ann_ivf_cosine,
+        q_ann_ivf_quant,
+    )
+
+    fl: dict[int, set] = {}
+    for r in q_ann_ivf_cosine(spark, sf_dir).collect():
+        fl.setdefault(r.query_id, set()).add(r.vec_id)
+    qt: dict[int, set] = {}
+    for r in q_ann_ivf_quant(spark, sf_dir).collect():
+        qt.setdefault(r.query_id, set()).add(r.vec_id)
+
+    assert set(qt) == set(fl), "every query must return results"
+    agree = total = 0
+    for q, vecs in fl.items():
+        agree += len(vecs & qt[q])
+        total += len(vecs)
+    assert total > 0
+    assert agree / total >= 0.95, f"float/quant agreement {agree/total:.3f}"
+
+
+def test_ann_quant_salt_is_value_neutral(spark, sf_dir, monkeypatch):
+    """ANN_COGROUP_SALT bounds the cogrouped Arrow batch against
+    skewed cells — every vector lands in exactly one salt bucket and
+    probes replicate to all buckets, so ANY setting scores every pair
+    exactly once. Pin the result set identical across salt 1, the
+    default, and 3."""
+    from validation_database_spark.suite import similarity as S
+
+    base = sorted(map(tuple, S.q_ann_ivf_quant(spark, sf_dir).collect()))
+    monkeypatch.setattr(S, "ANN_COGROUP_SALT", 1)
+    one = sorted(map(tuple, S.q_ann_ivf_quant(spark, sf_dir).collect()))
+    monkeypatch.setattr(S, "ANN_COGROUP_SALT", 3)
+    three = sorted(map(tuple, S.q_ann_ivf_quant(spark, sf_dir).collect()))
+    assert base == one == three
+
+
+def test_rag_quant_strong_recall_at_sqrt_n_geometry(spark, sf_dir, monkeypatch):
+    """VERDICT r9 ask #4: the nlist ~ sqrt(n) production geometry must
+    still retrieve strong neighbors. The statistically meaningful
+    measurement is the sf1-replica row in SCALE.md round 10 (50k docs,
+    1000 queries, 3000 strong pairs: strong recall 0.982 at the
+    default nlist=64 vs 0.935 at nlist=224 ~ sqrt(n) — both above the
+    0.85 floor); this pytest gate pins the MECHANISM at fixture scale
+    (a non-default cell count must not break assignment/probing or
+    crater strong recall), not the statistic."""
+    from validation_database_spark.suite import similarity as S
+
+    strong = [
+        (r.query_doc_id, r.doc_id, r.chunk_idx)
+        for r in S.q_rag_retrieval(spark, sf_dir).collect()
+        if r.cos_sim >= 0.9
+    ]
+    assert strong, "fixture must contain strong pairs"
+    n_docs = 500  # sf0.001/sf0.01 document count
+    monkeypatch.setattr(S, "RAG_CENT_CAP", max(int(n_docs ** 0.5), 1))
+    qt: dict[int, set] = {}
+    for r in S.q_rag_retrieval_ivf_quant(spark, sf_dir).collect():
+        qt.setdefault(r.query_doc_id, set()).add((r.doc_id, r.chunk_idx))
+    hits = sum((d, c) in qt.get(q, set()) for q, d, c in strong)
+    assert hits / len(strong) >= 0.85, (hits, len(strong))

@@ -742,3 +742,23 @@ def test_hier_semdedup_rebuild_cache_shares(spark, sf_dir):
         assert "InMemoryTableScan" in plan, plan
     finally:
         release_pins()
+
+
+def test_ann_quant_plan_no_fanout_no_cartesian(spark, sf_dir):
+    """Round-10 ANN serving twin: same plan contract as the RAG quant
+    twin — assignment + probing as narrow MapInPandas passes (no
+    crossJoin fan-out, no hash-agg), pair scoring one salted
+    FlatMapCoGroupsInPandas, never row-at-a-time BatchEvalPython, no
+    cartesian/nested-loop product, and the only cent_id exchanges are
+    the two cogroup sides."""
+    import re
+
+    from validation_database_spark.suite.similarity import q_ann_ivf_quant
+
+    plan = physical_plan(q_ann_ivf_quant(spark, sf_dir))
+    assert plan.count("MapInPandas") >= 2, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(set(re.findall(r"hashpartitioning\(cent_id#\d+", plan))) <= 2, plan

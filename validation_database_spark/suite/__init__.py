@@ -58,9 +58,11 @@ class QuerySpec:
 # → `sim_e12`; the promotion VERDICT r9 ask #1 / SCALE.md round 9
 # deferred to r10) + 1 rule-3 seat (`rag_retrieval_float_baseline`,
 # the re-registered float fold — a NEW name, hence never
-# driver-checked) + 39 rule-4 oldest-checked greens: the r5 cohort
-# remainder (27) and the first 12 of the r6 cohort by name. Derived
-# by `python scripts/next_window.py --rewritten rag_retrieval`;
+# driver-checked) + 1 more rule-3 seat (`unit_ann_ivf_quant`, the
+# round-10 e6-integer ANN serving twin — new, never driver-checked)
+# + 38 rule-4 oldest-checked greens: the r5 cohort remainder (27)
+# and the first 11 of the r6 cohort by name. Derived by
+# `python scripts/next_window.py --rewritten rag_retrieval`;
 # provenance note in COVERAGE.md. (`unit_rag_retrieval_quant`, green
 # r9, was RENAMED to the rag_retrieval headline in this promotion —
 # its fn+oracle are unchanged under the new name.)
@@ -91,6 +93,7 @@ WINDOW = [
     "validation_counts",
     "rag_retrieval",
     "rag_retrieval_float_baseline",
+    "unit_ann_ivf_quant",
     "scd_upsert",
     "skew_salted_revenue",
     "streaming_incremental_dedup",
@@ -129,7 +132,6 @@ WINDOW = [
     "unit_churn_labels",
     "unit_cuped_adjustment",
     "unit_decontaminate",
-    "unit_did_readout",
 ]
 
 

@@ -1975,6 +1975,192 @@ SELECT query_doc_id, doc_id, chunk_idx, sim_e12, rk FROM (
 """
 
 
+# --- e6-integer-dot ANN serving twin (round 10, VERDICT r9 ask #2) ----------
+#
+# The round-9 RAG study's lesson (quantize once to the e6 int64
+# domain, meet per cell in ONE cogrouped Arrow matmul, emit only each
+# slice's per-query local top-k) applied to the embeddings-table IVF
+# arm, SHIPPED because the measured crossover is real (SCALE.md
+# round 10): at the 100x replica (100k vectors, 1000 queries, 4.97M
+# scored pairs) the float arm reads 8.93 s warm and this twin 2.84 s
+# (3.1x) with top-10 set agreement 1.0; at 10k vectors 4.04 vs 1.73
+# (2.3x, agreement 0.999); at the 2k-vector fixture the two are at
+# parity (fixed Python-stage costs, the same pre-adjudicated overhead
+# regime as the RAG twin). Unlike RAG, the win here is split between
+# scoring AND assignment: the float arm's n x nlist crossJoin
+# fan-out + max(struct) hash-agg carries the 64-dim vector through
+# an exchange, while `_topk_cells_explode` is one narrow Arrow map.
+# Assignment is k=1 (each vector lives in exactly ONE cell), so the
+# RAG twin's redundant-assignment dedup rule is unnecessary here.
+
+ANN_COGROUP_SALT = _geo("ANN_COGROUP_SALT", 4)
+
+
+def _ann_quant_score_cogroup(vec_pdf: pd.DataFrame, probe_pdf: pd.DataFrame):
+    """Per-(cell, salt) pair scoring: one exact-int64 matmul of the
+    slice's vectors against the cell's probing queries, own-vector
+    mask applied before any pair row materializes, and only the
+    slice's per-query local top-TOP_K id-triples leave Python (the
+    global top-k per query must come from some slice's local top-k —
+    every pair lives in exactly one (cell, salt, row-slice) group).
+    Row-sliced like :func:`_score_cell_cogroup` so the score matrix
+    stays ~32 MB however large the cell."""
+    empty = {
+        "query_id": np.empty(0, dtype=np.int64),
+        "vec_id": np.empty(0, dtype=np.int64),
+        "s_e12": np.empty(0, dtype=np.int64),
+    }
+    if len(vec_pdf) == 0 or len(probe_pdf) == 0:
+        return pd.DataFrame(empty)
+    X = np.array(vec_pdf["x"].tolist(), dtype=np.int64)
+    Q = np.array(probe_pdf["qx"].tolist(), dtype=np.int64)
+    vids = vec_pdf["vec_id"].to_numpy()
+    qids = probe_pdf["query_id"].to_numpy()
+    nq = len(qids)
+    step = max(1, (1 << 22) // max(nq, 1))
+    outs = []
+    for lo in range(0, len(X), step):
+        hi = min(lo + step, len(X))
+        S = X[lo:hi] @ Q.T  # exact int64
+        vi, qi = np.nonzero(vids[lo:hi, None] != qids[None, :])
+        if not len(vi):
+            continue
+        q_out = qids[qi]
+        v_out = vids[lo:hi][vi]
+        s_out = S[vi, qi]
+        # local top-TOP_K per query, exact same order as the final
+        # window: s DESC, vec_id ASC
+        order = np.lexsort((v_out, -s_out, q_out))
+        qs = q_out[order]
+        pos = np.arange(len(qs))
+        first = np.r_[True, qs[1:] != qs[:-1]]
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        top = order[(pos - start) < TOP_K]
+        outs.append(
+            pd.DataFrame(
+                {
+                    "query_id": q_out[top],
+                    "vec_id": v_out[top],
+                    "s_e12": s_out[top],
+                }
+            )
+        )
+    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(empty)
+
+
+def q_ann_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search scored in the e6-integer-dot domain — the
+    Arrow-kernel serving twin of `q_ann_ivf_cosine` (block comment
+    above has the measured crossover; the float arm stays the
+    cosine-scale form inside `ann_topk`'s tagged union). Same
+    geometry (nlist=CENTROID_CAP, nprobe=N_PROBE, modular centroid
+    selection), same tie-breaks; the score column is the raw
+    e12-scale integer dot (`s_e12` — cosine x1e12 up to
+    quantization), and the DuckDB oracle replays the whole pipeline
+    bit-exactly (order-independent integer arithmetic, the
+    `unit_rag_retrieval_quant`-established pattern).
+    tests/test_ann_recall.py pins top-k agreement with the float arm.
+
+    Plan: two narrow MapInPandas passes (assignment k=1, probing
+    k=nprobe) against the collected <=nlist centroid table (the
+    MLlib-centroid pattern — no crossJoin, no hash-agg), then one
+    salted FlatMapCoGroupsInPandas matmul; the only corpus exchange
+    is the cogroup's cent_id shuffle. The salt splits a cell's
+    vectors into bounded buckets (probes replicate per bucket —
+    query-sized, cheap) so a skewed cell can never hit the
+    single-2GB-Arrow-batch hazard the RAG study measured; embeddings
+    cells are near-uniform, but a production corpus's need not be.
+
+    Generalizes the reference's similarity compare
+    (running_validation.py:306-316) to indexed corpus search, like
+    the float twin it shadows."""
+    emb = _unit_emb(spark, sf_dir).select(
+        "vec_id", _to_e6(F.col("u")).alias("x")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
+        & (F.col("vec_id") < CENTROID_MOD * CENTROID_CAP)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("x").alias("cx"))
+    # ONE collect of the capped (<=nlist) centroid table serves both
+    # kernel builds
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    assigned = _topk_cells_explode(
+        emb, "x", cent_rows, "cent_id", "cx", 1, keep_cells=False
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("x").alias("qx")
+    )
+    probes = _topk_cells_explode(
+        queries, "qx", cent_rows, "cent_id", "cx", N_PROBE, keep_cells=False
+    )
+    salt = (F.crc32(F.col("vec_id").cast("string")) % ANN_COGROUP_SALT).cast(
+        "int"
+    )
+    ak = assigned.withColumn("__salt", salt)
+    pk = probes.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ANN_COGROUP_SALT - 1))
+        ).alias("__salt"),
+    )
+    scored = (
+        ak.groupby("cent_id", "__salt")
+        .cogroup(pk.groupby("cent_id", "__salt"))
+        .applyInPandas(
+            _ann_quant_score_cogroup,
+            "query_id bigint, vec_id bigint, s_e12 bigint",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s_e12").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def _oracle_ann_ivf_quant() -> str:
+    idot = _idot_sql
+    return f"""
+WITH {_UNITS_CTE},
+uq AS (SELECT vec_id, {_to_e6_sql('u')} AS x FROM units
+       WHERE u IS NOT NULL AND len(list_filter(u, e -> e IS NULL)) = 0),
+cents AS (
+  SELECT vec_id AS cent_id, x AS cx FROM uq
+  WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}
+    AND vec_id < {CENTROID_MOD * CENTROID_CAP}
+),
+assigned AS (
+  SELECT vec_id, x, cent_id FROM (
+    SELECT v.vec_id, v.x, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {idot('v.x', 'c.cx')} DESC,
+                                       c.cent_id) AS arn
+    FROM uq v CROSS JOIN cents c
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT query_id, x, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.x, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {idot('q.x', 'c.cx')} DESC,
+                                       c.cent_id) AS prn
+    FROM uq q CROSS JOIN cents c
+    WHERE q.vec_id % {QUERY_MOD} = 0
+  ) WHERE prn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {idot('p.x', 'a.x')} AS s_e12
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, s_e12, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY s_e12 DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+"""
+
+
 # --- product quantization (PQ) codebook assignment --------------------------
 
 PQ_M = 8       # subspaces
@@ -2531,6 +2717,13 @@ UNIT_SPECS = [
     # rotated out in round 6 (driver-green r2–r5 / r4–r5):
     QuerySpec("ann_topk", q_ann_topk, ORACLE_ANN_TOPK_TAGGED,
               "brute-force baseline + IVF scale-path cosine top-10",
+              headline=True),
+    # round 10 (VERDICT r9 ask #2): the measured crossover was real
+    # (3.1x at the 100x replica, agreement 1.0), so the cogroup
+    # lesson ships for the embeddings IVF arm too.
+    QuerySpec("unit_ann_ivf_quant", q_ann_ivf_quant, _oracle_ann_ivf_quant(),
+              "e6-integer-dot IVF ANN serving twin: Arrow assignment/probing"
+              " + salted cogroup matmul (round-10 crossover study)",
               headline=True),
     QuerySpec("unit_semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
               "SemDeDup: spherical-kmeans cluster-then-prune near-dup removal",
