@@ -23,6 +23,10 @@ Prints one JSON line per phase. The ship/no-ship decision and the
 numbers land in SCALE.md round 10.
 
     python scripts/ann_quant_study.py /tmp/spark_graft_sf10
+
+``--phases float,quant,agree,ivfpq`` selects phases (default all):
+at the 1M-vector point the float arm is minutes per run, so the
+agreement re-runs (two extra executions per side) are opt-in.
 """
 
 from __future__ import annotations
@@ -123,7 +127,13 @@ def quant_ivf_topk(spark, sf_dir):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
+    phases = {"float", "quant", "agree", "ivfpq"}
+    if "--phases" in argv:
+        i = argv.index("--phases")
+        phases = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     from validation_database_spark.session import get_spark
     from validation_database_spark.suite.similarity import (
@@ -135,35 +145,50 @@ def main() -> None:
     spark = get_spark(app_name="ann_quant_study")
 
     # ---- phase 1: the float IVF arm, decomposed ----
-    flt = q_ann_ivf_cosine(spark, sf_dir)
-    cold = timed(flt)
-    warm = timed(q_ann_ivf_cosine(spark, sf_dir))
-    rows = q_ann_ivf_cosine(spark, sf_dir).count()
-    print(json.dumps({"phase": "float_ivf", "cold": cold, "warm": warm,
-                      "rows": rows}), flush=True)
-    release_pins()
+    if "float" in phases:
+        flt = q_ann_ivf_cosine(spark, sf_dir)
+        cold = timed(flt)
+        warm = timed(q_ann_ivf_cosine(spark, sf_dir))
+        rows = q_ann_ivf_cosine(spark, sf_dir).count()
+        print(json.dumps({"phase": "float_ivf", "cold": cold, "warm": warm,
+                          "rows": rows}), flush=True)
+        release_pins()
 
-    # ---- phase 2: quantized cogroup prototype ----
-    qv = quant_ivf_topk(spark, sf_dir)
-    qcold = timed(qv)
-    qwarm = timed(quant_ivf_topk(spark, sf_dir))
-    # top-k agreement with the float arm (rank-set overlap per query)
-    keys = ["query_id", "vec_id"]
-    f_k = q_ann_ivf_cosine(spark, sf_dir).select(*keys)
-    q_k = quant_ivf_topk(spark, sf_dir).select(*keys)
-    inter = f_k.join(q_k, keys).count()
-    tot = f_k.count()
-    print(json.dumps({"phase": "quant_ivf", "cold": qcold, "warm": qwarm,
-                      "agree": round(inter / max(tot, 1), 4),
-                      "float_rows": tot}), flush=True)
-    release_pins()
+    # ---- phase 2: quantized cogroup form ----
+    # Measures the SHIPPED q_ann_ivf_quant when available (the sf1 /
+    # sf10 decision rows in SCALE.md round 10 were measured with the
+    # pre-ship prototype above — identical plan minus the salt
+    # column; quant_ivf_topk is kept as that study artifact).
+    if "quant" in phases:
+        try:
+            from validation_database_spark.suite.similarity import (
+                q_ann_ivf_quant as quant_fn,
+            )
+        except ImportError:
+            quant_fn = quant_ivf_topk
+        qv = quant_fn(spark, sf_dir)
+        qcold = timed(qv)
+        qwarm = timed(quant_fn(spark, sf_dir))
+        out = {"phase": "quant_ivf", "cold": qcold, "warm": qwarm}
+        if "agree" in phases:
+            # top-k agreement with the float arm (set overlap per query)
+            keys = ["query_id", "vec_id"]
+            f_k = q_ann_ivf_cosine(spark, sf_dir).select(*keys)
+            q_k = quant_fn(spark, sf_dir).select(*keys)
+            inter = f_k.join(q_k, keys).count()
+            tot = f_k.count()
+            out["agree"] = round(inter / max(tot, 1), 4)
+            out["float_rows"] = tot
+        print(json.dumps(out), flush=True)
+        release_pins()
 
     # ---- phase 3: IVF-PQ ----
-    pq_cold = timed(q_ann_ivfpq(spark, sf_dir))
-    pq_warm = timed(q_ann_ivfpq(spark, sf_dir))
-    print(json.dumps({"phase": "ivfpq", "cold": pq_cold, "warm": pq_warm}),
-          flush=True)
-    release_pins()
+    if "ivfpq" in phases:
+        pq_cold = timed(q_ann_ivfpq(spark, sf_dir))
+        pq_warm = timed(q_ann_ivfpq(spark, sf_dir))
+        print(json.dumps({"phase": "ivfpq", "cold": pq_cold,
+                          "warm": pq_warm}), flush=True)
+        release_pins()
 
     # box control, same workload as bench.calibration_point
     df = spark.range(0, 20_000_000, 1, 32).selectExpr(
