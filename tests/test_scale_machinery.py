@@ -449,3 +449,19 @@ def test_bench_detail_filename_isolated_in_only_mode():
 
     src = inspect.getsource(bench.main)
     assert 'BENCH_DETAIL_only.json" if only else "BENCH_DETAIL.json"' in src
+
+
+def test_verify_harness_releases_pins_per_spec():
+    """Round 10: the sf0.1 contract sweep OOM'd the 8 GB driver after
+    ~37 window specs because verify_contract.py never released the
+    determinism pins specs accumulate (bench.py has done so since
+    ADVICE r6). Pin the discipline into the harness source so a
+    refactor cannot silently drop it."""
+    import os
+
+    src = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "verify_contract.py")
+    ).read()
+    assert "release_pins" in src
+    assert "finally:" in src and "release_pins()" in src.split("finally:")[1]
