@@ -82,3 +82,56 @@ def test_null_text_doc_survives_fingerprint(spark, tmp_path):
     assert set(out) == {1, 2}
     assert out[2].shingle_fp is None and out[2].exact_fp is None
     assert out[1].shingle_fp is not None
+
+
+def test_ann_quant_score_cogroup_empty_sides():
+    """The round-10 ANN cogroup scorer must return a typed empty
+    frame when either cogroup side is empty (Spark invokes the
+    function for keys present on only one side)."""
+    import numpy as np
+    import pandas as pd
+
+    from validation_database_spark.suite.similarity import (
+        _ann_quant_score_cogroup,
+    )
+
+    vecs = pd.DataFrame(
+        {"vec_id": [1, 2], "x": [[1, 0], [0, 1]], "cent_id": [7, 7],
+         "__salt": [0, 0]}
+    )
+    probes = pd.DataFrame(
+        {"query_id": [9], "qx": [[1, 1]], "cent_id": [7], "__salt": [0]}
+    )
+    empty_v = vecs.iloc[0:0]
+    empty_p = probes.iloc[0:0]
+    for a, b in ((empty_v, probes), (vecs, empty_p), (empty_v, empty_p)):
+        out = _ann_quant_score_cogroup(a, b)
+        assert list(out.columns) == ["query_id", "vec_id", "s_e12"]
+        assert len(out) == 0
+        assert out["s_e12"].dtype == np.int64
+    # non-empty sanity: own-vector exclusion + exact integer dots
+    full = _ann_quant_score_cogroup(vecs, probes)
+    assert sorted(map(tuple, full.to_numpy())) == [(9, 1, 1), (9, 2, 1)]
+    self_probe = pd.DataFrame(
+        {"query_id": [1], "qx": [[5, 5]], "cent_id": [7], "__salt": [0]}
+    )
+    out = _ann_quant_score_cogroup(vecs, self_probe)
+    # vec 1 == query 1 masked; only vec 2 scored
+    assert sorted(map(tuple, out.to_numpy())) == [(1, 2, 5)]
+
+
+def test_topk_cells_explode_empty_centroids(spark):
+    """k=0 effective centroid table (empty corpus sample) must yield
+    an empty result, not a numpy reduction crash — mirrors the
+    empty-seed routing rule of the hier kernel (ADVICE r8)."""
+    from validation_database_spark.suite.similarity import (
+        _topk_cells_explode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [3, 4])], "vec_id long, x array<bigint>"
+    )
+    out = _topk_cells_explode(df, "x", [], "cent_id", "cx", 2,
+                              keep_cells=False)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "x", "cent_id"]
