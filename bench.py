@@ -26,7 +26,13 @@ against the prior round's BENCH record (same SF, box-normalized by
 the calibration ratio); a >2x reading triggers two extra steady runs
 and the reported warm is the median of the three post-cold runs, with
 the full detail in ``outlier_reruns``. See GHOST_WARM_RATIO below for
-the BENCH_r07 ann_topk ghost that motivated this.
+the BENCH_r07 ann_topk ghost that motivated this. Since round 11 the
+same rule covers the composites (``value``/``baseline_match`` —
+priored on the prior round's own composite readings), which were the
+only single-reading numbers in the record and exactly the ones the
+contended BENCH_r10 session corrupted; the payload also carries
+``calibration_ratio`` (parallel / single-thread control) so a
+parallel-slot-theft session is visible without hand-deriving it.
 
 Isolation mode: ``--only name[,name...]`` (or ``$SPARK_GRAFT_ONLY``)
 times just the named queries — same warm-up, same cold+warm protocol,
@@ -90,7 +96,13 @@ def reference_shaped_e2e(spark, sf_dir: str) -> float:
     return dt
 
 
-def baseline_match_point(spark, sf_dir: str) -> dict | None:
+def baseline_match_point(
+    spark,
+    sf_dir: str,
+    prior: dict | None = None,
+    calibration: float | None = None,
+    outlier_reruns: dict[str, dict] | None = None,
+) -> dict | None:
     """Run the reference-shaped e2e at the BASELINE's row count
     (~1.5M orders ≈ the reference's 1.94M golden run) so the
     'within 2×' comparison happens at matched scale, not sf0.1.
@@ -126,6 +138,19 @@ def baseline_match_point(spark, sf_dir: str) -> dict | None:
     # second run; the first (cold-plan) run is reported alongside
     sec_cold = round(reference_shaped_e2e(spark, cache), 4)
     sec = round(reference_shaped_e2e(spark, cache), 4)
+    if outlier_reruns is not None:
+        # Composite outlier protection (VERDICT r10 ask #2), priored
+        # on the last round's matched-scale warm reading.
+        sec = median_protected_warm(
+            "baseline_match",
+            lambda: round(reference_shaped_e2e(spark, cache), 4),
+            sec_cold,
+            sec,
+            ((prior or {}).get("baseline_match") or {}).get("e2e_sec"),
+            (prior or {}).get("calibration_sec"),
+            calibration,
+            outlier_reruns,
+        )
     return {
         "rows": rows,
         "e2e_sec": sec,
@@ -272,7 +297,7 @@ def compact_payload(payload: dict) -> dict:
     # to 0.0 would orphan sub-0.005 scale factors), and the
     # calibration numbers feed the ghost ratio at full precision
     # (ADVICE r9).
-    exempt = {"sf", "calibration_sec", "calibration_1t_sec"}
+    exempt = {"sf", "calibration_sec", "calibration_1t_sec", "calibration_ratio"}
     return {k: (v if k in exempt else rnd(v)) for k, v in out.items()}
 
 
@@ -313,6 +338,47 @@ def ghost_suspicious(
     # only in-session signal (warm floor excludes sub-second codegen
     # ratios that are normal for compile-heavy plans)
     return cold_t > GHOST_COLD_OVER_WARM * warm_t and warm_t > 1.0
+
+
+def detail_filename(only: list[str] | None) -> str:
+    """Where the full-precision payload goes: isolation (``--only``)
+    runs write a SEPARATE file so they can never clobber the round's
+    permanent full-suite record with a partial payload (ADVICE r9;
+    factored out and tested by return value instead of source-string
+    pinning — ADVICE r10)."""
+    return "BENCH_DETAIL_only.json" if only else "BENCH_DETAIL.json"
+
+
+def median_protected_warm(
+    name: str,
+    run_once,
+    cold_t: float,
+    warm_t: float,
+    prior_warm: float | None,
+    prior_cal: float | None,
+    calibration: float | None,
+    outlier_reruns: dict[str, dict],
+) -> float:
+    """The in-session outlier rule applied to one warm reading: when
+    :func:`ghost_suspicious` flags it, take two extra steady runs and
+    report the MEDIAN of the three post-cold runs, recording the full
+    detail under ``outlier_reruns[name]``. Shared by the per-query
+    loop and — since round 11 (VERDICT r10 ask #2) — the composites
+    (``value``/``baseline_match``), which until then were the only
+    single-reading numbers in the record and exactly the ones the
+    contended BENCH_r10 session corrupted (e2e recorded 6.48 s vs
+    2.53 s isolated-quiet)."""
+    if not ghost_suspicious(warm_t, cold_t, prior_warm, prior_cal, calibration):
+        return warm_t
+    extra_runs = [run_once(), run_once()]
+    outlier_reruns[name] = {
+        "cold": cold_t,
+        "warm_first": warm_t,
+        "extra": extra_runs,
+        "prior_warm": prior_warm,
+        "prior_calibration": prior_cal,
+    }
+    return sorted([warm_t] + extra_runs)[1]
 
 
 def main() -> None:
@@ -379,8 +445,29 @@ def main() -> None:
     # the baseline's 8.94 s is warm (see docstring).
     e2e_cold = None if only else round(reference_shaped_e2e(spark, sf_dir), 4)
     e2e = None if only else round(reference_shaped_e2e(spark, sf_dir), 4)
+    if e2e is not None:
+        # Composite outlier protection (VERDICT r10 ask #2): same
+        # ghost rule as the per-query loop, priored on the last
+        # round's ``value`` (itself a warm reading).
+        e2e = median_protected_warm(
+            "e2e",
+            lambda: round(reference_shaped_e2e(spark, sf_dir), 4),
+            e2e_cold,
+            e2e,
+            (prior or {}).get("value"),
+            (prior or {}).get("calibration_sec"),
+            calibration,
+            outlier_reruns,
+        )
     try:
-        bm = None if only else baseline_match_point(spark, sf_dir)
+        bm = (
+            None
+            if only
+            else baseline_match_point(
+                spark, sf_dir, prior=prior, calibration=calibration,
+                outlier_reruns=outlier_reruns,
+            )
+        )
     except Exception:
         bm = None
     extra = [n for n in specs if n not in HEADLINE and specs[n].headline]
@@ -416,19 +503,16 @@ def main() -> None:
         # rationale at GHOST_WARM_RATIO above): compare warm against
         # the prior round's box-normalized warm when available, else
         # fall back to the cold/warm ratio heuristic.
-        prior_warm = (prior or {}).get("queries_warm", {}).get(name)
-        prior_cal = (prior or {}).get("calibration_sec")
-        if ghost_suspicious(warm_t, cold_t, prior_warm, prior_cal, calibration):
-            extra_runs = [run_once(), run_once()]
-            candidates = sorted([warm_t] + extra_runs)
-            outlier_reruns[name] = {
-                "cold": cold_t,
-                "warm_first": warm_t,
-                "extra": extra_runs,
-                "prior_warm": prior_warm,
-                "prior_calibration": prior_cal,
-            }
-            warm_t = candidates[1]  # median of the three post-cold runs
+        warm_t = median_protected_warm(
+            name,
+            run_once,
+            cold_t,
+            warm_t,
+            (prior or {}).get("queries_warm", {}).get(name),
+            (prior or {}).get("calibration_sec"),
+            calibration,
+            outlier_reruns,
+        )
         timings[name] = cold_t
         warm[name] = warm_t
         # drop the determinism/reuse pins this spec accumulated
@@ -451,6 +535,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
         "calibration_1t_sec": calibration_1t,
+        # Contention telemetry (VERDICT r10 ask #2): parallel-vs-1t
+        # calibration ratio. Parallel-slot theft (the r10 signature:
+        # 32-way control 1.6x slower while the 1-thread control got
+        # FASTER) moves this ratio without moving calibration_1t_sec
+        # — r10 read 3.32 vs r9's 1.92 on the same box.
+        "calibration_ratio": (
+            round(calibration / calibration_1t, 4) if calibration_1t else None
+        ),
     }
     if e2e_cold is not None:
         payload["value_cold"] = e2e_cold
@@ -464,7 +556,7 @@ def main() -> None:
     # Isolation runs write a SEPARATE file (ADVICE r9: `--only`
     # adjudication runs used to clobber the round's permanent
     # full-suite record with a partial payload).
-    detail_name = "BENCH_DETAIL_only.json" if only else "BENCH_DETAIL.json"
+    detail_name = detail_filename(only)
     try:
         with open(os.path.join(REPO_ROOT, detail_name), "w") as f:
             json.dump(payload, f, indent=1)

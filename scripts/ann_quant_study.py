@@ -133,6 +133,11 @@ def main() -> None:
         i = argv.index("--phases")
         phases = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+        # agree is computed inside the quant phase (it compares the
+        # two arms' outputs) — requesting it implies quant, otherwise
+        # `--phases agree` would be a silent no-op (ADVICE r10).
+        if "agree" in phases:
+            phases.add("quant")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     from validation_database_spark.session import get_spark

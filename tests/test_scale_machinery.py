@@ -429,26 +429,67 @@ def test_compact_payload_preserves_metadata_precision():
         "sf": 0.001,
         "calibration_sec": 0.7777,
         "calibration_1t_sec": 0.3333,
+        "calibration_ratio": 2.3334,
     }
     out = bench.compact_payload(payload)
     assert out["sf"] == 0.001
     assert out["calibration_sec"] == 0.7777
     assert out["calibration_1t_sec"] == 0.3333
+    assert out["calibration_ratio"] == 2.3334
     assert out["value"] == 1.23
     assert out["queries"] == {"a": 1.23}
     assert out["warm_vals"] == [1.11]
 
 
-def test_bench_detail_filename_isolated_in_only_mode():
-    """ADVICE r9: --only isolation runs must not clobber the round's
-    permanent BENCH_DETAIL.json with a partial payload. Pin the
-    filename selection logic as written in bench.main."""
-    import inspect
-
+def test_median_protected_warm_guards_composites():
+    """VERDICT r10 ask #2: the composites (``value``/
+    ``baseline_match``) get the same ghost-rule median protection as
+    the per-query entries — a warm reading far above the prior
+    round's box-normalized composite triggers two extra steady runs
+    and reports their median; a flat reading passes through with NO
+    extra engine runs."""
     import bench
 
-    src = inspect.getsource(bench.main)
-    assert 'BENCH_DETAIL_only.json" if only else "BENCH_DETAIL.json"' in src
+    reruns: dict = {}
+    calls: list = []
+
+    def run():
+        calls.append(1)
+        return 2.6
+
+    # 6.48 vs a 2.54 prior at matched calibration: over the 2x+slack
+    # threshold -> two re-runs, median of [6.48, 2.6, 2.6] = 2.6
+    out = bench.median_protected_warm(
+        "e2e", run, 6.5, 6.48, 2.54, 0.9, 0.9, reruns
+    )
+    assert out == 2.6
+    assert len(calls) == 2
+    assert reruns["e2e"]["warm_first"] == 6.48
+    assert reruns["e2e"]["extra"] == [2.6, 2.6]
+
+    # flat reading: untouched, no extra runs, no flag
+    calls.clear()
+    reruns.clear()
+    out = bench.median_protected_warm(
+        "baseline_match", run, 2.7, 2.5, 2.54, 0.9, 0.9, reruns
+    )
+    assert out == 2.5 and not calls and not reruns
+
+
+def test_bench_detail_filename_isolated_in_only_mode():
+    """ADVICE r9: --only isolation runs must not clobber the round's
+    permanent BENCH_DETAIL.json with a partial payload. The filename
+    choice is a function tested by RETURN VALUE (ADVICE r10: the old
+    source-string pin broke on cosmetic rewording and would have
+    survived a behavioral regression that kept the string)."""
+    import bench
+
+    assert bench.detail_filename([]) == "BENCH_DETAIL.json"
+    assert bench.detail_filename(None) == "BENCH_DETAIL.json"
+    assert bench.detail_filename(["e2e"]) == "BENCH_DETAIL_only.json"
+    assert (
+        bench.detail_filename(["a", "b"]) == "BENCH_DETAIL_only.json"
+    )
 
 
 def test_verify_harness_releases_pins_per_spec():

@@ -2077,9 +2077,18 @@ def q_ann_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _unit_emb(spark, sf_dir).select(
         "vec_id", _to_e6(F.col("u")).alias("x")
     )
+    # The null filter mirrors the oracle's null-filtered uq CTE
+    # (ADVICE r10): a zero-norm embedding at a centroid id is
+    # normalized to a null vector (or one with null elements) by
+    # _unit_emb, which the oracle silently drops from cents — without
+    # the filter the collected row would crash _topk_cells_explode's
+    # np.array build instead. (_stack_int64 already drops null ROWS
+    # symmetrically on the assignment/query sides.)
     cents = emb.filter(
         (F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
         & (F.col("vec_id") < CENTROID_MOD * CENTROID_CAP)
+        & F.col("x").isNotNull()
+        & ~F.exists("x", lambda e: e.isNull())
     ).select(F.col("vec_id").alias("cent_id"), F.col("x").alias("cx"))
     # ONE collect of the capped (<=nlist) centroid table serves both
     # kernel builds
