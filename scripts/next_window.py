@@ -38,9 +38,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Rename lineage (VERDICT r10 ask #5): CORRECTNESS history keys rows
+# by the name a spec had THAT round, so a promotion/rename would
+# otherwise reset the spec's oldest-checked age (its new name has no
+# history) or — worse — credit the new meaning with the old
+# meaning's greens. Each entry is (name as recorded, last round the
+# record carried that MEANING, the spec's current name); a row is
+# re-credited to the current name before the last-green scan. The
+# mapping applies once per row (no chaining), so a name that appears
+# on both sides — `rag_retrieval` below — stays unambiguous: r<=9
+# rows under it were the float fold, r10+ rows the quant headline.
+RENAMES: list[tuple[str, int, str]] = [
+    # r10 promotion (SCALE.md round 10): the float fold's r5-r9 rows
+    # continue as rag_retrieval_float_baseline ...
+    ("rag_retrieval", 9, "rag_retrieval_float_baseline"),
+    # ... and the quant twin's single r9 row continues as the
+    # rag_retrieval headline.
+    ("unit_rag_retrieval_quant", 9, "rag_retrieval"),
+]
+
+
+def lineage_name(name: str, rnd: int) -> str:
+    """The CURRENT name of the spec a round-``rnd`` CORRECTNESS row
+    named ``name`` (identity when no rename applies)."""
+    for old, last_rnd, new in RENAMES:
+        if name == old and rnd <= last_rnd:
+            return new
+    return name
+
+
 def last_green_rounds(repo: str = REPO) -> dict[str, int]:
     """spec name -> latest round whose CORRECTNESS row was fully
-    green (0 = never driver-checked under this name)."""
+    green (0 = never driver-checked under this name), with rows
+    re-credited across renames via :data:`RENAMES`."""
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -52,6 +82,7 @@ def last_green_rounds(repo: str = REPO) -> dict[str, int]:
                 continue
             green = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
             if green:
+                name = lineage_name(name, rnd)
                 out[name] = max(out.get(name, 0), rnd)
     return out
 

@@ -295,6 +295,24 @@ def test_ann_quant_salt_is_value_neutral(spark, sf_dir, monkeypatch):
     assert base == one == three
 
 
+def test_ann_float_salt_is_value_neutral(spark, sf_dir, monkeypatch):
+    """VERDICT r10 ask #1: the float IVF arm's fan-out salt +
+    explicit-count repartition are LAYOUT-only — every candidate pair
+    matches on exactly one salt value and the scored set, scores, and
+    tie-breaks are unchanged. Pin the result set identical across
+    salt 1 (the unsalted shape), the default, and 3, under a
+    different partition count."""
+    from validation_database_spark.suite import similarity as S
+
+    base = sorted(map(tuple, S.q_ann_ivf_cosine(spark, sf_dir).collect()))
+    monkeypatch.setattr(S, "ANN_FLOAT_SALT", 1)
+    monkeypatch.setattr(S, "ANN_FLOAT_PARTS", 5)
+    one = sorted(map(tuple, S.q_ann_ivf_cosine(spark, sf_dir).collect()))
+    monkeypatch.setattr(S, "ANN_FLOAT_SALT", 3)
+    three = sorted(map(tuple, S.q_ann_ivf_cosine(spark, sf_dir).collect()))
+    assert base == one == three
+
+
 def test_rag_quant_strong_recall_at_sqrt_n_geometry(spark, sf_dir, monkeypatch):
     """VERDICT r9 ask #4: the nlist ~ sqrt(n) production geometry must
     still retrieve strong neighbors. The statistically meaningful

@@ -274,6 +274,28 @@ def test_ivf_assignment_is_partial_agg_not_window(spark, sf_dir):
     assert "partial_max" in plan, plan
 
 
+def test_ivf_float_fanout_layout_is_pinned(spark, sf_dir):
+    """VERDICT r10 ask #1: the float IVF arm's scored fan-out must
+    run in the EXPLICITLY-partitioned salted layout — a
+    REPARTITION_BY_NUM exchange on (cent_id, __salt) that AQE cannot
+    coalesce below ANN_FLOAT_PARTS (the round-10 2M-replica DNF was
+    this stage inheriting its small join inputs' 22 AQE-coalesced
+    partitions and sorting 3.21B fan-out rows as ~146M-row slabs) —
+    and its final per-query rank window must keep the map-side
+    partial WindowGroupLimit so only top-K per query per task
+    reaches the exchange."""
+    import re
+
+    from validation_database_spark.suite.similarity import q_ann_ivf_cosine
+
+    plan = physical_plan(q_ann_ivf_cosine(spark, sf_dir))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert re.search(
+        r"hashpartitioning\(cent_id#\d+L?, __salt#\d+", plan
+    ), plan
+    assert "Partial" in plan and "WindowGroupLimit" in plan, plan
+
+
 def test_rfm_banding_no_global_ntile(spark, sf_dir):
     """RFM scores come from integer banding over bounded distinct-value
     aggregates — no ntile over the customer table."""

@@ -143,11 +143,40 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
 
 # --- IVF (cell-probed) -------------------------------------------------
 
+# Fan-out layout knobs for the float IVF arm (VERDICT r10 ask #1 —
+# see q_ann_ivf_cosine's docstring). Defaults keep the fixture SFs
+# cheap; a deployment sizes them to the corpus via SPARK_GRAFT_*.
+ANN_FLOAT_SALT = _geo("ANN_FLOAT_SALT", 4)
+ANN_FLOAT_PARTS = _geo("ANN_FLOAT_PARTS", 32)
+
+
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: every vector is assigned to its nearest centroid
     cell; each query probes its nprobe=2 nearest cells and ranks only
     the vectors inside them. Results can differ from exact top-k —
-    that is the approximation; the oracle runs the identical IVF."""
+    that is the approximation; the oracle runs the identical IVF.
+
+    Scale shape (round 11, VERDICT r10 ask #1): the scored fan-out is
+    |probing queries| x |cell| pairs, and its final per-query rank
+    window already gets a map-side partial WindowGroupLimit (top-K
+    per query leaves each task, so the exchange is small) — but the
+    partial's own SORT runs in whatever layout the join inherits,
+    and the join's INPUTS are small, so AQE coalesced them to 22
+    partitions at the 2M-vector replica and the 3.21B-pair fan-out
+    sorted as 22 single-threaded ~146M-row spilling slabs (the
+    round-10 DNF: terminated at 7,063 s with the last straggler
+    >=26 min). Fix: vectors carry a crc32 salt, probes replicate to
+    every salt (each candidate pair still matches exactly once — the
+    quant twin's cogroup rule), and the assigned side is
+    repartitioned by (cent_id, __salt) with an EXPLICIT partition
+    count, which AQE never coalesces (REPARTITION_BY_NUM). The
+    fan-out + sort now run ANN_FLOAT_PARTS wide with slabs bounded
+    at ~pairs/(nlist x salt) even under cell skew. Value-neutral:
+    same pairs, same scores, same tie-breaks (pinned by
+    tests/test_ann_recall.py::test_ann_float_salt_is_value_neutral);
+    SCALE.md round 11 has the re-measured 2M point. Geometry knobs:
+    SPARK_GRAFT_ANN_FLOAT_SALT / SPARK_GRAFT_ANN_FLOAT_PARTS (size
+    salt ~ hot-cell pairs / target slab, parts >= executor slots)."""
     emb = _unit_emb(spark, sf_dir)
     cents = emb.filter(
         (F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
@@ -210,9 +239,21 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "q_u", "cent_id")
     )
 
-    # search only the probed cells
+    # search only the probed cells. Salt + explicit-count repartition
+    # bound the fan-out stage's sort slabs and parallelism (docstring
+    # above); every pair matches on exactly one salt value.
+    a_s = assigned.withColumn(
+        "__salt",
+        (F.crc32(F.col("vec_id").cast("string")) % ANN_FLOAT_SALT).cast("int"),
+    ).repartition(ANN_FLOAT_PARTS, "cent_id", "__salt")
+    p_s = probes.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ANN_FLOAT_SALT - 1))
+        ).alias("__salt"),
+    )
     scored = (
-        probes.join(assigned, "cent_id")
+        p_s.join(a_s, ["cent_id", "__salt"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -268,11 +309,20 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN paths in one driver-checked result, tagged by method:
-    ``brute`` (the exactness baseline) and ``ivf`` (the scale path).
-    Each method's full (query_id, vec_id, cos_sim, rk) ranking is
-    value-verified; tests/test_ann_recall.py additionally pins the
-    IVF recall floor against the brute-force truth."""
+    """Both float ANN paths in one driver-checked result, tagged by
+    method: ``brute`` (the exactness baseline) and ``ivf`` (the
+    float-cosine IVF arm, fan-out salted + explicitly partitioned so
+    its sort slabs stay bounded at scale — see q_ann_ivf_cosine).
+    The SERVING-scale arm is `unit_ann_ivf_quant`, the e6-integer
+    cogroup twin: SCALE.md round 10 measured the pre-fix float shape
+    terminated unfinished at 7,063 s on the 2M-vector / 3.21B-pair
+    replica where the quant twin finished in 371 s, and round 11
+    re-measures the fixed float arm on the same decade — it now
+    finishes, but the quant kernel stays materially faster, so
+    "scale path" names the QUANT form. Each method's full
+    (query_id, vec_id, cos_sim, rk) ranking is value-verified;
+    tests/test_ann_recall.py additionally pins the IVF recall floor
+    against the brute-force truth."""
     brute = q_ann_topk_cosine(spark, sf_dir).select(
         F.lit("brute").alias("method"), "query_id", "vec_id", "cos_sim", "rk"
     )
@@ -1357,8 +1407,14 @@ def _rag_frames(
 
 
 def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-SERVED RAG retrieval — the scale path the brute baseline
-    (`q_rag_retrieval`) verifies: chunks are assigned once to their
+    """IVF-served RAG retrieval, float fold — the labeled
+    exactness/serving-compat BASELINE (registered as
+    `rag_retrieval_float_baseline`); the SERVING-scale path is the
+    quantized cogroup form `q_rag_retrieval_ivf_quant`, the
+    `rag_retrieval` headline since round 10 (8.4x at the sf10
+    replica, and the float fold's final scored-frame window is the
+    shape whose ANN twin DNF'd the 2M-vector decade — SCALE.md
+    rounds 9-10). In this fold chunks are assigned once to their
     nearest centroid cell (broadcast nested-loop + max-struct argmax,
     map-side combine — the same no-window shape as `q_ann_ivf_cosine`,
     which OOM'd as a row_number window at the 100× replica), and each
