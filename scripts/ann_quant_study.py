@@ -138,6 +138,14 @@ def main() -> None:
         # `--phases agree` would be a silent no-op (ADVICE r10).
         if "agree" in phases:
             phases.add("quant")
+    # --lean: skip the rows-count pass (a third FULL execution — at
+    # the 2M-vector decade that is ~an hour that adds nothing the
+    # 100k agreement row doesn't already pin); --cold-only further
+    # skips the warm pass (round 11: one cold execution is the
+    # comparison point against r10's terminated-at-7,063-s cold).
+    lean = "--lean" in argv
+    cold_only = "--cold-only" in argv
+    argv = [a for a in argv if a not in ("--lean", "--cold-only")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     from validation_database_spark.session import get_spark
@@ -152,11 +160,12 @@ def main() -> None:
     # ---- phase 1: the float IVF arm, decomposed ----
     if "float" in phases:
         flt = q_ann_ivf_cosine(spark, sf_dir)
-        cold = timed(flt)
-        warm = timed(q_ann_ivf_cosine(spark, sf_dir))
-        rows = q_ann_ivf_cosine(spark, sf_dir).count()
-        print(json.dumps({"phase": "float_ivf", "cold": cold, "warm": warm,
-                          "rows": rows}), flush=True)
+        out = {"phase": "float_ivf", "cold": timed(flt)}
+        if not cold_only:
+            out["warm"] = timed(q_ann_ivf_cosine(spark, sf_dir))
+        if not (lean or cold_only):
+            out["rows"] = q_ann_ivf_cosine(spark, sf_dir).count()
+        print(json.dumps(out), flush=True)
         release_pins()
 
     # ---- phase 2: quantized cogroup form ----

@@ -29,7 +29,12 @@ SHOWCASE = {
     "ann_topk": "tagged union: brute-force exact baseline + IVF (broadcast "
     "centroids, per-vector argmax as a map-side-combining max(struct) "
     "aggregation — the r4 100× OOM fix, no rank window — probe-cell join, "
-    "no full cross product)",
+    "no full cross product). Since round 11 the scored fan-out runs in a "
+    "salted, REPARTITION_BY_NUM-pinned layout (ANN_FLOAT_PARTS wide, AQE "
+    "cannot coalesce it) so the partial-WindowGroupLimit sort slabs stay "
+    "bounded — the r10 2M-vector DNF was this stage inheriting its small "
+    "join inputs' 22 AQE-coalesced partitions. Serving scale is still the "
+    "quant twin (unit_ann_ivf_quant)",
     "doc_profile": "one-scan text profiling: tokens/quality/lang-id/"
     "fingerprint/repetition/simhash as narrow projections + one unigram-LM "
     "groupBy joined back broadcast",

@@ -34,7 +34,7 @@ class QuerySpec:
     headline: bool = False  # include in bench.py's timed suite
 
 
-# The 50 rows the driver hash-checks this round (round 10).
+# The 50 rows the driver hash-checks this round (round 11).
 #
 # STEADY-STATE ROTATION POLICY (from round 8 on, VERDICT r7 ask #3):
 #   1. The 9-entry parity core is pinned — never rotated (it is the
@@ -52,20 +52,19 @@ class QuerySpec:
 #      ~4–5 rounds, so a rewrite that silently changes semantics
 #      (like the r7 estimator rewrite) is caught within that horizon.
 #
-# Round-10 application: seats = 9 core + 1 rule-2 seat
-# (`rag_retrieval` — REWRITTEN this round: the headline key now runs
-# the e6-integer-dot quantized serving form, result schema `cos_sim`
-# → `sim_e12`; the promotion VERDICT r9 ask #1 / SCALE.md round 9
-# deferred to r10) + 1 rule-3 seat (`rag_retrieval_float_baseline`,
-# the re-registered float fold — a NEW name, hence never
-# driver-checked) + 1 more rule-3 seat (`unit_ann_ivf_quant`, the
-# round-10 e6-integer ANN serving twin — new, never driver-checked)
-# + 38 rule-4 oldest-checked greens: the r5 cohort remainder (27)
-# and the first 11 of the r6 cohort by name. Derived by
-# `python scripts/next_window.py --rewritten rag_retrieval`;
-# provenance note in COVERAGE.md. (`unit_rag_retrieval_quant`, green
-# r9, was RENAMED to the rag_retrieval headline in this promotion —
-# its fn+oracle are unchanged under the new name.)
+# Round-11 application: seats = 9 core + 1 rule-2 seat (`ann_topk`
+# — its float IVF arm's scored fan-out was RESHAPED this round,
+# VERDICT r10 ask #1: salted, explicitly-partitioned layout so the
+# partial-WindowGroupLimit sort slabs stay bounded at scale; results
+# are value-neutral and the oracle is unchanged, but the driver
+# re-checks the reshaped plan independently) + 40 rule-4
+# oldest-checked greens: the r6 cohort remainder (28) and the first
+# 12 of the r7 cohort by name. No new names this round, so rule 3
+# seats none. Derived by
+# `python scripts/next_window.py --rewritten ann_topk`; provenance
+# note in COVERAGE.md. (next_window.py now folds the r10 rename
+# lineage — see its RENAMES — so promotion renames no longer reset
+# a spec's oldest-checked age.)
 # The reference's own workload — rotation rule 1 pins these in every
 # window. scripts/next_window.py derives each round's WINDOW from
 # this constant + the CORRECTNESS_r*.json history (rules 2–4).
@@ -91,47 +90,47 @@ WINDOW = [
     "diff_string_fuzzy_approx",
     "report_summary",
     "validation_counts",
-    "rag_retrieval",
-    "rag_retrieval_float_baseline",
-    "unit_ann_ivf_quant",
-    "scd_upsert",
-    "skew_salted_revenue",
-    "streaming_incremental_dedup",
-    "streaming_user_totals_final",
-    "unit_active_time",
-    "unit_boilerplate_blocks",
-    "unit_chi2_independence",
-    "unit_cohort_retention",
-    "unit_cube_sales",
-    "unit_dau_wau",
-    "unit_funnel_strict",
-    "unit_gini_concentration",
-    "unit_hits_scores",
-    "unit_hll_distinct",
-    "unit_kcore",
-    "unit_km_survival",
-    "unit_label_propagation",
-    "unit_lm_perplexity_filter",
-    "unit_markov_transitions",
-    "unit_peak_concurrency",
-    "unit_poisson_bootstrap",
-    "unit_quality_classifier",
-    "unit_rfm_segments",
-    "unit_seasonal_naive_backtest",
-    "unit_semantic_dedup",
-    "unit_span_corruption",
-    "unit_triangle_counts",
-    "doc_profile",
-    "streaming_session_totals",
-    "unit_ab_ztest",
-    "unit_ann_ivfpq",
-    "unit_assoc_rules",
-    "unit_attribution_last_touch",
-    "unit_cdc_merge",
-    "unit_churn_auc",
-    "unit_churn_labels",
-    "unit_cuped_adjustment",
-    "unit_decontaminate",
+    "ann_topk",
+    "unit_did_readout",
+    "unit_dq_freshness",
+    "unit_feature_lags",
+    "unit_frame_checksums",
+    "unit_fuzzy_key_join",
+    "unit_group_split_audit",
+    "unit_hard_negatives",
+    "unit_hll_join_overlap",
+    "unit_hll_sliding_wau",
+    "unit_incr_join_view",
+    "unit_jl_projection",
+    "unit_khop_reach",
+    "unit_kmeans_clusters",
+    "unit_mad_anomalies",
+    "unit_mannwhitney_u",
+    "unit_media_dedup",
+    "unit_pq_quantize",
+    "unit_quantile_monitor",
+    "unit_record_linkage",
+    "unit_scd2_temporal_join",
+    "unit_score_lift",
+    "unit_session_week_overlap",
+    "unit_simhash60_wide",
+    "unit_target_encode",
+    "unit_tfidf_top_terms",
+    "unit_trimmed_mean",
+    "unit_watermark_audit",
+    "unit_zipf_fit",
+    "unit_ab_srm",
+    "unit_backfill_plan",
+    "unit_basket_size_dist",
+    "unit_bpe_encode",
+    "unit_bpe_merges",
+    "unit_cms_counts",
+    "unit_compaction_plan",
+    "unit_corpus_outlier_docs",
+    "unit_corr_matrix",
+    "unit_datetime_functions",
+    "unit_discount_effect",
+    "unit_error_rate_hourly",
 ]
 
 

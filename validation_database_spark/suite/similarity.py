@@ -1503,7 +1503,12 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe rows at d=64); past that, drop the hint — AQE falls back to
     # a cent_id-keyed shuffle where the chunk index moves once — or
     # broadcast only (query_doc_id, cent_id, probed) and attach qvec
-    # via a second query-keyed join after the cell filter.
+    # via a second query-keyed join after the cell filter. In the
+    # dropped-hint regime, also salt the cell key and pin the
+    # partition count exactly as q_ann_ivf_cosine does
+    # (ANN_FLOAT_SALT/ANN_FLOAT_PARTS) — round 11 measured that an
+    # AQE-coalesced fan-out stage, not the exchange, is what DNF'd
+    # the ANN twin's 2M-vector decade.
     # A pair reachable through SEVERAL of a chunk's assigned cells
     # would rank once per reachable cell. Dedup BEFORE scoring, with a
     # map-side rule instead of a second wide shuffle (a distinct over
