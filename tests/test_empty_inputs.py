@@ -84,6 +84,32 @@ def test_null_text_doc_survives_fingerprint(spark, tmp_path):
     assert out[1].shingle_fp is not None
 
 
+def test_ann_quant_degenerate_centroid_dropped_like_oracle(spark, tmp_path):
+    """ADVICE r10: a centroid whose embedding degenerates under unit
+    normalization (a null element nulls the norm, so every unit
+    element goes null) must be dropped by BOTH engines the same way.
+    Pre-fix the oracle's null-filtered uq CTE silently dropped it
+    while the Spark side's collected centroid table crashed
+    _topk_cells_explode's int64 np.array build with a TypeError.
+    Fixtures never produce the case, so pin it on a synthetic table
+    with vec_id=7 (a centroid id) carrying a null element."""
+    from validation_database_spark.suite import _collect_all
+
+    from .oracle_utils import assert_matches_oracle
+
+    rows = []
+    for vid in range(200):
+        emb = [float(((vid * 31 + i * 7) % 13) - 6) for i in range(4)]
+        if vid == 7:
+            emb[1] = None
+        rows.append((vid, emb))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    assert_matches_oracle(spark, _collect_all()["unit_ann_ivf_quant"], sf)
+
+
 def test_ann_quant_score_cogroup_empty_sides():
     """The round-10 ANN cogroup scorer must return a typed empty
     frame when either cogroup side is empty (Spark invokes the
