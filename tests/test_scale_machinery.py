@@ -441,6 +441,24 @@ def test_compact_payload_preserves_metadata_precision():
     assert out["warm_vals"] == [1.11]
 
 
+def test_prior_record_feeds_composite_priors():
+    """The composite ghost rule is only live if the prior-round
+    loader actually surfaces `value`, `calibration_sec`, and
+    `baseline_match.e2e_sec` from the repo's real BENCH wrappers —
+    the round-8 lesson was exactly a prior branch that was silently
+    dead (queries_warm read off the wrong nesting level made
+    prior_warm always null)."""
+    import bench
+
+    prior = bench.prior_round_record("0.1")
+    assert prior is not None
+    assert isinstance(prior.get("value"), (int, float))
+    assert isinstance(prior.get("calibration_sec"), (int, float))
+    assert isinstance(
+        (prior.get("baseline_match") or {}).get("e2e_sec"), (int, float)
+    )
+
+
 def test_median_protected_warm_guards_composites():
     """VERDICT r10 ask #2: the composites (``value``/
     ``baseline_match``) get the same ghost-rule median protection as
