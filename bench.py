@@ -297,7 +297,15 @@ def compact_payload(payload: dict) -> dict:
     # to 0.0 would orphan sub-0.005 scale factors), and the
     # calibration numbers feed the ghost ratio at full precision
     # (ADVICE r9).
-    exempt = {"sf", "calibration_sec", "calibration_1t_sec", "calibration_ratio"}
+    exempt = {
+        "sf",
+        "calibration_sec",
+        "calibration_1t_sec",
+        "calibration_ratio",
+        # the retry detail's ratios feed the contention rule at full
+        # precision (r12); present only on flagged sessions
+        "calibration_retries",
+    }
     return {k: (v if k in exempt else rnd(v)) for k, v in out.items()}
 
 
@@ -317,6 +325,53 @@ def compact_payload(payload: dict) -> dict:
 GHOST_WARM_RATIO = 2.0
 GHOST_WARM_SLACK_SEC = 0.5
 GHOST_COLD_OVER_WARM = 3.0
+
+# Session-global contention rule (VERDICT r11 ask #3). The ghost rule
+# above box-NORMALIZES by the calibration ratio, so a contention
+# event that inflates calibration and query together — exactly
+# BENCH_r10's failure (both ~1.6×) — passes under its 2× threshold.
+# `calibration_ratio` (parallel / single-thread control) is the field
+# that catches that case: parallel-slot theft moves the 32-way
+# control without moving the 1-thread one (r10 read 3.32 where the
+# quiet rounds r9/r11 read 1.92). Since round 12 bench.py ACTS on it:
+# a ratio above CONTENDED_RATIO_ABS, or above CONTENDED_RATIO_REL ×
+# the prior round's ratio, triggers one cooldown re-measure of the
+# calibration pair (the theft may be transient); if the re-measured
+# ratio still trips, the payload is stamped ``contended_record: true``
+# so a reader never has to hand-derive the r10 forensic again. The
+# absolute arm is the backstop when the PRIOR round was itself
+# contended (a big prior ratio would let anything pass the relative
+# arm).
+CONTENDED_RATIO_ABS = 2.5
+CONTENDED_RATIO_REL = 1.5
+CONTENTION_COOLDOWN_SEC = 10.0
+
+
+def contention_suspicious(
+    ratio: float | None, prior_ratio: float | None
+) -> bool:
+    """True when the calibration ratio signals session-global
+    contention. Pure so tests/test_scale_machinery.py can pin the
+    rule against the r9/r10/r11 recorded ratios."""
+    if ratio is None:
+        return False
+    if ratio > CONTENDED_RATIO_ABS:
+        return True
+    return prior_ratio is not None and ratio > CONTENDED_RATIO_REL * prior_ratio
+
+
+def prior_calibration_ratio(prior: dict | None) -> float | None:
+    """The prior round's parallel/1t control ratio: the recorded
+    field (r11+) or derived from the two controls when both are
+    present (pre-r11 records)."""
+    if not prior:
+        return None
+    if prior.get("calibration_ratio") is not None:
+        return prior["calibration_ratio"]
+    cal, cal1t = prior.get("calibration_sec"), prior.get("calibration_1t_sec")
+    if cal and cal1t:
+        return round(cal / cal1t, 4)
+    return None
 
 
 def ghost_suspicious(
@@ -435,6 +490,27 @@ def main() -> None:
     prior = prior_round_record(sf)
     outlier_reruns: dict[str, dict] = {}
 
+    # Session-global contention gate (VERDICT r11 ask #3, rationale
+    # at CONTENDED_RATIO_ABS): a tripped ratio gets ONE cooldown
+    # re-measure of the control pair — the better (lower-ratio) pair
+    # is reported, and if the re-measure still trips, the payload is
+    # stamped contended_record below.
+    prior_ratio = prior_calibration_ratio(prior)
+    ratio = round(calibration / calibration_1t, 4) if calibration_1t else None
+    calibration_retries: list[dict] = []
+    if contention_suspicious(ratio, prior_ratio):
+        calibration_retries.append(
+            {"calibration_sec": calibration, "calibration_1t_sec": calibration_1t,
+             "ratio": ratio}
+        )
+        time.sleep(CONTENTION_COOLDOWN_SEC)
+        re_cal = calibration_point(spark)
+        re_1t = calibration_point_1t(spark)
+        re_ratio = round(re_cal / re_1t, 4) if re_1t else None
+        if re_ratio is not None and (ratio is None or re_ratio < ratio):
+            calibration, calibration_1t, ratio = re_cal, re_1t, re_ratio
+    contended = contention_suspicious(ratio, prior_ratio)
+
     # The BASELINE-comparable composites run FIRST, before the timed
     # suite: the round-6 isolation study (SCALE.md "Parity-family
     # isolation") showed the after-28-queries session inflates them by
@@ -448,17 +524,23 @@ def main() -> None:
     if e2e is not None:
         # Composite outlier protection (VERDICT r10 ask #2): same
         # ghost rule as the per-query loop, priored on the last
-        # round's ``value`` (itself a warm reading).
-        e2e = median_protected_warm(
-            "e2e",
-            lambda: round(reference_shaped_e2e(spark, sf_dir), 4),
-            e2e_cold,
-            e2e,
-            (prior or {}).get("value"),
-            (prior or {}).get("calibration_sec"),
-            calibration,
-            outlier_reruns,
-        )
+        # round's ``value`` (itself a warm reading). Exception-guarded
+        # (ADVICE r11): a transient failure in one of the two extra
+        # median runs must fall back to the first warm reading, not
+        # abort the whole bench.
+        try:
+            e2e = median_protected_warm(
+                "e2e",
+                lambda: round(reference_shaped_e2e(spark, sf_dir), 4),
+                e2e_cold,
+                e2e,
+                (prior or {}).get("value"),
+                (prior or {}).get("calibration_sec"),
+                calibration,
+                outlier_reruns,
+            )
+        except Exception:
+            pass
     try:
         bm = (
             None
@@ -539,11 +621,17 @@ def main() -> None:
         # calibration ratio. Parallel-slot theft (the r10 signature:
         # 32-way control 1.6x slower while the 1-thread control got
         # FASTER) moves this ratio without moving calibration_1t_sec
-        # — r10 read 3.32 vs r9's 1.92 on the same box.
-        "calibration_ratio": (
-            round(calibration / calibration_1t, 4) if calibration_1t else None
-        ),
+        # — r10 read 3.32 vs r9's 1.92 on the same box. Acted on
+        # since r12 (the cooldown gate in main, VERDICT r11 ask #3).
+        "calibration_ratio": ratio,
     }
+    if contended:
+        # The cooldown re-measure still tripped the rule: every
+        # number in this record was taken on a contended box. Stamped
+        # so a reader never re-derives the r10 forensic by hand.
+        payload["contended_record"] = True
+    if calibration_retries:
+        payload["calibration_retries"] = calibration_retries
     if e2e_cold is not None:
         payload["value_cold"] = e2e_cold
     if bm is not None:

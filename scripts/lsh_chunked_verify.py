@@ -125,6 +125,10 @@ def verify_chunk(spark, sf_dir: str, workdir: str, chunk: int) -> dict:
         F.count("*").alias("verified"),
         F.sum("jaccard").alias("jsum"),
         F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("ge_05"),
+        # 0.7 ~ the default AND tuned geometries' S-curve midpoint
+        # ((1/b)^(1/r) = 0.707 for both) — the design-point recall
+        # comparison of the round-12 geometry study reads this.
+        F.sum((F.col("jaccard") >= 0.7).cast("long")).alias("ge_07"),
     ).collect()[0]
     release_pins()
     return {
@@ -132,7 +136,25 @@ def verify_chunk(spark, sf_dir: str, workdir: str, chunk: int) -> dict:
         "verified": row["verified"],
         "jsum": round(float(row["jsum"] or 0.0), 6),
         "ge_05": row["ge_05"],
+        "ge_07": row["ge_07"],
     }
+
+
+def phase_b_rows(stdout: str) -> list[dict]:
+    """Phase-b result rows from a chunk subprocess's stdout. ADVICE
+    r11: each line is parsed as JSON and selected by the parsed
+    ``phase`` field — a prefix string-match breaks on any json.dumps
+    formatting change, and the bare ``[-1]`` index raised an opaque
+    IndexError when stdout was polluted (Spark WARN leakage)."""
+    rows = []
+    for ln in stdout.splitlines():
+        try:
+            parsed = json.loads(ln)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(parsed, dict) and parsed.get("phase") == "b":
+            rows.append(parsed)
+    return rows
 
 
 def main() -> None:
@@ -170,6 +192,13 @@ def main() -> None:
         spark.stop()
         return
     if phase == "b":
+        # ADVICE r11: a manual phase-b run without --chunk would
+        # filter(ck == -1), silently verify an EMPTY set and print
+        # verified=0 — error out instead.
+        if not 0 <= chunk < chunks:
+            sys.exit(
+                f"--phase b requires --chunk in [0, {chunks}) (got {chunk})"
+            )
         spark = _spark(parts)
         print(json.dumps({"phase": "b", **verify_chunk(spark, sf_dir, workdir, chunk)}), flush=True)
         spark.stop()
@@ -183,7 +212,7 @@ def main() -> None:
     a_sec = round(time.perf_counter() - t0, 1)
     print(json.dumps({"phase": "a", "sec": a_sec, **a}), flush=True)
 
-    total = {"verified": 0, "jsum": 0.0, "ge_05": 0}
+    total = {"verified": 0, "jsum": 0.0, "ge_05": 0, "ge_07": 0}
     chunk_secs = []
     for k in range(chunks):
         t1 = time.perf_counter()
@@ -197,14 +226,21 @@ def main() -> None:
             print(json.dumps({"phase": "b", "chunk": k, "error":
                               out.stderr[-500:]}), flush=True)
             sys.exit(1)
-        row = json.loads(
-            [ln for ln in out.stdout.splitlines() if ln.startswith('{"phase": "b"')][-1]
-        )
+        rows = phase_b_rows(out.stdout)
+        if not rows:
+            print(json.dumps({
+                "phase": "b", "chunk": k,
+                "error": "no phase-b JSON line in subprocess stdout",
+                "stdout_tail": out.stdout[-500:],
+            }), flush=True)
+            sys.exit(1)
+        row = rows[-1]
         chunk_secs.append(round(time.perf_counter() - t1, 1))
         print(json.dumps({**row, "sec": chunk_secs[-1]}), flush=True)
         total["verified"] += row["verified"]
         total["jsum"] = round(total["jsum"] + row["jsum"], 6)
         total["ge_05"] += row["ge_05"]
+        total["ge_07"] += row.get("ge_07", 0)
     print(json.dumps({
         "phase": "census", "sf_dir": sf_dir, "chunks": chunks,
         "phase_a_sec": a_sec, "chunk_secs": chunk_secs,

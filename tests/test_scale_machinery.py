@@ -494,6 +494,47 @@ def test_median_protected_warm_guards_composites():
     assert out == 2.5 and not calls and not reruns
 
 
+def test_contention_rule_catches_r10_and_passes_quiet_rounds():
+    """VERDICT r11 ask #3: the calibration-ratio gate must flag the
+    r10 contended session (ratio 3.32 vs r9's 1.92) under BOTH arms,
+    pass the quiet rounds (r11's 1.92 even against r10's contended
+    3.32 prior — below both arms), and stay closed on missing
+    data."""
+    import bench
+
+    # r10 vs r9: trips both arms (3.32 > 2.5, and > 1.5 * 1.92)
+    assert bench.contention_suspicious(3.32, 1.92)
+    # absolute arm alone: prior round was itself contended
+    assert bench.contention_suspicious(3.4, 3.32)
+    # r11 vs r10's contended prior: 1.92 passes (below abs, below rel)
+    assert not bench.contention_suspicious(1.92, 3.32)
+    # r9-style quiet round vs quiet prior
+    assert not bench.contention_suspicious(1.92, 1.92)
+    # moderate theft the absolute arm misses, relative arm catches
+    assert bench.contention_suspicious(2.4, 1.5)
+    # missing data: closed
+    assert not bench.contention_suspicious(None, 1.9)
+    assert not bench.contention_suspicious(2.4, None)
+
+
+def test_prior_calibration_ratio_reads_field_or_derives():
+    """The contention gate's prior comes from the recorded
+    calibration_ratio (r11+) or is derived from the two controls for
+    pre-r11 records; absent both, None (gate falls back to the
+    absolute arm only)."""
+    import bench
+
+    assert bench.prior_calibration_ratio({"calibration_ratio": 1.92}) == 1.92
+    assert bench.prior_calibration_ratio(
+        {"calibration_sec": 1.51, "calibration_1t_sec": 0.455}
+    ) == round(1.51 / 0.455, 4)
+    assert bench.prior_calibration_ratio({"calibration_sec": 1.51}) is None
+    assert bench.prior_calibration_ratio(None) is None
+    # the repo's real prior record must yield a usable ratio
+    prior = bench.prior_round_record("0.1")
+    assert bench.prior_calibration_ratio(prior) is not None
+
+
 def test_bench_detail_filename_isolated_in_only_mode():
     """ADVICE r9: --only isolation runs must not clobber the round's
     permanent BENCH_DETAIL.json with a partial payload. The filename
@@ -532,24 +573,62 @@ def test_lsh_chunked_verify_equals_census(spark, sf_dir, tmp_path):
     spec.loader.exec_module(mod)
 
     mod.phase_a(spark, sf_dir, str(tmp_path), chunks=3)
-    tot = {"verified": 0, "jsum": 0.0, "ge_05": 0}
+    tot = {"verified": 0, "jsum": 0.0, "ge_05": 0, "ge_07": 0}
     for k in range(3):
         row = mod.verify_chunk(spark, sf_dir, str(tmp_path), k)
         tot["verified"] += row["verified"]
         tot["jsum"] = round(tot["jsum"] + row["jsum"], 6)
         tot["ge_05"] += row["ge_05"]
+        tot["ge_07"] += row["ge_07"]
 
     census = q_dedup_minhash_lsh(spark, sf_dir).agg(
         F.count("*").alias("verified"),
         F.sum("jaccard").alias("jsum"),
         F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("ge_05"),
+        F.sum((F.col("jaccard") >= 0.7).cast("long")).alias("ge_07"),
     ).collect()[0]
     from validation_database_spark.util import release_pins
 
     release_pins()
     assert tot["verified"] == census["verified"] > 0
     assert tot["ge_05"] == census["ge_05"]
+    assert tot["ge_07"] == census["ge_07"]
     assert abs(tot["jsum"] - float(census["jsum"])) < 1e-3
+
+
+def test_lsh_chunked_verify_phase_b_guards(tmp_path):
+    """ADVICE r11, both items: (1) a manual ``--phase b`` without
+    ``--chunk`` must ERROR, not silently verify an empty set; (2) the
+    driver-mode subprocess parse must select rows by parsed JSON
+    phase, surviving formatting changes and polluted stdout."""
+    import json
+    import importlib.util
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "scripts", "lsh_chunked_verify.py")
+    out = subprocess.run(
+        [sys.executable, script, "/root/testdata/sf0.001",
+         "--workdir", str(tmp_path), "--phase", "b"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode != 0
+    assert "--chunk" in out.stderr
+
+    spec = importlib.util.spec_from_file_location("lsh_chunked_verify", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    good = {"phase": "b", "chunk": 1, "verified": 3}
+    stdout = "\n".join([
+        "WARN some spark noise",
+        json.dumps({"phase": "a", "candidates": 9}),
+        json.dumps(good, indent=None, separators=(", ", ": ")),
+        "not json at all",
+    ])
+    assert mod.phase_b_rows(stdout) == [good]
+    assert mod.phase_b_rows("WARN only noise\n") == []
 
 
 def test_verify_harness_releases_pins_per_spec():

@@ -143,11 +143,59 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
 
 # --- IVF (cell-probed) -------------------------------------------------
 
+
+def _geo_opt(name: str) -> int | None:
+    """Like :func:`_geo` but with NO fixed default: None means
+    "derive at plan time from corpus stats" (VERDICT r11 ask #2 —
+    the 2M-vector point was hand-sized from docstring prose; the
+    env override is retained for deployments that know better)."""
+    import os
+
+    v = os.environ.get(f"SPARK_GRAFT_{name}")
+    return int(v) if v is not None else None
+
+
 # Fan-out layout knobs for the float IVF arm (VERDICT r10 ask #1 —
-# see q_ann_ivf_cosine's docstring). Defaults keep the fixture SFs
-# cheap; a deployment sizes them to the corpus via SPARK_GRAFT_*.
-ANN_FLOAT_SALT = _geo("ANN_FLOAT_SALT", 4)
-ANN_FLOAT_PARTS = _geo("ANN_FLOAT_PARTS", 32)
+# see q_ann_ivf_cosine's docstring). Since round 12 the default is
+# PLAN-TIME DERIVED from corpus stats (ann_float_layout below);
+# setting SPARK_GRAFT_ANN_FLOAT_SALT / _PARTS pins either knob.
+ANN_FLOAT_SALT = _geo_opt("ANN_FLOAT_SALT")
+ANN_FLOAT_PARTS = _geo_opt("ANN_FLOAT_PARTS")
+# Target fan-out pairs per task for the derived layout (~5 s of the
+# measured 0.58 µs/pair float scoring per slab).
+ANN_FLOAT_SLAB = _geo("ANN_FLOAT_SLAB", 8_000_000)
+# Probes visit POPULOUS cells preferentially (a cell's probe mass
+# correlates with its member mass), so the uniform estimate
+# queries·nprobe·(n/nlist) undercounts: the round-11 2M census
+# measured 3.21B actual vs 1.25B uniform — ratio 2.6. 2.5 is the
+# skew allowance baked into the estimate (an OVER-estimate only
+# costs smaller slabs; an under-estimate costs stragglers).
+ANN_FANOUT_SKEW = 2.5
+
+
+def ann_float_layout(n_vectors: int | None) -> tuple[int, int]:
+    """Derive the float arm's (salt, parts) from the corpus size —
+    the docstring sizing prose of round 11 as code (VERDICT r11 ask
+    #2). Estimated fan-out = (n/QUERY_MOD)·nprobe·(n/nlist)·skew,
+    then operators.fanout.fanout_layout targets ANN_FLOAT_SLAB pairs
+    per task with the r10 fixture floors (4, 32) — small corpora keep
+    the proven fixture layout exactly; the 2M-vector replica derives
+    (8, 391), the decade the hand-sized salt 8 / parts 256 run
+    measured at 1,993 s cold (SCALE.md round 11). Pinned at both
+    anchors by tests/test_fanout.py. None (footer stats unreadable)
+    falls back to the floors."""
+    from ..operators.fanout import fanout_layout
+
+    if n_vectors is None:
+        return fanout_layout(1, CENTROID_CAP, ANN_FLOAT_SLAB)
+    nlist = min(CENTROID_CAP, max(n_vectors // CENTROID_MOD, 1))
+    est = (
+        (n_vectors / QUERY_MOD)
+        * N_PROBE
+        * (n_vectors / max(nlist, 1))
+        * ANN_FANOUT_SKEW
+    )
+    return fanout_layout(est, nlist, ANN_FLOAT_SLAB)
 
 
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,9 +222,13 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ~pairs/(nlist x salt) even under cell skew. Value-neutral:
     same pairs, same scores, same tie-breaks (pinned by
     tests/test_ann_recall.py::test_ann_float_salt_is_value_neutral);
-    SCALE.md round 11 has the re-measured 2M point. Geometry knobs:
-    SPARK_GRAFT_ANN_FLOAT_SALT / SPARK_GRAFT_ANN_FLOAT_PARTS (size
-    salt ~ hot-cell pairs / target slab, parts >= executor slots)."""
+    SCALE.md round 11 has the re-measured 2M point. Layout sizing
+    (round 12, VERDICT r11 ask #2): derived at plan time from the
+    corpus row count by ann_float_layout — fixture corpora keep the
+    proven (4, 32) floors, the 2M replica derives (8, 391) — with
+    SPARK_GRAFT_ANN_FLOAT_SALT / _PARTS retained as pin-overrides
+    and SPARK_GRAFT_ANN_FLOAT_SLAB setting the per-task pair
+    target."""
     emb = _unit_emb(spark, sf_dir)
     cents = emb.filter(
         (F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
@@ -241,16 +293,23 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # search only the probed cells. Salt + explicit-count repartition
     # bound the fan-out stage's sort slabs and parallelism (docstring
-    # above); every pair matches on exactly one salt value.
-    a_s = assigned.withColumn(
-        "__salt",
-        (F.crc32(F.col("vec_id").cast("string")) % ANN_FLOAT_SALT).cast("int"),
-    ).repartition(ANN_FLOAT_PARTS, "cent_id", "__salt")
-    p_s = probes.select(
-        "*",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(ANN_FLOAT_SALT - 1))
-        ).alias("__salt"),
+    # above); every pair matches on exactly one salt value. The
+    # layout is plan-time derived from the corpus row count unless
+    # the env knobs pin it (ann_float_layout above).
+    from ..operators.fanout import parquet_rows, salted_fanout
+
+    salt_n, parts_n = ANN_FLOAT_SALT, ANN_FLOAT_PARTS
+    if salt_n is None or parts_n is None:
+        d_salt, d_parts = ann_float_layout(parquet_rows(sf_dir, "embeddings"))
+        salt_n = d_salt if salt_n is None else salt_n
+        parts_n = d_parts if parts_n is None else parts_n
+    a_s, p_s = salted_fanout(
+        assigned,
+        probes,
+        F.col("vec_id").cast("string"),
+        salt_n,
+        parts=parts_n,
+        partition_keys=("cent_id",),
     )
     scored = (
         p_s.join(a_s, ["cent_id", "__salt"])
@@ -1938,13 +1997,13 @@ def _rag_quant_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch allocation = OutOfDirectMemory at the sf10 replica
     # (SCALE.md round 9). Each chunk lands in exactly one bucket, so
     # every pair is still scored exactly once.
-    salt = F.crc32(F.concat_ws("_", "doc_id", "chunk_idx")) % RAG_COGROUP_SALT
-    ak = assigned.withColumn("__salt", salt.cast("int"))
-    pk = probes.select(
-        "*",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(RAG_COGROUP_SALT - 1))
-        ).alias("__salt"),
+    from ..operators.fanout import salted_fanout
+
+    ak, pk = salted_fanout(
+        assigned,
+        probes,
+        F.concat_ws("_", "doc_id", "chunk_idx"),
+        RAG_COGROUP_SALT,
     )
     scored = (
         ak.groupby("cent_id", "__salt")
@@ -2163,15 +2222,10 @@ def q_ann_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = _topk_cells_explode(
         queries, "qx", cent_rows, "cent_id", "cx", N_PROBE, keep_cells=False
     )
-    salt = (F.crc32(F.col("vec_id").cast("string")) % ANN_COGROUP_SALT).cast(
-        "int"
-    )
-    ak = assigned.withColumn("__salt", salt)
-    pk = probes.select(
-        "*",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(ANN_COGROUP_SALT - 1))
-        ).alias("__salt"),
+    from ..operators.fanout import salted_fanout
+
+    ak, pk = salted_fanout(
+        assigned, probes, F.col("vec_id").cast("string"), ANN_COGROUP_SALT
     )
     scored = (
         ak.groupby("cent_id", "__salt")
