@@ -210,6 +210,10 @@ def unwrap_record(rec: dict) -> dict | None:
     if not isinstance(rec, dict):
         return None
     inner = rec.get("parsed") if isinstance(rec.get("parsed"), dict) else rec
+    if "cpus" not in inner and isinstance(rec.get("cpus"), int):
+        # the session width lives on the driver WRAPPER; the
+        # contention gate needs it to core-normalize the prior ratio
+        inner = dict(inner, cpus=rec["cpus"])
     if "queries_warm" not in inner and "warm_vals" in inner:
         names = list(inner.get("queries", {}))
         vals = inner["warm_vals"]
@@ -345,14 +349,29 @@ GHOST_COLD_OVER_WARM = 3.0
 CONTENDED_RATIO_ABS = 2.5
 CONTENDED_RATIO_REL = 1.5
 CONTENTION_COOLDOWN_SEC = 10.0
+REFERENCE_CPUS = 32  # the driver's session width the thresholds were set at
+
+
+def normalized_ratio(ratio: float | None, cpus: int | None) -> float | None:
+    """Core-count-normalize a parallel/1t calibration ratio to the
+    32-core reference. The raw ratio scales ~1/cores (the parallel
+    control is a fixed 33× the 1t workload split across the
+    session's cores), so a local[8] iteration run IDEALLY reads ~4×
+    — the rule's first live firing mis-flagged exactly that. At the
+    reference width the normalization is the identity, so every
+    historical BENCH record reads unchanged."""
+    if ratio is None:
+        return None
+    return round(ratio * (cpus or REFERENCE_CPUS) / REFERENCE_CPUS, 4)
 
 
 def contention_suspicious(
     ratio: float | None, prior_ratio: float | None
 ) -> bool:
-    """True when the calibration ratio signals session-global
-    contention. Pure so tests/test_scale_machinery.py can pin the
-    rule against the r9/r10/r11 recorded ratios."""
+    """True when the (core-normalized) calibration ratio signals
+    session-global contention. Pure so tests/test_scale_machinery.py
+    can pin the rule against the r9/r10/r11 recorded ratios (all at
+    the 32-core reference, where normalization is the identity)."""
     if ratio is None:
         return False
     if ratio > CONTENDED_RATIO_ABS:
@@ -361,17 +380,20 @@ def contention_suspicious(
 
 
 def prior_calibration_ratio(prior: dict | None) -> float | None:
-    """The prior round's parallel/1t control ratio: the recorded
-    field (r11+) or derived from the two controls when both are
-    present (pre-r11 records)."""
+    """The prior round's CORE-NORMALIZED parallel/1t control ratio:
+    the recorded field (r11+) or derived from the two controls when
+    both are present (pre-r11 records), normalized by the record's
+    session width (the driver wrapper's ``cpus``, hoisted by
+    unwrap_record; absent → the 32-core reference, true of every
+    driver record)."""
     if not prior:
         return None
-    if prior.get("calibration_ratio") is not None:
-        return prior["calibration_ratio"]
-    cal, cal1t = prior.get("calibration_sec"), prior.get("calibration_1t_sec")
-    if cal and cal1t:
-        return round(cal / cal1t, 4)
-    return None
+    ratio = prior.get("calibration_ratio")
+    if ratio is None:
+        cal, cal1t = prior.get("calibration_sec"), prior.get("calibration_1t_sec")
+        if cal and cal1t:
+            ratio = cal / cal1t
+    return normalized_ratio(ratio, prior.get("cpus"))
 
 
 def ghost_suspicious(
@@ -495,10 +517,11 @@ def main() -> None:
     # re-measure of the control pair — the better (lower-ratio) pair
     # is reported, and if the re-measure still trips, the payload is
     # stamped contended_record below.
+    cpus = spark.sparkContext.defaultParallelism
     prior_ratio = prior_calibration_ratio(prior)
     ratio = round(calibration / calibration_1t, 4) if calibration_1t else None
     calibration_retries: list[dict] = []
-    if contention_suspicious(ratio, prior_ratio):
+    if contention_suspicious(normalized_ratio(ratio, cpus), prior_ratio):
         calibration_retries.append(
             {"calibration_sec": calibration, "calibration_1t_sec": calibration_1t,
              "ratio": ratio}
@@ -509,7 +532,7 @@ def main() -> None:
         re_ratio = round(re_cal / re_1t, 4) if re_1t else None
         if re_ratio is not None and (ratio is None or re_ratio < ratio):
             calibration, calibration_1t, ratio = re_cal, re_1t, re_ratio
-    contended = contention_suspicious(ratio, prior_ratio)
+    contended = contention_suspicious(normalized_ratio(ratio, cpus), prior_ratio)
 
     # The BASELINE-comparable composites run FIRST, before the timed
     # suite: the round-6 isolation study (SCALE.md "Parity-family
@@ -622,8 +645,11 @@ def main() -> None:
         # 32-way control 1.6x slower while the 1-thread control got
         # FASTER) moves this ratio without moving calibration_1t_sec
         # — r10 read 3.32 vs r9's 1.92 on the same box. Acted on
-        # since r12 (the cooldown gate in main, VERDICT r11 ask #3).
+        # since r12 (the cooldown gate in main, VERDICT r11 ask #3);
+        # the gate compares the ratio CORE-NORMALIZED to the 32-core
+        # reference (`cpus` below is the session width it used).
         "calibration_ratio": ratio,
+        "cpus": cpus,
     }
     if contended:
         # The cooldown re-measure still tripped the rule: every

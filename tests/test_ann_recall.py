@@ -313,6 +313,25 @@ def test_ann_float_salt_is_value_neutral(spark, sf_dir, monkeypatch):
     assert base == one == three
 
 
+def test_rag_float_dropped_hint_regime_is_value_neutral(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r11 ask #5: the float RAG fold past the probe
+    broadcast bound must switch to the salted REPARTITION_BY_NUM
+    layout (the q_ann_ivf_cosine shape) and produce the IDENTICAL
+    result set — the regime is layout-only. Forced here by zeroing
+    the row bound at fixture scale."""
+    from validation_database_spark.suite import similarity as S
+
+    bcast = sorted(map(tuple, S.q_rag_retrieval_ivf(spark, sf_dir).collect()))
+    assert bcast, "fixture must retrieve pairs"
+    monkeypatch.setattr(S, "RAG_BCAST_PROBE_ROWS", -1)
+    dropped = sorted(
+        map(tuple, S.q_rag_retrieval_ivf(spark, sf_dir).collect())
+    )
+    assert bcast == dropped
+
+
 def test_rag_quant_strong_recall_at_sqrt_n_geometry(spark, sf_dir, monkeypatch):
     """VERDICT r9 ask #4: the nlist ~ sqrt(n) production geometry must
     still retrieve strong neighbors. The statistically meaningful

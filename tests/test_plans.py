@@ -296,6 +296,30 @@ def test_ivf_float_fanout_layout_is_pinned(spark, sf_dir):
     assert "Partial" in plan and "WindowGroupLimit" in plan, plan
 
 
+def test_rag_float_dropped_hint_layout_is_pinned(spark, sf_dir, monkeypatch):
+    """VERDICT r11 ask #5: in the dropped-hint regime the float RAG
+    fold's scored fan-out must carry the explicit salted layout —
+    REPARTITION_BY_NUM on (cent_id, __salt), no probe broadcast into
+    the scored join — while the default fixture regime keeps the
+    broadcast-hint plan."""
+    import re
+
+    from validation_database_spark.suite import similarity as S
+
+    # default regime at fixture scale: probe side broadcast, no
+    # salted exchange of the chunk index (util.spread's round-robin
+    # is also REPARTITION_BY_NUM, so pin on the salted key, not the
+    # node name)
+    plan = physical_plan(S.q_rag_retrieval_ivf(spark, sf_dir))
+    assert not re.search(r"hashpartitioning\(cent_id#\d+L?, __salt", plan), plan
+    assert "__salt" not in plan, plan
+
+    monkeypatch.setattr(S, "RAG_BCAST_PROBE_ROWS", -1)
+    plan = physical_plan(S.q_rag_retrieval_ivf(spark, sf_dir))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert re.search(r"hashpartitioning\(cent_id#\d+L?, __salt#\d+", plan), plan
+
+
 def test_rfm_banding_no_global_ntile(spark, sf_dir):
     """RFM scores come from integer banding over bounded distinct-value
     aggregates — no ntile over the customer table."""

@@ -517,6 +517,27 @@ def test_contention_rule_catches_r10_and_passes_quiet_rounds():
     assert not bench.contention_suspicious(2.4, None)
 
 
+def test_contention_ratio_is_core_normalized():
+    """The raw parallel/1t ratio scales ~1/cores (the parallel
+    control is a fixed 33× the 1t workload), so a local[8] iteration
+    run ideally reads ~4.2 — the gate's first live firing mis-flagged
+    exactly that (a QUIET 8-core verify run read 4.37 and was
+    stamped contended). Normalized to the 32-core reference, 8-core
+    quiet sessions pass and the 32-core history reads unchanged."""
+    import bench
+
+    # identity at the reference width — all historical records
+    assert bench.normalized_ratio(3.32, 32) == 3.32
+    assert bench.normalized_ratio(1.92, None) == 1.92
+    assert bench.normalized_ratio(None, 8) is None
+    # the mis-flagged quiet local[8] verify run: 4.37 → 1.09, passes
+    assert not bench.contention_suspicious(
+        bench.normalized_ratio(4.37, 8), 1.92
+    )
+    # genuinely contended 8-core session (raw ~12 = 3x ideal): trips
+    assert bench.contention_suspicious(bench.normalized_ratio(12.0, 8), 1.92)
+
+
 def test_prior_calibration_ratio_reads_field_or_derives():
     """The contention gate's prior comes from the recorded
     calibration_ratio (r11+) or is derived from the two controls for

@@ -23,12 +23,73 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# MinHash/LSH geometry: 16 signatures in 4 bands of 4 rows →
-# candidate-pair threshold ≈ (1/b)^(1/r) = 0.25^0.25 ≈ 0.71 Jaccard.
-NUM_HASHES = 16
-NUM_BANDS = 4
-ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+def _lsh_env(name: str, default: int) -> int:
+    """LSH geometry knob (VERDICT r11 ask #1), same discipline as the
+    IVF ``_geo`` knobs: the DEFAULT is the fixture-determinism value
+    every oracle replays; a deployment sizes the geometry to its
+    corpus (``lsh_geometry`` below is the rule) via
+    ``SPARK_GRAFT_LSH_BANDS`` / ``SPARK_GRAFT_LSH_ROWS``. Read once
+    at import so the Spark builders and the f-string DuckDB oracles
+    bake the SAME geometry — the cross-engine value check stays
+    exact at any setting."""
+    import os
+
+    return int(os.environ.get(f"SPARK_GRAFT_LSH_{name}", default))
+
+
+# MinHash/LSH geometry: b bands of r rows each (k = b·r signatures) →
+# candidate-pair threshold ≈ (1/b)^(1/r); the default 4×4 gives
+# 0.25^0.25 ≈ 0.71 Jaccard. NUM_HASHES is DERIVED (= b·r) so the
+# knobs can never produce an inconsistent slice layout.
+NUM_BANDS = _lsh_env("BANDS", 4)
+ROWS_PER_BAND = _lsh_env("ROWS", 4)
+NUM_HASHES = NUM_BANDS * ROWS_PER_BAND
 SHINGLE_WORDS = 5
+
+
+def lsh_geometry(
+    n_docs: int,
+    threshold: float = 2 ** -0.5,
+    rows_base: int = 4,
+    docs_base: int = 50_000,
+) -> tuple[int, int, int]:
+    """Corpus-size-aware band geometry: ``(num_hashes, num_bands,
+    rows_per_band)`` for an ``n_docs`` corpus at a fixed S-curve
+    midpoint (VERDICT r11 ask #1).
+
+    Why a FIXED geometry drifts super-linearly (the round-11 sf100
+    census: candidates grew 7.1× for 3.3× docs at 4×4): a pair of
+    similarity s becomes a candidate with probability
+    1-(1-s^r)^b ≈ b·s^r for s below the midpoint t=(1/b)^(1/r) —
+    a CONSTANT per-pair rate, while the number of sub-threshold
+    pairs grows ~n². Expected spurious candidates per doc is
+    therefore ~n·(s/t)^r: linear in corpus size at fixed r.
+
+    The rule (the standard S-curve steepening, Leskovec-Rajaraman-
+    Ullman, Mining of Massive Datasets §3.4): hold the midpoint t
+    fixed and add one row per band per DECADE of corpus growth —
+    r = rows_base + ceil(log10(n/docs_base)), b = round(t^-r) (so
+    (1/b)^(1/r) stays ≈ t), k = b·r. Each +1 row multiplies the
+    sub-threshold collision rate by (s/t) < 1 — e.g. ×0.57 at
+    s = 0.4 under t = 0.707 — while pairs AT the midpoint keep
+    per-pair catch probability ~1-(1-1/b)^b → 1-1/e. The price is
+    signature width: k grows ~2^(r/2) for t = 2^-1/2, i.e. ~1.4×
+    per decade of corpus — the verify-side candidate savings
+    (super-linear) dominate the signature-side cost (sub-linear in
+    n) at every measured point (SCALE.md round 12).
+
+    Anchors (pinned by tests/test_dedup_geometry.py): ≤ 50k docs →
+    the fixture default (16, 4, 4); 1.5M–5M docs (the sf30/sf100
+    replicas) → (48, 8, 6), the geometry the round-12 census
+    measures; 500M → (128, 16, 8)."""
+    import math
+
+    if n_docs <= docs_base:
+        r = rows_base
+    else:
+        r = rows_base + math.ceil(math.log10(n_docs / docs_base))
+    b = max(1, round(threshold ** -r))
+    return b * r, b, r
 
 
 def normalized_text(col: Column | str) -> Column:

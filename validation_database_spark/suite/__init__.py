@@ -34,7 +34,7 @@ class QuerySpec:
     headline: bool = False  # include in bench.py's timed suite
 
 
-# The 50 rows the driver hash-checks this round (round 11).
+# The 50 rows the driver hash-checks this round (round 12).
 #
 # STEADY-STATE ROTATION POLICY (from round 8 on, VERDICT r7 ask #3):
 #   1. The 9-entry parity core is pinned — never rotated (it is the
@@ -52,19 +52,18 @@ class QuerySpec:
 #      ~4–5 rounds, so a rewrite that silently changes semantics
 #      (like the r7 estimator rewrite) is caught within that horizon.
 #
-# Round-11 application: seats = 9 core + 1 rule-2 seat (`ann_topk`
-# — its float IVF arm's scored fan-out was RESHAPED this round,
-# VERDICT r10 ask #1: salted, explicitly-partitioned layout so the
-# partial-WindowGroupLimit sort slabs stay bounded at scale; results
-# are value-neutral and the oracle is unchanged, but the driver
-# re-checks the reshaped plan independently) + 40 rule-4
-# oldest-checked greens: the r6 cohort remainder (28) and the first
-# 12 of the r7 cohort by name. No new names this round, so rule 3
-# seats none. Derived by
-# `python scripts/next_window.py --rewritten ann_topk`; provenance
-# note in COVERAGE.md. (next_window.py now folds the r10 rename
-# lineage — see its RENAMES — so promotion renames no longer reset
-# a spec's oldest-checked age.)
+# Round-12 application: seats = 9 core + 2 rule-2 seats (`ann_topk`
+# — its float IVF arm's fan-out layout is now PLAN-TIME DERIVED from
+# corpus stats, VERDICT r11 ask #2 — and `rag_retrieval_float_
+# baseline` — its scored join gained the dropped-broadcast-hint
+# regime switch, ask #5; both value-neutral with unchanged oracles,
+# but the driver re-checks the reshaped builders independently) +
+# 1 rule-3 seat (`dedup_minhash_lsh_tuned`, the new corpus-size-
+# aware-geometry spec, ask #1) + 38 rule-4 oldest-checked greens:
+# the r7 cohort remainder and the first of the r8 cohort by name.
+# Derived by `python scripts/next_window.py --rewritten
+# ann_topk,rag_retrieval_float_baseline`; provenance note in
+# COVERAGE.md.
 # The reference's own workload — rotation rule 1 pins these in every
 # window. scripts/next_window.py derives each round's WINDOW from
 # this constant + the CORRECTNESS_r*.json history (rules 2–4).
@@ -91,46 +90,46 @@ WINDOW = [
     "report_summary",
     "validation_counts",
     "ann_topk",
-    "unit_did_readout",
-    "unit_dq_freshness",
-    "unit_feature_lags",
-    "unit_frame_checksums",
-    "unit_fuzzy_key_join",
-    "unit_group_split_audit",
-    "unit_hard_negatives",
-    "unit_hll_join_overlap",
-    "unit_hll_sliding_wau",
-    "unit_incr_join_view",
-    "unit_jl_projection",
-    "unit_khop_reach",
-    "unit_kmeans_clusters",
-    "unit_mad_anomalies",
-    "unit_mannwhitney_u",
-    "unit_media_dedup",
-    "unit_pq_quantize",
-    "unit_quantile_monitor",
-    "unit_record_linkage",
-    "unit_scd2_temporal_join",
-    "unit_score_lift",
-    "unit_session_week_overlap",
-    "unit_simhash60_wide",
-    "unit_target_encode",
-    "unit_tfidf_top_terms",
-    "unit_trimmed_mean",
-    "unit_watermark_audit",
-    "unit_zipf_fit",
-    "unit_ab_srm",
-    "unit_backfill_plan",
-    "unit_basket_size_dist",
-    "unit_bpe_encode",
-    "unit_bpe_merges",
-    "unit_cms_counts",
-    "unit_compaction_plan",
-    "unit_corpus_outlier_docs",
-    "unit_corr_matrix",
-    "unit_datetime_functions",
-    "unit_discount_effect",
-    "unit_error_rate_hourly",
+    "rag_retrieval_float_baseline",
+    "dedup_minhash_lsh_tuned",
+    "unit_events_json_props",
+    "unit_events_top_paths",
+    "unit_join_audit",
+    "unit_key_skew_stats",
+    "unit_langid_confusion",
+    "unit_map_event_counts",
+    "unit_math_funcs",
+    "unit_minhash_estimate",
+    "unit_mix_rebalance",
+    "unit_negative_sampling",
+    "unit_new_vs_returning",
+    "unit_order_cycle_time",
+    "unit_phrase_search",
+    "unit_price_iqr_fences",
+    "unit_priority_ontime_matrix",
+    "unit_quality_funnel",
+    "unit_return_rate_trend",
+    "unit_sample_reservoir_weighted",
+    "unit_shard_rendezvous",
+    "unit_source_reputation",
+    "unit_string_funcs",
+    "unit_supplier_hhi",
+    "unit_top_movers",
+    "unit_url_dedup",
+    "unit_vocab_coverage",
+    "unit_weighted_delivery_quantiles",
+    "unit_window_functions",
+    "unit_zone_map_prune",
+    "unit_zorder_layout",
+    "array_stats",
+    "asof_view_before_purchase",
+    "big_spender_months",
+    "distinct_parts_per_order",
+    "doc_sampling",
+    "events_anomalies",
+    "events_resample_ffill",
+    "events_user_stats",
+    "events_window_agg",
 ]
 
 

@@ -403,21 +403,64 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(pairs, shingles)
 
 
-def _oracle_minhash() -> str:
+# The corpus-size-aware geometry at the scale-replica decade
+# (VERDICT r11 ask #1): lsh_geometry(5M) = 8 bands × 6 rows, k=48 —
+# same 0.707 S-curve midpoint as the 4×4 default, sharper curve, so
+# sub-threshold bucket collisions (the super-linear term the sf100
+# census measured: candidates 7.1× for 3.3× docs) shrink by (s/t)^2
+# per pair. Pinned as CONSTANTS here (not env-derived) so the spec
+# is deterministic at every SF and its oracle bakes the identical
+# geometry.
+LSH_TUNED_HASHES, LSH_TUNED_BANDS, LSH_TUNED_ROWS = D.lsh_geometry(5_000_000)
+
+
+def q_dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH pipeline under the corpus-size-aware band
+    geometry (`operators.dedup.lsh_geometry` — one row per band per
+    decade of corpus growth at a fixed S-curve midpoint), pinned at
+    the 5M-doc operating point the round-12 sf100 census measures:
+    8 bands × 6 rows, 48 signatures. Same shingles, same hash
+    family, same exact-Jaccard verify as `dedup_minhash_lsh`; only
+    the banding differs, trading 3× signature width for a
+    super-linear cut in sub-threshold candidates (SCALE.md round 12
+    has the measured 5M-doc containment). The DuckDB oracle replays
+    the identical tuned geometry, so the approximation itself is
+    value-checked, exactly as for the default spec."""
+    docs = load_table(spark, "documents", sf_dir)
+    shingles = pin(D.exploded_shingles(docs))
+    sigs = D.minhash_signatures(shingles, num_hashes=LSH_TUNED_HASHES)
+    bands = D.lsh_bands(
+        sigs, num_bands=LSH_TUNED_BANDS, rows_per_band=LSH_TUNED_ROWS
+    )
+    pairs = D.lsh_candidate_pairs(bands)
+    return D.jaccard_verify(pairs, shingles)
+
+
+def _oracle_minhash(
+    num_hashes: int | None = None,
+    num_bands: int | None = None,
+    rows_per_band: int | None = None,
+) -> str:
+    """DuckDB replay of the full MinHash-LSH pipeline, parameterized
+    over band GEOMETRY (round 12) so the corpus-size-tuned spec gets
+    the same exact cross-engine value check as the default."""
+    num_hashes = D.NUM_HASHES if num_hashes is None else num_hashes
+    num_bands = D.NUM_BANDS if num_bands is None else num_bands
+    rows_per_band = D.ROWS_PER_BAND if rows_per_band is None else rows_per_band
     sig_cols = ", ".join(
         "min(substr(md5('{seed}|' || sh), {start}, 8)) AS s{i}".format(
             seed=i // D.SLICES_PER_MD5, start=1 + 8 * (i % D.SLICES_PER_MD5), i=i
         )
-        for i in range(D.NUM_HASHES)
+        for i in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
             b=b,
             cols=", ".join(
-                f"s{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+                f"s{b * rows_per_band + r}" for r in range(rows_per_band)
             ),
         )
-        for b in range(D.NUM_BANDS)
+        for b in range(num_bands)
     )
     return f"""
 WITH {_SH_CTE},
@@ -1451,6 +1494,11 @@ UNIT_SPECS = [
               headline=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _oracle_minhash(),
               "MinHash(16)+LSH(4×4) candidates + exact verify", headline=True),
+    QuerySpec("dedup_minhash_lsh_tuned", q_dedup_minhash_lsh_tuned,
+              _oracle_minhash(LSH_TUNED_HASHES, LSH_TUNED_BANDS,
+                              LSH_TUNED_ROWS),
+              "corpus-size-aware LSH geometry (8×6, k=48) — the"
+              " 5M-doc operating point of lsh_geometry", headline=True),
     QuerySpec("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
               "duplicate clustering: connected components on the pair graph"),
     # the narrow 15-bit geometry — driver-green r5 as

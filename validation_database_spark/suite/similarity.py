@@ -1397,6 +1397,22 @@ RAG_ASSIGN = _geo("RAG_ASSIGN", 2)
 # probes replicate into all buckets). Value-neutral — any setting
 # scores every pair exactly once — so the oracle ignores it.
 RAG_COGROUP_SALT = _geo("RAG_COGROUP_SALT", 8)
+# Probe-broadcast bound for the float fold (VERDICT r11 ask #5):
+# above this many estimated probe rows (|queries|·nprobe, each
+# carrying a d=64-double qvec — ~200k rows ≈ 100 MB of broadcast
+# payload, the sensible driver/executor-memory ceiling well past the
+# 10 MB auto threshold a HINT ignores), the broadcast hint is
+# DROPPED and the scored join runs in the salted REPARTITION_BY_NUM
+# layout instead — previously a prose recipe in this module, now the
+# code path q_rag_retrieval_ivf switches to (the round-10 DNF trap
+# this disarms: AQE sizes the fan-out stage by its small join
+# inputs). Env: SPARK_GRAFT_RAG_BCAST_ROWS.
+RAG_BCAST_PROBE_ROWS = _geo("RAG_BCAST_ROWS", 200_000)
+# Chunk-count estimate for the dropped-hint layout sizing: sliding
+# 64-token windows at stride 32 over the fixture corpus measure
+# ~2-3 chunks/doc; 4 is the deliberate over-estimate (an over-sized
+# estimate only shrinks slabs, an under-sized one costs stragglers).
+RAG_CHUNKS_PER_DOC_EST = 4
 
 
 def _rag_frames(
@@ -1555,19 +1571,23 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prn") <= RAG_N_PROBE)
         .select("query_doc_id", "qvec", "cent_id")
     )
-    # broadcast the probe side (|queries|·nprobe rows, each carrying a
-    # d-double qvec) so the chunk index joins in place without
-    # shuffling. BOUND: this holds while |queries|·nprobe·d doubles fit
-    # the broadcast limit (~10 MB default ⇒ ~hundreds of thousands of
-    # probe rows at d=64); past that, drop the hint — AQE falls back to
-    # a cent_id-keyed shuffle where the chunk index moves once — or
-    # broadcast only (query_doc_id, cent_id, probed) and attach qvec
-    # via a second query-keyed join after the cell filter. In the
-    # dropped-hint regime, also salt the cell key and pin the
-    # partition count exactly as q_ann_ivf_cosine does
-    # (ANN_FLOAT_SALT/ANN_FLOAT_PARTS) — round 11 measured that an
-    # AQE-coalesced fan-out stage, not the exchange, is what DNF'd
-    # the ANN twin's 2M-vector decade.
+    # Two serving regimes (VERDICT r11 ask #5 — the round-11 prose
+    # recipe, now code):
+    # - BROADCAST (small probe side): |queries|·nprobe rows, each
+    #   carrying a d-double qvec, ship to every executor and the
+    #   chunk index joins in place without shuffling.
+    # - DROPPED-HINT (past RAG_BCAST_PROBE_ROWS): the probe side is
+    #   too big to ship whole. The chunk index moves ONCE through a
+    #   cent_id-keyed exchange — and because the scored join is a
+    #   many-to-many fan-out whose output dwarfs its inputs, the
+    #   exchange must be the salted REPARTITION_BY_NUM layout
+    #   (operators.fanout.salted_fanout, sized by fanout_layout),
+    #   NOT whatever AQE coalesces from the small inputs — round 11
+    #   measured exactly that coalesced-fan-out trap DNF the ANN
+    #   twin's 2M-vector decade. Value-neutral: same pairs, same
+    #   scores, same tie-breaks under either regime (pinned by
+    #   tests/test_ann_recall.py::test_rag_float_dropped_hint_regime
+    #   _is_value_neutral); plan pinned in tests/test_plans.py.
     # A pair reachable through SEVERAL of a chunk's assigned cells
     # would rank once per reachable cell. Dedup BEFORE scoring, with a
     # map-side rule instead of a second wide shuffle (a distinct over
@@ -1582,8 +1602,31 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list("cent_id").alias("probed")
     )
     probes = probes.join(F.broadcast(probe_sets), "query_doc_id")
+    from ..operators.fanout import fanout_layout, parquet_rows, salted_fanout
+
+    n_docs = parquet_rows(sf_dir, "documents")
+    est_probes = (n_docs // RAG_QUERY_MOD) * RAG_N_PROBE if n_docs else 0
+    if est_probes > RAG_BCAST_PROBE_ROWS:
+        # dropped-hint regime (block comment above)
+        est_pairs = (
+            est_probes
+            * (n_docs * RAG_CHUNKS_PER_DOC_EST * RAG_ASSIGN)
+            / max(min(RAG_CENT_CAP, n_docs // RAG_CENT_MOD or 1), 1)
+        )
+        n_salt, parts = fanout_layout(est_pairs, RAG_CENT_CAP, ANN_FLOAT_SLAB)
+        a_s, p_s = salted_fanout(
+            assigned,
+            probes,
+            F.concat_ws("_", "doc_id", "chunk_idx"),
+            n_salt,
+            parts=parts,
+            partition_keys=("cent_id",),
+        )
+        joined = p_s.join(a_s, ["cent_id", "__salt"])
+    else:
+        joined = F.broadcast(probes).join(assigned, "cent_id")
     scored = (
-        F.broadcast(probes).join(assigned, "cent_id")
+        joined
         .filter(F.col("doc_id") != F.col("query_doc_id"))
         .filter(
             ~F.arrays_overlap(
