@@ -75,14 +75,31 @@ def _spark(shuffle_partitions: int):
 
 def phase_a(spark, sf_dir: str, workdir: str, chunks: int) -> dict:
     """Candidate generation, once: persist (id_a, id_b, ck) pairs
-    bucketed by crc32(id_a) % chunks. Returns candidate count."""
+    bucketed by crc32(id_a) % chunks. Returns candidate count.
+
+    Signatures come from the ROW-LOCAL form
+    (`with_rowlocal_signatures` — value-identical to the exploded
+    groupBy form, pinned by tests/test_streaming_incremental.py),
+    NOT the batch-preferred exploded aggregation: on one box the
+    census is SCRATCH-bound, not CPU-bound, and the exploded form's
+    (doc_id, shingle) distinct + partial-min exchanges are the
+    dominant scratch term — at the tuned k=48 geometry they
+    overflowed this sandbox's 77 GB free mid-phase-A at 5M docs
+    (round 12), exactly where the k=16 default had peaked at ~18 GB
+    (round 11). The row-local form is a narrow map: the only
+    phase-A shuffles left are the band bucket join and the pair
+    distinct, both sized by OUTPUT (candidates), not by corpus ×
+    signature width. On a cluster, prefer the exploded form — the
+    scratch spreads and its whole-stage codegen wins CPU-bound."""
     from validation_database_spark.operators import dedup as D
     from validation_database_spark.sources import load_table
-    from validation_database_spark.util import pin, release_pins
+    from validation_database_spark.util import release_pins, spread
 
     docs = load_table(spark, "documents", sf_dir)
-    shingles = pin(D.exploded_shingles(docs))
-    pairs = D.lsh_candidate_pairs(D.lsh_bands(D.minhash_signatures(shingles)))
+    sigs = D.with_rowlocal_signatures(
+        spread(docs.select("doc_id", "text"))
+    ).select("doc_id", *[f"s{i}" for i in range(D.NUM_HASHES)])
+    pairs = D.lsh_candidate_pairs(D.lsh_bands(sigs))
     out = os.path.join(workdir, "pairs.parquet")
     (
         pairs.withColumn(
