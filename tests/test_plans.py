@@ -808,3 +808,91 @@ def test_ann_quant_plan_no_fanout_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(set(re.findall(r"hashpartitioning\(cent_id#\d+", plan))) <= 2, plan
+
+
+def test_sql_string_builders_same_semantics(spark, sf_dir):
+    """Round-12 py4j-chatter fix: the hot frame builders (_unit_emb,
+    _rag_frames, _to_e6 projections) are rendered as Spark-SQL strings
+    parsed JVM-side (a profiled rag-quant BUILD was 1,312 py4j round
+    trips ≈ 1.1 s per timed run in the Column-API form). This pins
+    that each string build canonicalizes to the SAME logical plan as
+    the Column-API tree it replaced — sameSemantics ⇒ bit-identical
+    results, not approximately-equal ones."""
+    from pyspark.sql import functions as F
+
+    from validation_database_spark.operators.vectors import l2_norm
+    from validation_database_spark.suite import similarity as S
+    from validation_database_spark.suite.text import (
+        CHUNK_SIZE,
+        _STRIDE,
+        _hash_bucket_counts,
+        _tokens,
+    )
+    from validation_database_spark.util import spread
+
+    # _unit_emb vs its historical Column-API form
+    emb_old_base = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+    )
+    emb_old = spread(emb_old_base).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("__nrm")
+        ).alias("u"),
+    )
+    assert S._unit_emb(spark, sf_dir).sameSemantics(emb_old)
+
+    # _rag_frames' chunk pipeline vs the historical Column-API form
+    docs_old = spread(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_STRIDE)
+    )
+    chunks_raw_old = (
+        docs_old.select(
+            "doc_id", F.posexplode(starts).alias("chunk_idx", "st"), "toks"
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.slice(F.col("toks"), F.col("st"), CHUNK_SIZE).alias("ctoks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            _hash_bucket_counts(F.col("ctoks")).alias("cv"),
+        )
+        .withColumn("__n", F.greatest(l2_norm(F.col("cv")), F.lit(1e-12)))
+    )
+    chunks_old = spread(chunks_raw_old).select(
+        "doc_id",
+        "chunk_idx",
+        F.transform("cv", lambda x: x / F.col("__n")).alias("cvec"),
+    )
+    chunks_new, queries_new, cents_new = S._rag_frames(spark, sf_dir)
+    assert chunks_new.sameSemantics(chunks_old)
+
+    # query/centroid doc-vector frames vs the historical form
+    def unit_docvecs_old(df, id_alias, out):
+        raw = df.select(
+            F.col("doc_id").alias(id_alias),
+            _hash_bucket_counts(F.col("toks")).alias("v"),
+        ).withColumn("__n", F.greatest(l2_norm(F.col("v")), F.lit(1e-12)))
+        return spread(raw).select(
+            id_alias, F.transform("v", lambda x: x / F.col("__n")).alias(out)
+        )
+
+    queries_old = unit_docvecs_old(
+        docs_old.filter(F.col("doc_id") % S.RAG_QUERY_MOD == 0),
+        "query_doc_id",
+        "qvec",
+    )
+    assert queries_new.sameSemantics(queries_old)
+
+    # _to_e6_expr vs _to_e6 on a real frame
+    e6_new = chunks_new.selectExpr(
+        "doc_id", f"{S._to_e6_expr('cvec')} AS x"
+    )
+    e6_old = chunks_new.select("doc_id", S._to_e6(F.col("cvec")).alias("x"))
+    assert e6_new.sameSemantics(e6_old)

@@ -143,10 +143,20 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
 
     Each seeded md5 is sliced into four independent 8-hex (32-bit)
     values, so k signatures cost k/4 md5 evaluations per shingle —
-    the md5s are materialized once in a projection and the min
-    aggregates see only cheap substrings. (min over an 8-hex slice is
-    still a uniform pseudo-permutation minimum; 32 bits is ample for
-    per-doc shingle counts.)"""
+    the md5s are materialized once in a projection. (min over an
+    8-hex slice is still a uniform pseudo-permutation minimum; 32
+    bits is ample for per-doc shingle counts.)
+
+    The slices are decoded to BIGINT before the min (round 12):
+    fixed-width lowercase hex sorts identically lexicographic and
+    numeric, so every min picks the SAME shingle's hash and every
+    downstream band-bucket equality is preserved — but a k-wide
+    STRING min forces the whole aggregation into SortAggregate
+    (string aggregate buffers are immutable, so HashAggregate cannot
+    hold them), measured as the dominant stage of the LSH specs: the
+    k=48 spec spent 2× ~2 s sorting the full shingle frame per run.
+    BIGINT buffers keep the same aggregate inside HashAggregate (no
+    sort, map-side combine) and halve the shuffled signature bytes."""
     n_md5 = (num_hashes + SLICES_PER_MD5 - 1) // SLICES_PER_MD5
     with_hashes = shingles.select(
         F.col(id_col),
@@ -159,7 +169,11 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
     for i in range(num_hashes):
         seed, sl = divmod(i, SLICES_PER_MD5)
         aggs.append(
-            F.min(F.substring(F.col(f"h{seed}"), 1 + 8 * sl, 8)).alias(f"s{i}")
+            F.min(
+                F.conv(
+                    F.substring(F.col(f"h{seed}"), 1 + 8 * sl, 8), 16, 10
+                ).cast("bigint")
+            ).alias(f"s{i}")
         )
     return with_hashes.groupBy(id_col).agg(*aggs)
 
@@ -188,7 +202,14 @@ def with_rowlocal_signatures(docs: DataFrame, text_col: str = "text",
         return lambda s: F.md5(F.concat(prefix, s))
 
     def hex_slice(sl: int):
-        return lambda h: F.substring(h, 1 + 8 * sl, 8)
+        # BIGINT decode before the min — same argmin as the hex form
+        # (fixed-width lowercase hex sorts identically lexicographic
+        # and numeric); keeps this twin value-identical to
+        # :func:`minhash_signatures` (pinned by
+        # tests/test_streaming_incremental.py).
+        return lambda h: F.conv(F.substring(h, 1 + 8 * sl, 8), 16, 10).cast(
+            "bigint"
+        )
 
     sh = F.array_distinct(word_shingles(tokens(text_col)))
     out = docs.withColumn("__sh", sh)

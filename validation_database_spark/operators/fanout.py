@@ -114,6 +114,29 @@ def fanout_layout(
     return salt, parts
 
 
+def cogroup_parts(spark) -> int:
+    """Partition count for pinning a cogroup's exchange layout
+    (round 12). AQE sizes post-shuffle layouts by BYTES, but an
+    ``applyInPandas`` cogroup stage's real cost is per-GROUP Python
+    latency plus per-row Arrow transfer — invisible to byte-based
+    sizing. Measured on the quant RAG serving path at sf0.1: the
+    (cent_id, salt) cogroup shuffle is ~2 MB, AQE coalesced it to 2
+    partitions, and the 512 Python groups ran serialized on 2 cores —
+    2.15 s of a 4.6 s warm wall for what is sub-second work 32-wide.
+
+    The pin is the session's configured shuffle width (never below
+    ``defaultParallelism``) — exactly the layout a non-coalesced
+    exchange would have had, scale-adaptive through deployment
+    configuration rather than a local constant. Per-group Arrow batch
+    size stays bounded by the SALT knob independently of this."""
+    conf = spark.conf.get("spark.sql.shuffle.partitions", None)
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        return max(cores, int(conf))
+    except (TypeError, ValueError):
+        return cores
+
+
 def parquet_rows(sf_dir: str, table: str) -> int | None:
     """Row count of a fixture table from parquet FOOTER metadata —
     driver-side, no Spark job, no scan. This is the corpus stat the

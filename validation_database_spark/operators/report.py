@@ -149,14 +149,16 @@ def grouped_row_number(
     )
 
 
-def _numbered_tagged(parts: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def _numbered_tagged(parts: dict[str, DataFrame]) -> DataFrame:
     """Per-tag global 1-based ranks for several (id, val) lists in ONE
     range-partition pass instead of one ``global_row_number`` job per
     list: tag-union the lists, range-partition on (tag, id), rank
     locally per (partition, tag), and add per-(tag, partition) prefix
     offsets from one tiny triangular self-join. Same two-distributed-
     pass structure as ``global_row_number`` (no single-task sort), a
-    third of the jobs.
+    third of the jobs. Returns the combined (``__tag``, ``val``,
+    ``rn``) frame; ``_tagged_to_columns`` pivots it to one column per
+    tag in a single aggregation.
     """
     tagged = None
     for tag, df in parts.items():
@@ -191,10 +193,25 @@ def _numbered_tagged(parts: dict[str, DataFrame]) -> dict[str, DataFrame]:
         .withColumn("rn", (F.col("__lrn") + F.col("__offset")).cast("int"))
         .select("__tag", "val", "rn")
     )
-    return {
-        tag: numbered.filter(F.col("__tag") == tag).drop("__tag")
-        for tag in parts
-    }
+    return numbered
+
+
+def _tagged_to_columns(numbered: DataFrame, tags: list[str]) -> DataFrame:
+    """Pivot the (``__tag``, ``val``, ``rn``) rank table to one column
+    per tag in ONE aggregation pass (round 12). The previous assembly
+    filtered the ranked table once per tag and re-joined the three
+    single-tag frames with two full-outer joins on ``rn`` — five
+    consumers of the persisted rank subtree, each a separate cache
+    materialization + join stage (measured as ~9 near-idle 0.6 s
+    stages of report_summary's cold run). Because ``(tag, rn)`` is
+    unique, ``full_outer`` join on rn ≡ groupBy(rn) with one
+    conditional max per tag: identical rows, identical NULL padding,
+    one exchange."""
+    aggs = [
+        F.max(F.when(F.col("__tag") == tag, F.col("val"))).alias(tag)
+        for tag in tags
+    ]
+    return numbered.groupBy("rn").agg(*aggs)
 
 
 def report_summary(result: ReconcileResult, render: str = "compact") -> DataFrame:
@@ -240,13 +257,16 @@ def report_summary(result: ReconcileResult, render: str = "compact") -> DataFram
             "dv": result.differing.select(F.col("id"), cell.alias("val")),
         }
     )
-    m1 = numbered["m1"].select(F.col("val").alias(c_m1), "rn")
-    m2 = numbered["m2"].select(F.col("val").alias(c_m2), "rn")
-    dv = numbered["dv"].select(F.col("val").alias("differing_values"), "rn")
-
+    # one-pass pivot (see _tagged_to_columns): same rows as the old
+    # per-tag filter + two full-outer joins on rn, one exchange.
     out = (
-        m1.join(m2, "rn", "full_outer")
-        .join(dv, "rn", "full_outer")
+        _tagged_to_columns(numbered, ["m1", "m2", "dv"])
+        .select(
+            F.col("m1").alias(c_m1),
+            F.col("m2").alias(c_m2),
+            F.col("dv").alias("differing_values"),
+            "rn",
+        )
         .orderBy("rn")
         .drop("rn")
     )

