@@ -264,14 +264,26 @@ def test_simhash_pairs_band_equijoin_no_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_ivf_assignment_is_partial_agg_not_window(spark, sf_dir):
-    """The vector→centroid argmax is a max(struct) aggregation with
-    MAP-SIDE combine (the 100× OOM fix) — the shuffle carries one
-    partial max per vector, not |centroids| scored rows."""
+def test_ivf_assignment_is_rowlocal_narrow_map(spark, sf_dir):
+    """The vector→centroid argmax must stay ROW-LOCAL (round 12,
+    strictly stronger than the r4 max(struct)-aggregation pin this
+    replaces): the ≤nlist centroid table folds to one broadcast array
+    row and each vector computes array_max(transform(...)) inside a
+    projection — so the plan has NO per-vector aggregation exchange
+    and NO per-vector rank window ahead of the scored fan-out (the r4
+    window shape OOM'd the 100× replica; the r4–r11 agg shape still
+    materialized |vectors|·|cents| crossJoin rows, ~10 s CPU per run
+    at sf0.1). The only aggregation left in the assignment stage is
+    the one-row centroid-array fold."""
     from validation_database_spark.suite.similarity import q_ann_ivf_cosine
 
     plan = physical_plan(q_ann_ivf_cosine(spark, sf_dir))
-    assert "partial_max" in plan, plan
+    assert "partial_max" not in plan, plan
+    assert "array_max" in plan, plan
+    # one BroadcastNestedLoopJoin per centroid-array attach (assigned
+    # + probes) is the single-row broadcast crossJoin — no cartesian
+    # pair fan-out survives anywhere.
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_ivf_float_fanout_layout_is_pinned(spark, sf_dir):

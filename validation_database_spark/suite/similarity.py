@@ -245,60 +245,74 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") < CENTROID_MOD * CENTROID_CAP)
     ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("c_u"))
 
-    # vector → nearest centroid. NOT a row_number window: that shape
-    # shuffles all |vectors|·|centroids| scored rows (each carrying
-    # the unit vector) into a per-vector sort — measured Java-heap
-    # OOM at the 100× replica (100k vectors × 2k centroids = 200M
-    # windowed rows). A max(struct) aggregation computes the same
-    # argmax with MAP-SIDE partial combine: the 2000 candidate rows
-    # per vector collapse to one before the (tiny) shuffle. The
-    # struct field order (a_cos, -cent_id, u) reproduces the window's
-    # exact tie-break — higher cosine first, then LOWER cent_id
-    # (cent_id is unique per candidate, so comparison never reaches
-    # the u payload field).
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "u",
-            "cent_id",
-            F.round(dot(F.col("u"), F.col("c_u")), 6).alias("a_cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("a_cos"),
-                    (-F.col("cent_id")).alias("neg_cent"),
-                    F.col("u").alias("u"),
-                )
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.u").alias("u"),
-            (-F.col("best.neg_cent")).alias("cent_id"),
+    # vector → nearest centroid, ROW-LOCALLY (round 12). History of
+    # this stage: a row_number window shuffled all |vectors|·|cents|
+    # scored rows (Java-heap OOM at the 100× replica); the r4 fix was
+    # a max(struct) aggregation with map-side combine — but that
+    # still materialized the |vectors|·|cents| crossJoin rows (each
+    # carrying the 64-double unit vector) and burned the suite's
+    # hottest CPU in ObjectHash/Sort aggregation buffers (round-12
+    # stage profile: ~10 s CPU per run on the RAG float twin's copy).
+    # Now the ≤nlist centroid table is folded to ONE array row
+    # (sort_array(collect_list(struct)) — deterministic order) and
+    # broadcast; each vector computes its argmax inside a single
+    # projection: max over transform(cents, c -> struct(a_cos,
+    # -cent_id)) — the IDENTICAL comparator the max(struct) agg used
+    # (array_max and max share the struct ordering; cent_id is
+    # unique, so ties never pass the second field). No crossJoin
+    # row materialization, no aggregation, no exchange: a narrow map
+    # at any scale, strictly stronger than the r4 shape (pinned in
+    # tests/test_plans.py::test_ivf_assignment_is_rowlocal_narrow_map).
+    carr = F.broadcast(
+        cents.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cent_id"), F.col("c_u")))
+            ).alias("cs")
         )
     )
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.round(dot(F.col("u"), c["c_u"]), 6).alias("a_cos"),
+                (-c["cent_id"]).alias("neg_cent"),
+            ),
+        )
+    )
+    assigned = emb.crossJoin(carr).select(
+        "vec_id", "u", (-best["neg_cent"]).alias("cent_id")
+    )
 
-    # query → nprobe nearest centroids
+    # query → nprobe nearest centroids, same row-local form: struct
+    # sort DESC orders (p_cos DESC, neg_cent DESC ≡ cent_id ASC) —
+    # exactly the old window's ORDER BY — and slice keeps the top
+    # nprobe, so the probed set is identical.
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
     )
-    p_w = Window.partitionBy("query_id").orderBy(
-        F.col("p_cos").desc(), F.col("cent_id")
+    probed_arr = F.slice(
+        F.sort_array(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    F.round(dot(F.col("q_u"), c["c_u"]), 6).alias("p_cos"),
+                    (-c["cent_id"]).alias("neg_cent"),
+                ),
+            ),
+            asc=False,
+        ),
+        1,
+        N_PROBE,
     )
     probes = (
-        queries.crossJoin(F.broadcast(cents))
+        queries.crossJoin(carr)
         .select(
             "query_id",
             "q_u",
-            "cent_id",
-            F.round(dot(F.col("q_u"), F.col("c_u")), 6).alias("p_cos"),
+            F.explode(
+                F.transform(probed_arr, lambda s: -s["neg_cent"])
+            ).alias("cent_id"),
         )
-        .withColumn("prn", F.row_number().over(p_w))
-        .filter(F.col("prn") <= N_PROBE)
-        .select("query_id", "q_u", "cent_id")
     )
 
     # search only the probed cells. Salt + explicit-count repartition
@@ -1539,42 +1553,52 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle runs the identical IVF in SQL, so the approximation
     itself is value-checked, exactly as for `ann_topk`'s ivf arm."""
     chunks, queries, cents = _rag_frames(spark, sf_dir)
-    # top-RAG_ASSIGN cells per chunk WITHOUT a rank window (the window
-    # form OOM'd at the 100x replica): collect the nlist (a_cos, cell)
-    # pairs per chunk — bounded by nlist, with map-side combine — sort
-    # descending, slice. The vector rides once per group, not per
-    # candidate.
-    assigned = (
-        chunks.crossJoin(F.broadcast(cents))
-        .select(
-            "doc_id",
-            "chunk_idx",
-            "cvec",
-            "cent_id",
-            F.round(dot(F.col("cvec"), F.col("c_v")), 6).alias("a_cos"),
+    # top-RAG_ASSIGN cells per chunk, ROW-LOCALLY (round 12; history
+    # as in q_ann_ivf_cosine — a rank window OOM'd the 100× replica,
+    # the r4–r11 collect_list aggregation still materialized the
+    # |chunks|·nlist crossJoin rows each carrying the 64-double cvec
+    # and burned ~10 s CPU per sf0.1 run in ObjectHashAggregate): the
+    # ≤nlist centroid table folds to ONE broadcast array row, and
+    # each chunk computes slice(sort_array(transform(...)), 1, k)
+    # inside a projection — the IDENTICAL (a_cos DESC, cent_id ASC)
+    # comparator the aggregated sort used. No aggregation, no
+    # exchange: a narrow map at any scale.
+    carr = F.broadcast(
+        cents.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cent_id"), F.col("c_v")))
+            ).alias("cs")
         )
-        .groupBy("doc_id", "chunk_idx")
-        .agg(
+    )
+
+    def _top_cells(vec: str, k: int, score_alias: str) -> F.Column:
+        return F.transform(
             F.slice(
                 F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col("a_cos"),
-                            (-F.col("cent_id")).alias("neg_cent"),
-                        )
+                    F.transform(
+                        F.col("cs"),
+                        lambda c: F.struct(
+                            F.round(dot(F.col(vec), c["c_v"]), 6).alias(
+                                score_alias
+                            ),
+                            (-c["cent_id"]).alias("neg_cent"),
+                        ),
                     ),
                     asc=False,
                 ),
                 1,
-                RAG_ASSIGN,
-            ).alias("cells"),
-            F.first("cvec").alias("cvec"),
+                k,
+            ),
+            lambda s: -s["neg_cent"],
         )
+
+    assigned = (
+        chunks.crossJoin(carr)
         .select(
             "doc_id",
             "chunk_idx",
             "cvec",
-            F.transform("cells", lambda c: -c["neg_cent"]).alias("cells"),
+            _top_cells("cvec", RAG_ASSIGN, "a_cos").alias("cells"),
         )
         .select(
             "doc_id",
@@ -1584,20 +1608,22 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode("cells").alias("arn", "cent_id"),
         )
     )
-    p_w = Window.partitionBy("query_doc_id").orderBy(
-        F.col("p_cos").desc(), F.col("cent_id")
-    )
+    # query → nprobe cells + the full probed set in the SAME pass:
+    # the probed array IS the row-local top-nprobe list, so the old
+    # collect_list re-aggregation + broadcast self-join disappear.
     probes = (
-        queries.crossJoin(F.broadcast(cents))
+        queries.crossJoin(carr)
         .select(
             "query_doc_id",
             "qvec",
-            "cent_id",
-            F.round(dot(F.col("qvec"), F.col("c_v")), 6).alias("p_cos"),
+            _top_cells("qvec", RAG_N_PROBE, "p_cos").alias("probed"),
         )
-        .withColumn("prn", F.row_number().over(p_w))
-        .filter(F.col("prn") <= RAG_N_PROBE)
-        .select("query_doc_id", "qvec", "cent_id")
+        .select(
+            "query_doc_id",
+            "qvec",
+            "probed",
+            F.explode("probed").alias("cent_id"),
+        )
     )
     # Two serving regimes (VERDICT r11 ask #5 — the round-11 prose
     # recipe, now code):
@@ -1625,11 +1651,8 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row survives only when NO lower-rank cell of the chunk is among
     # this query's probes — the pair is kept exactly once, through the
     # best reachable cell, for ANY RAG_ASSIGN. Pure expressions, no
-    # extra exchange.
-    probe_sets = probes.groupBy("query_doc_id").agg(
-        F.collect_list("cent_id").alias("probed")
-    )
-    probes = probes.join(F.broadcast(probe_sets), "query_doc_id")
+    # extra exchange. (Since round 12 the probed set rides out of the
+    # row-local probe projection directly — no re-aggregation join.)
     from ..operators.fanout import fanout_layout, parquet_rows, salted_fanout
 
     n_docs = parquet_rows(sf_dir, "documents")
