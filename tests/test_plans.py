@@ -636,7 +636,11 @@ def test_kmeans_lloyd_assignment_is_partial_agg_not_window(spark, sf_dir):
     """Each Lloyd iteration's nearest-centroid argmin is a min(struct)
     aggregation — the K-expanded scored rows collapse map-side instead
     of shuffling |vecs|*K rows to a rank window (same form as the IVF
-    assignment's r4 100x OOM fix)."""
+    assignment's r4 100x OOM fix). Round 12 MEASURED the row-local
+    array_min alternative (the move that won on the nlist≤64 IVF
+    arms) a net loss at this op's larger K — the interpreted HOF
+    chain loses to codegen over the K-expanded rows — so this pin
+    deliberately keeps the aggregation form."""
     from validation_database_spark.suite.similarity import q_kmeans_clusters
 
     plan = physical_plan(q_kmeans_clusters(spark, sf_dir))

@@ -356,9 +356,18 @@ def q_window_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     d = F.col("o_orderdate")
-    return orders.select(
+    # Window columns FIRST, calendar columns in a SECOND projection
+    # ABOVE the window (round 12): built as one projection, Catalyst
+    # collapsed the calendar expressions below the o_custkey exchange,
+    # so the shuffle carried all 15 derived columns (9.7 MB at sf0.1)
+    # instead of the 4 scan columns (~2.4 MB) the windows actually
+    # need — per-row derivations belong after the exchange, where
+    # they cost the same CPU but zero shuffle bytes. Values and
+    # column order are unchanged.
+    windowed = orders.select(
         "o_custkey",
         "o_orderkey",
+        "o_orderdate",
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(wd)
         .cast("double")
@@ -374,6 +383,22 @@ def q_window_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey", 1).over(w).alias("next_key"),
         F.first("o_orderkey").over(wf).alias("top_key"),
         F.last("o_orderkey").over(wf).alias("bottom_key"),
+    )
+    return windowed.select(
+        "o_custkey",
+        "o_orderkey",
+        "running_total",
+        "cust_avg",
+        "above_cust_avg",
+        "rnk",
+        "drnk",
+        "pct_rank",
+        "cume",
+        "quartile",
+        "prev_key",
+        "next_key",
+        "top_key",
+        "bottom_key",
         F.year(d).cast("bigint").alias("yr"),
         F.quarter(d).cast("bigint").alias("qtr"),
         F.month(d).cast("bigint").alias("mon"),

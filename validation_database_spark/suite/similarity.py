@@ -499,6 +499,14 @@ def _kmeans_assignments(
     )
 
     def assign(cs: DataFrame) -> DataFrame:
+        # The row-local argmax move that won on the IVF float arms
+        # (nlist ≤ 64) was MEASURED A NET LOSS here and reverted
+        # (round 12): at this op's K (200 at sf0.1, cap 256) the
+        # argmin runs as one giant interpreted higher-order-function
+        # chain per vector, while this crossJoin form keeps the
+        # K-expanded rows inside whole-stage codegen — quiet-box A/B:
+        # agg form 3.0–3.5 s cold / 1.17–1.24 s warm vs row-local
+        # 4.3–5.0 / 1.19–1.34 on unit_semantic_dedup.
         d = vecs.crossJoin(F.broadcast(cs)).withColumn(
             "dist",
             F.aggregate(
