@@ -272,22 +272,28 @@ def min_shingle_md5(base: DataFrame, norm_col: str = "norm") -> DataFrame:
             (c * stride + 1).cast("int"), F.lit(FP_CHUNK)
         ),
     )
+    # Two-level min (round 12): the single-level form exploded every
+    # character window into its own row (~800 rows/doc at the fixture
+    # doc length) and fed them all to min(STRING) — whose immutable
+    # buffer forces SortAggregate, i.e. a sort of ~4M md5 strings per
+    # run at sf0.1 (profiled at ~6 s CPU of doc_profile's warm run).
+    # Taking each PIECE's min row-locally first (array_min over the
+    # window md5s — min over a partition of the same set, so the
+    # final per-doc min is bit-identical) leaves the SortAggregate
+    # only 1–2 rows per doc. Same md5 count, no 4M-row Generate
+    # fan-out, and the sort input shrinks ~400×.
+    piece_min = F.array_min(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("pc") - FP_SHINGLE + 1, F.lit(1)),
+            ),
+            lambda i: F.md5(F.col("pc").substr(i, F.lit(FP_SHINGLE))),
+        )
+    )
     return (
         base.select("doc_id", F.explode(pieces).alias("pc"))
-        .select(
-            "doc_id",
-            "pc",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("pc") - FP_SHINGLE + 1, F.lit(1)),
-                )
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.md5(F.col("pc").substr(F.col("i"), F.lit(FP_SHINGLE))).alias("h"),
-        )
+        .select("doc_id", piece_min.alias("h"))
         .groupBy("doc_id")
         .agg(F.min("h").alias("shingle_fp"))
     )
