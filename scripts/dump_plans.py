@@ -26,10 +26,12 @@ SHOWCASE = {
     "the 25-row nation dim",
     "dedup_minhash_lsh": "shingle index → 16 min-hash aggregates in one pass "
     "→ band self-join (bucket-bounded) → exact-Jaccard verify",
-    "ann_topk": "tagged union: brute-force exact baseline + IVF (broadcast "
-    "centroids, per-vector argmax as a map-side-combining max(struct) "
-    "aggregation — the r4 100× OOM fix, no rank window — probe-cell join, "
-    "no full cross product). Since round 11 the scored fan-out runs in a "
+    "ann_topk": "tagged union: brute-force exact baseline + IVF (since "
+    "round 12 the per-vector argmax is ROW-LOCAL — the ≤nlist centroid "
+    "table folds to one broadcast array row and each vector computes "
+    "array_max(transform(...)) in a projection; no crossJoin row "
+    "materialization, no aggregation, no rank window — the r4 OOM fix "
+    "made strictly narrower). Since round 11 the scored fan-out runs in a "
     "salted, REPARTITION_BY_NUM-pinned layout (ANN_FLOAT_PARTS wide, AQE "
     "cannot coalesce it) so the partial-WindowGroupLimit sort slabs stay "
     "bounded — the r10 2M-vector DNF was this stage inheriting its small "
