@@ -123,13 +123,28 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id",
     The source rows are spread across cores first: shingling + the
     downstream per-shingle md5s are the CPU-heavy part and must not be
     serialized onto one input partition (see util.spread).
+
+    Per-doc distinctness is ROW-LOCAL (round 13): every shingle of a
+    doc lives in that doc's one array row, so ``array_distinct``
+    before the explode produces exactly the rows the old
+    ``.distinct()`` after it did — while the distinct's Exchange +
+    HashAggregate over the full (id, shingle) frame (the largest frame
+    of every shingle pipeline) disappears from all eight consumers.
+    Requires ``id_col`` unique per input row, which every caller
+    satisfies (the fixture PK, and the planted-dup helpers offset
+    their copies by +1e6). Same row-local-set discipline as
+    ``with_rowlocal_signatures``.
     """
     from ..util import spread
 
     return (
         spread(docs.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(word_shingles(tokens(text_col))).alias("sh"))
-        .distinct()
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(tokens(text_col)))
+            ).alias("sh"),
+        )
     )
 
 

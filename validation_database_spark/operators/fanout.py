@@ -63,8 +63,14 @@ def salted_fanout(
     ``F.col("vec_id").cast("string")``,
     ``F.concat_ws("_", "doc_id", "chunk_idx")``) so adopting the
     helper is bit-neutral. ``parts``/``partition_keys`` add the
-    REPARTITION_BY_NUM exchange for join-shaped consumers (see module
-    docstring); leave them unset for cogroups."""
+    REPARTITION_BY_NUM exchange that AQE can never coalesce. Two
+    consumer shapes use it (ADVICE r12 — the old guidance predated
+    the second): JOIN-shaped fan-outs, where the fused join+sort must
+    run ``parts`` wide (module docstring), and COGROUPS, where the
+    per-GROUP Python latency is invisible to AQE's byte-based sizing
+    — pass ``parts=cogroup_parts(spark)`` there (round 12's
+    q_ann_ivf_quant / _rag_quant_scored fix). Leave them unset only
+    when the downstream layout genuinely doesn't matter."""
     big_s = big.withColumn(
         SALT_COL, (F.crc32(salt_key) % n_salt).cast("int")
     )
@@ -114,6 +120,21 @@ def fanout_layout(
     return salt, parts
 
 
+def shuffle_width(spark) -> int:
+    """The session's configured shuffle width (never below
+    ``defaultParallelism``) — the partition count for pinning an
+    exchange layout with REPARTITION_BY_NUM where AQE's byte-based
+    coalescing would mis-size it: exactly the layout a non-coalesced
+    exchange would have had, scale-adaptive through deployment
+    configuration rather than a local constant."""
+    conf = spark.conf.get("spark.sql.shuffle.partitions", None)
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        return max(cores, int(conf))
+    except (TypeError, ValueError):
+        return cores
+
+
 def cogroup_parts(spark) -> int:
     """Partition count for pinning a cogroup's exchange layout
     (round 12). AQE sizes post-shuffle layouts by BYTES, but an
@@ -124,17 +145,9 @@ def cogroup_parts(spark) -> int:
     partitions, and the 512 Python groups ran serialized on 2 cores —
     2.15 s of a 4.6 s warm wall for what is sub-second work 32-wide.
 
-    The pin is the session's configured shuffle width (never below
-    ``defaultParallelism``) — exactly the layout a non-coalesced
-    exchange would have had, scale-adaptive through deployment
-    configuration rather than a local constant. Per-group Arrow batch
-    size stays bounded by the SALT knob independently of this."""
-    conf = spark.conf.get("spark.sql.shuffle.partitions", None)
-    cores = spark.sparkContext.defaultParallelism
-    try:
-        return max(cores, int(conf))
-    except (TypeError, ValueError):
-        return cores
+    Per-group Arrow batch size stays bounded by the SALT knob
+    independently of this."""
+    return shuffle_width(spark)
 
 
 def parquet_rows(sf_dir: str, table: str) -> int | None:

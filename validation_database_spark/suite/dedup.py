@@ -397,14 +397,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: consumed by the signature pass and (twice) by the
     # exact-Jaccard verify join.
     shingles = pin(D.exploded_shingles(docs))
-    # pin: the band SELF-join reads the signature table twice (a-side
-    # and b-side) — unpinned, the k-min aggregation over the full
-    # shingle frame ran once per side (measured as the two dominant
-    # stages of this spec, round 12). At corpus scale the signature
-    # table is written out once anyway (same rationale as
-    # _minhash_estimate's pin).
-    sigs = pin(D.minhash_signatures(shingles))
-    bands = D.lsh_bands(sigs)
+    # pin the BAND table, not the signature table (round 13): the band
+    # SELF-join is the only two-sided consumer, and pinning one level
+    # higher means the k-min aggregation AND the per-band md5s both
+    # run once (r12 pinned sigs, so each join side re-derived the band
+    # hashes from the cached 1+k-wide signature rows); the cached
+    # frame is also the narrower one — (id, band, band_hash) versus
+    # the k-wide signature row. At corpus scale the banded index is
+    # the table a dedup service materializes anyway.
+    sigs = D.minhash_signatures(shingles)
+    bands = pin(D.lsh_bands(sigs))
     pairs = D.lsh_candidate_pairs(bands)
     return D.jaccard_verify(pairs, shingles)
 
@@ -434,12 +436,16 @@ def q_dedup_minhash_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, exactly as for the default spec."""
     docs = load_table(spark, "documents", sf_dir)
     shingles = pin(D.exploded_shingles(docs))
-    # pin: same two-consumer band self-join as the default spec — at
-    # k=48 the unpinned double k-min aggregation was 2× ~2 s of the
-    # spec's warm wall (round-12 stage profile).
-    sigs = pin(D.minhash_signatures(shingles, num_hashes=LSH_TUNED_HASHES))
-    bands = D.lsh_bands(
-        sigs, num_bands=LSH_TUNED_BANDS, rows_per_band=LSH_TUNED_ROWS
+    # pin the band table, not the k=48-wide signature table — same
+    # one-level-higher pin as the default spec above (round 13): the
+    # double k-min aggregation the r12 sigs-pin prevented stays
+    # prevented, the band md5s now also run once, and the cached rows
+    # drop from 1+48 BIGINT columns to (id, band, band_hash).
+    sigs = D.minhash_signatures(shingles, num_hashes=LSH_TUNED_HASHES)
+    bands = pin(
+        D.lsh_bands(
+            sigs, num_bands=LSH_TUNED_BANDS, rows_per_band=LSH_TUNED_ROWS
+        )
     )
     pairs = D.lsh_candidate_pairs(bands)
     return D.jaccard_verify(pairs, shingles)

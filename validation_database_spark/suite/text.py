@@ -2761,16 +2761,32 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tok")
     )
+    # ONE span-table computation (round 13). The r12 shape computed
+    # the chunked explode + md5 subtree TWICE — once under the
+    # hot-hash countDistinct aggregation, once under the
+    # duplicate-position join against it — and those were the two
+    # dominant stages of this spec (39 s + 32 s CPU cold at sf0.1,
+    # most of it per-task JIT of the same generated code compiled
+    # twice; 5.5 s + 1.1 s steady). "Hash h occurs in ≥ 2 distinct
+    # docs" is equivalently "min(doc_id) ≠ max(doc_id) over the h
+    # partition", which a whole-partition window computes on the span
+    # table DIRECTLY: one span compute, one h-clustered exchange
+    # (the aggregation's exchange shipped ~every (h, doc_id) row
+    # anyway — window hashes are near-unique, so map-side combine
+    # removed almost nothing), no second pass, no broadcast. The
+    # window's per-partition sort replaces the aggregation's hash
+    # table — both spill-graceful, and the md5/tokenize pass over the
+    # corpus (the real cost at 100 TB) now runs exactly once.
     spans = chunked_span_table(base)
-    hot = (
-        spans.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
     from pyspark.sql import Window
 
-    dup = spans.join(hot, "h").select("doc_id", "p")
+    wh = Window.partitionBy("h")
+    dup = (
+        spans.withColumn("__dmin", F.min("doc_id").over(wh))
+        .withColumn("__dmax", F.max("doc_id").over(wh))
+        .filter(F.col("__dmin") != F.col("__dmax"))
+        .select("doc_id", "p")
+    )
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = (
         dup.withColumn("lag_p", F.lag("p").over(w))
