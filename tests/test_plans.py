@@ -912,3 +912,222 @@ def test_sql_string_builders_same_semantics(spark, sf_dir):
     )
     e6_old = chunks_new.select("doc_id", S._to_e6(F.col("cvec")).alias("x"))
     assert e6_new.sameSemantics(e6_old)
+
+
+def test_sql_string_builders_same_semantics_r13(spark, sf_dir):
+    """Round-13 extension of the py4j-chatter fix (VERDICT r12 ask
+    #7): the Lloyd/SemDeDup chain and the planted-dup corpus builder
+    are rendered as Spark-SQL strings; each must canonicalize to the
+    SAME logical plan as the Column-API tree it replaced. Also pins
+    the r12 centroid frame that the original test covered only
+    indirectly (ADVICE r12)."""
+    from pyspark.sql import functions as F
+
+    from validation_database_spark.operators.vectors import (
+        dot,
+        l2_norm,
+        scale_vector,
+    )
+    from validation_database_spark.suite import dedup as DD
+    from validation_database_spark.suite import similarity as S
+    from validation_database_spark.suite.text import _hash_bucket_counts, _tokens
+    from validation_database_spark.util import spread
+
+    # _vecs_with_planted_dups vs its historical Column form
+    emb = spread(
+        load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", "embedding", "label"
+        )
+    )
+    scaled_old = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        scale_vector(F.col("embedding"), 2.0).alias("embedding"),
+        "label",
+    )
+    perturbed_old = emb.filter(F.col("vec_id") % 70 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.concat(
+            F.array(
+                (
+                    F.element_at("embedding", 1).cast("double") + F.lit(0.5)
+                ).cast("float")
+            ),
+            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+        "label",
+    )
+    vecs_old = emb.unionAll(scaled_old).unionAll(perturbed_old)
+    vecs_new = DD._vecs_with_planted_dups(spark, sf_dir)
+    assert vecs_new.sameSemantics(vecs_old)
+
+    # the Lloyd assignment step (one iteration) vs the Column form
+    xu = vecs_new.selectExpr("vec_id", f"{S._to_e6_expr('embedding')} AS x")
+    seed = F.col("vec_id") % S.CENTROID_MOD == S.CENTROID_OFF
+    cents = xu.filter(seed).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    d_old = xu.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    assign_old = (
+        d_old.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("cid"))).alias("b"),
+            F.first("x").alias("x"),
+        )
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            F.col("b.dist").alias("dist"),
+            "x",
+        )
+    )
+    d_new = xu.crossJoin(F.broadcast(cents)).selectExpr(
+        "*",
+        "aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), "
+        "cast(0 as bigint), (acc, v) -> acc + v) AS dist",
+    )
+    assign_new = (
+        d_new.groupBy("vec_id")
+        .agg(F.expr("min(struct(dist, cid)) AS b"), F.expr("first(x) AS x"))
+        .selectExpr("vec_id", "b.cid AS cid", "b.dist AS dist", "x")
+    )
+    assert assign_new.sameSemantics(assign_old)
+
+    # the centroid-update step vs the Column form
+    ex_old = assign_old.select("cid", F.posexplode("x").alias("pos", "val"))
+    comp_old = ex_old.groupBy("cid", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    m_expr = (
+        "(CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((2 * abs(s) + n) DIV (2 * n))"
+    )
+    upd_old = (
+        comp_old.withColumn("m", F.expr(m_expr))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("c")
+        )
+    )
+    ex_new = assign_new.selectExpr("cid", "posexplode(x) AS (pos, val)")
+    upd_new = (
+        ex_new.groupBy("cid", "pos")
+        .agg(F.expr("sum(val) AS s"), F.expr("count(*) AS n"))
+        .withColumn("m", F.expr(m_expr))
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "st -> st.m) AS c"
+            )
+        )
+    )
+    assert upd_new.sameSemantics(upd_old)
+
+    # the SemDeDup pair/keep tail vs the Column form
+    au = vecs_new.selectExpr(
+        "vec_id",
+        "vec_id % 7 AS cid",
+        "transform(embedding, x -> cast(x as double)) AS u",
+    )
+    tail_new = S._semdedup_from_assignments(au)
+    left = au.select(F.col("vec_id").alias("id_a"), "cid", F.col("u").alias("ua"))
+    right = au.select(F.col("vec_id").alias("id_b"), "cid", F.col("u").alias("ub"))
+    upairs_old = (
+        left.join(right, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= S.SEMDEDUP_TAU)
+    )
+    pairs_old = upairs_old.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("p"), F.col("id_b").alias("q")),
+                F.struct(F.col("id_b").alias("p"), F.col("id_a").alias("q")),
+            )
+        ).alias("e")
+    ).select(F.col("e.p").alias("id_a"), F.col("e.q").alias("id_b"))
+    agg_old = pairs_old.groupBy("id_a").agg(
+        F.count("*").alias("n_dups"),
+        F.max((F.col("id_b") < F.col("id_a")).cast("int")).alias("has_smaller"),
+    )
+    tail_old = au.join(agg_old, au.vec_id == agg_old.id_a, "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        (F.coalesce("has_smaller", F.lit(0)) == 0).alias("keep"),
+    )
+    assert tail_new.sameSemantics(tail_old)
+
+    # ADVICE r12: the centroid frame's SQL-string rendering, pinned
+    # directly (the r12 test only covered it via the shared
+    # _unit_docvecs path)
+    docs_old = spread(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    def unit_docvecs_old(df, id_alias, out):
+        raw = df.select(
+            F.col("doc_id").alias(id_alias),
+            _hash_bucket_counts(F.col("toks")).alias("v"),
+        ).withColumn("__n", F.greatest(l2_norm(F.col("v")), F.lit(1e-12)))
+        return spread(raw).select(
+            id_alias, F.transform("v", lambda x: x / F.col("__n")).alias(out)
+        )
+
+    cents_old = unit_docvecs_old(
+        docs_old.filter(
+            (F.col("doc_id") % S.RAG_CENT_MOD == S.RAG_CENT_OFF)
+            & (F.col("doc_id") < S.RAG_CENT_MOD * S.RAG_CENT_CAP)
+        ),
+        "cent_id",
+        "c_v",
+    )
+    _, _, cents_new = S._rag_frames(spark, sf_dir)
+    assert cents_new.sameSemantics(cents_old)
+
+
+def test_onestage_cent_rows_identical(spark, sf_dir):
+    """Round-13 single-stage centroid collects: the quant paths
+    collect their ≤nlist-row centroid tables through dedicated
+    scan→project plans (no spread exchanges — a 3-stage AQE job per
+    timed build otherwise). The expressions are the same ops in the
+    same order as the composed pipelines, so the rows must be
+    BIT-equal, not just close."""
+    from pyspark.sql import functions as F
+
+    from validation_database_spark.suite import similarity as S
+
+    # RAG: one-stage vs the composed _rag_frames cents path
+    _, _, cents = S._rag_frames(spark, sf_dir)
+    composed = cents.selectExpr("cent_id", f"{S._to_e6_expr('c_v')} AS cx")
+    one = S._rag_cent_rows_onestage(spark, sf_dir)
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, composed.collect())
+    )
+
+    # ANN: one-stage vs the composed _unit_emb → e6 → filter path
+    emb = S._unit_emb(spark, sf_dir).selectExpr(
+        "vec_id", f"{S._to_e6_expr('u')} AS x"
+    )
+    composed_ann = emb.filter(
+        (F.col("vec_id") % S.CENTROID_MOD == S.CENTROID_OFF)
+        & (F.col("vec_id") < S.CENTROID_MOD * S.CENTROID_CAP)
+        & F.col("x").isNotNull()
+        & ~F.exists("x", lambda e: e.isNull())
+    ).select(F.col("vec_id").alias("cent_id"), F.col("x").alias("cx"))
+    one_ann = S._ann_cent_frame_onestage(spark, sf_dir)
+    assert sorted(map(tuple, one_ann.collect())) == sorted(
+        map(tuple, composed_ann.collect())
+    )

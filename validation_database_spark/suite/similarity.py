@@ -507,35 +507,35 @@ def _kmeans_assignments(
         # K-expanded rows inside whole-stage codegen — quiet-box A/B:
         # agg form 3.0–3.5 s cold / 1.17–1.24 s warm vs row-local
         # 4.3–5.0 / 1.19–1.34 on unit_semantic_dedup.
-        d = vecs.crossJoin(F.broadcast(cs)).withColumn(
-            "dist",
-            F.aggregate(
-                F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ),
+        #
+        # Rendered as Spark-SQL strings since round 13 (the r12 py4j
+        # pattern extended per VERDICT ask #7): the Lloyd builders
+        # cost ~1.3 s of py4j round trips per timed BUILD in the
+        # Column-API form; the strings are the literal rendering of
+        # the same trees (sameSemantics-pinned in tests/test_plans.py).
+        d = vecs.crossJoin(F.broadcast(cs)).selectExpr(
+            "*",
+            "aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, v) -> acc + v) AS dist",
         )
         # lexicographic min(struct) ≡ (min dist, tie → min cid), the
         # window's ORDER BY dist, cid — but with map-side combine; x
         # is constant per vec_id, so first(x) is deterministic.
-        best = F.min(F.struct(F.col("dist"), F.col("cid")))
         return (
             d.groupBy("vec_id")
-            .agg(best.alias("b"), F.first("x").alias("x"))
-            .select(
-                "vec_id",
-                F.col("b.cid").alias("cid"),
-                F.col("b.dist").alias("dist"),
-                "x",
+            .agg(
+                F.expr("min(struct(dist, cid)) AS b"),
+                F.expr("first(x) AS x"),
             )
+            .selectExpr("vec_id", "b.cid AS cid", "b.dist AS dist", "x")
         )
 
     a = assign(cents)
     for _ in range(KMEANS_ITERS - 1):
-        ex = a.select("cid", F.posexplode("x").alias("pos", "val"))
+        ex = a.selectExpr("cid", "posexplode(x) AS (pos, val)")
         comp = (
             ex.groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .agg(F.expr("sum(val) AS s"), F.expr("count(*) AS n"))
             .withColumn(
                 "m",
                 F.expr(
@@ -545,10 +545,10 @@ def _kmeans_assignments(
             )
         )
         cents = comp.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda st: st["m"],
-            ).alias("c")
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "st -> st.m) AS c"
+            )
         )
         a = assign(cents)
     return a.select("vec_id", "cid", "dist")
@@ -973,15 +973,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _vecs_with_planted_dups(spark, sf_dir)
     # Same IEEE normalization pipeline as _unit_emb (norm behind the
-    # spread exchange so the fold isn't inlined per element).
-    withn = vecs.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+    # spread exchange so the fold isn't inlined per element). SQL
+    # strings since round 13 (same py4j-cut + sameSemantics-pin
+    # pattern as _unit_emb).
+    withn = vecs.selectExpr(
+        "vec_id", "embedding", f"{l2_norm_expr('embedding')} AS __nrm"
     )
-    u = spread(withn).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / F.col("__nrm")).alias("u"),
+    u = spread(withn).selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double) / __nrm) AS u"
     )
-    xu = u.select("vec_id", _to_e6(F.col("u")).alias("x"))
+    xu = u.selectExpr("vec_id", f"{_to_e6_expr('u')} AS x")
     a = _kmeans_assignments(spark, sf_dir, vecs=xu)
     # pin: `au` (and through it the whole Lloyd DAG) feeds BOTH sides
     # of the within-cluster self-join AND the final result join —
@@ -997,43 +998,39 @@ def _semdedup_from_assignments(au: DataFrame) -> DataFrame:
     the two-level hierarchical scale path: within-cluster cosine ≥ τ
     pairs → per-id neighbor stats → keep = no smaller-id neighbor.
     ``au`` = (vec_id, cid, u) with u unit-normalized."""
-    left = au.select(F.col("vec_id").alias("id_a"), "cid", F.col("u").alias("ua"))
-    right = au.select(F.col("vec_id").alias("id_b"), "cid", F.col("u").alias("ub"))
+    left = au.selectExpr("vec_id AS id_a", "cid", "u AS ua")
+    right = au.selectExpr("vec_id AS id_b", "cid", "u AS ub")
     # Each UNORDERED pair's dot is computed once (id_a < id_b halves
     # the join output and the 64-dim folds vs the old id_a != id_b
     # form), then exploded into both directions for the per-id
     # neighbor stats — value-identical because cos is exactly
     # symmetric here: zip_with preserves element order and per-element
     # multiplication commutes, so the fold is bitwise the same.
+    # (SQL strings since round 13 — same py4j-cut pattern as the
+    # Lloyd builders; sameSemantics-pinned in tests/test_plans.py.)
     upairs = (
         left.join(right, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos"),
+        .selectExpr(
+            "id_a", "id_b", f"round({dot_expr('ua', 'ub')}, 6) AS cos"
         )
         .filter(F.col("cos") >= SEMDEDUP_TAU)
     )
-    pairs = upairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("p"), F.col("id_b").alias("q")),
-                F.struct(F.col("id_b").alias("p"), F.col("id_a").alias("q")),
-            )
-        ).alias("e")
-    ).select(F.col("e.p").alias("id_a"), F.col("e.q").alias("id_b"))
+    pairs = upairs.selectExpr(
+        "explode(array(struct(id_a AS p, id_b AS q), "
+        "struct(id_b AS p, id_a AS q))) AS e"
+    ).selectExpr("e.p AS id_a", "e.q AS id_b")
     agg = pairs.groupBy("id_a").agg(
-        F.count("*").alias("n_dups"),
-        F.max((F.col("id_b") < F.col("id_a")).cast("int")).alias("has_smaller"),
+        F.expr("count(*) AS n_dups"),
+        F.expr("max(cast(id_b < id_a as int)) AS has_smaller"),
     )
     return (
         au.join(agg, au.vec_id == agg.id_a, "left")
-        .select(
+        .selectExpr(
             "vec_id",
-            F.col("cid").alias("cluster"),
-            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
-            (F.coalesce("has_smaller", F.lit(0)) == 0).alias("keep"),
+            "cid AS cluster",
+            "cast(coalesce(n_dups, 0) as bigint) AS n_dups",
+            "(coalesce(has_smaller, 0) = 0) AS keep",
         )
     )
 
@@ -2062,21 +2059,66 @@ def _score_cell_cogroup(chunk_pdf: pd.DataFrame, probe_pdf: pd.DataFrame):
     return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(empty)
 
 
+def _rag_cent_rows_onestage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quant serving path's (cent_id, cx) centroid table as a
+    SINGLE-STAGE plan: scan → filter → chained projections, no spread
+    exchanges. Expression-identical to
+    ``_rag_frames()[2].selectExpr(cent_id, _to_e6_expr(c_v))`` — same
+    tokenize, same md5 histogram fold, same norm/divide/e6 ops in the
+    same order — so the collected rows are bit-equal (pinned by
+    tests/test_plans.py::test_onestage_cent_rows_identical). The
+    spread barriers exist to keep corpus-sized folds off one core and
+    un-inlined; a ≤nlist-row index-metadata frame needs neither, and
+    dropping them cuts the per-build driver collect from a 3-stage
+    AQE job (~0.66 s) to one task (~0.15 s). The norm fold DOES
+    inline into the division lambda here (O(d²) per row — trivial at
+    d=64); the expensive md5 fold stays un-inlined because it is
+    referenced more than once."""
+    from .text import hash_bucket_counts_expr
+
+    toks_expr = "filter(split(lower(text), ' '), x -> x != '')"
+    return (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(
+            (F.col("doc_id") % RAG_CENT_MOD == RAG_CENT_OFF)
+            & (F.col("doc_id") < RAG_CENT_MOD * RAG_CENT_CAP)
+        )
+        .selectExpr("doc_id AS cent_id", f"{toks_expr} AS toks")
+        .selectExpr("cent_id", f"{hash_bucket_counts_expr('toks')} AS v")
+        .selectExpr(
+            "cent_id", "v", f"greatest({l2_norm_expr('v')}, 1E-12D) AS __n"
+        )
+        .selectExpr("cent_id", "transform(v, x -> x / __n) AS c_v")
+        .selectExpr("cent_id", f"{_to_e6_expr('c_v')} AS cx")
+    )
+
+
 def _rag_quant_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantized twin's scored pair frame, already pruned to each
     group-slice's per-query local top-RAG_TOP_K (value-neutral — see
     the in-kernel comment; the SCALE.md round-9 pair counts were
     measured with the pruning disabled). Factored out so the scale
     study can instrument scoring without the final rank window."""
-    chunks, queries, cents = _rag_frames(spark, sf_dir)
+    chunks, queries, _ = _rag_frames(spark, sf_dir)
     cq = chunks.selectExpr(
         "doc_id", "chunk_idx", f"{_to_e6_expr('cvec')} AS x"
     )
     qq = queries.selectExpr("query_doc_id", f"{_to_e6_expr('qvec')} AS qx")
-    ctq = cents.selectExpr("cent_id", f"{_to_e6_expr('c_v')} AS cx")
     # ONE collect of the capped centroid table serves both kernel
-    # builds (each used to trigger its own corpus-derived scan)
-    cent_rows = sorted(ctq.collect(), key=lambda r: r["cent_id"])
+    # builds — via the SINGLE-STAGE subtree (round 13): the composed
+    # _rag_frames cents path runs a 3-stage AQE job per collect (two
+    # spread exchanges protecting folds that matter only at corpus
+    # row counts, ~0.66 s/run); for the ≤nlist-row centroid frame a
+    # scan→project plan collects the identical rows in ~0.15 s
+    # (Catalyst keeps the md5 histogram fold `v` un-inlined — it is
+    # referenced more than once, so only the cheap norm fold inlines
+    # into the division lambda). Value identity pinned by
+    # tests/test_plans.py::test_onestage_cent_rows_identical.
+    cent_rows = sorted(
+        _rag_cent_rows_onestage(spark, sf_dir).collect(),
+        key=lambda r: r["cent_id"],
+    )
     # 1+2: assignment and probing as narrow Arrow map-explodes (no
     # crossJoin, no hash-agg, no Generate)
     assigned = _topk_cells_explode(
@@ -2282,6 +2324,35 @@ def _ann_quant_score_cogroup(vec_pdf: pd.DataFrame, probe_pdf: pd.DataFrame):
     return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(empty)
 
 
+def _ann_cent_frame_onestage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf_quant's (cent_id, cx) centroid table as a
+    single-stage scan→filter→project plan — expression-identical to
+    filtering the composed ``_unit_emb → _to_e6`` pipeline (same norm
+    fold, same division, same e6 ops in the same order), so the
+    collected rows are bit-equal; see _rag_cent_rows_onestage for the
+    rationale and tests/test_plans.py::
+    test_onestage_cent_rows_identical for the pin."""
+    return (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .filter(
+            (F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
+            & (F.col("vec_id") < CENTROID_MOD * CENTROID_CAP)
+        )
+        .selectExpr(
+            "vec_id", "embedding", f"{l2_norm_expr('embedding')} AS __nrm"
+        )
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> cast(x as double) / __nrm) AS u",
+        )
+        .selectExpr("vec_id AS cent_id", f"{_to_e6_expr('u')} AS cx")
+        .filter(
+            F.col("cx").isNotNull() & ~F.exists("cx", lambda e: e.isNull())
+        )
+    )
+
+
 def q_ann_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search scored in the e6-integer-dot domain — the
     Arrow-kernel serving twin of `q_ann_ivf_cosine` (block comment
@@ -2318,15 +2389,18 @@ def q_ann_ivf_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the filter the collected row would crash _topk_cells_explode's
     # np.array build instead. (_stack_int64 already drops null ROWS
     # symmetrically on the assignment/query sides.)
-    cents = emb.filter(
-        (F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
-        & (F.col("vec_id") < CENTROID_MOD * CENTROID_CAP)
-        & F.col("x").isNotNull()
-        & ~F.exists("x", lambda e: e.isNull())
-    ).select(F.col("vec_id").alias("cent_id"), F.col("x").alias("cx"))
+    #
+    # Collected via the SINGLE-STAGE subtree (round 13, same move as
+    # _rag_cent_rows_onestage): scan → filter → projections, no spread
+    # exchange — expression-identical ops in the same order, so the
+    # rows are bit-equal (pinned by tests/test_plans.py::
+    # test_onestage_cent_rows_identical).
     # ONE collect of the capped (<=nlist) centroid table serves both
     # kernel builds
-    cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    cent_rows = sorted(
+        _ann_cent_frame_onestage(spark, sf_dir).collect(),
+        key=lambda r: r["cent_id"],
+    )
     assigned = _topk_cells_explode(
         emb, "x", cent_rows, "cent_id", "cx", 1, keep_cells=False
     )

@@ -1266,16 +1266,24 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     string is the literal rendering of the prior Column tree, and the
     DuckDB oracle hash-checks every column.
     """
-    docs = spread(load_table(spark, "documents", sf_dir))
+    # The pin moved one level DOWN in round 13: r12 cached the wide
+    # tokenized frame (text + toks array + norm), whose serialization
+    # cost more than recomputing tokenization — the materialization
+    # wrote ~5× the raw text bytes and the 4 consumer branches
+    # stampeded on the cache lock (~1.4 s cold wall). Caching just the
+    # spread (doc_id, text) rows keeps the ONE scan+exchange shared
+    # while each branch derives only the columns it needs above the
+    # cache (the fingerprint branch only norm, the LM branches only
+    # toks). Isolated A/B at sf0.1: wide pin cold 6.7–7.5 s / narrow
+    # unshared 5.4–5.9 s; this form keeps the narrow colds and drops
+    # the per-branch re-scan stages.
+    docs = pin(spread(load_table(spark, "documents", sf_dir).select("doc_id", "text")))
     bound = docs.selectExpr(
         "doc_id",
         "text",
         "filter(split(lower(text), ' '), x -> x != '') AS toks",
         r"regexp_replace(lower(text), '\\s+', ' ') AS norm",
     )
-    # pin(): registered so hosts' release_pins() drops the corpus-
-    # sized tokenized frame between specs (ADVICE r7).
-    bound = pin(bound)
 
     def n_hits_sql(ws: list[str]) -> str:
         inlist = ", ".join(f"'{w}'" for w in ws)
@@ -1377,7 +1385,16 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = bound.select("doc_id", F.explode("toks").alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
-    total = vocab.agg(F.sum("c").alias("t"))
+    # The corpus token total equals sum(size(toks)) — a row-local
+    # partial aggregation over the tokenized frame. Deriving it from
+    # `vocab` (the r12 shape: vocab.agg(sum(c))) gave vocab a second
+    # consumer, so the token explode + vocab aggregation computed
+    # TWICE per run (two 57 KB vocab exchanges in the r13 stage
+    # profile); this form removes the duplicate pass without touching
+    # the value (sum of per-token counts ≡ total token count;
+    # size(NULL) is NULL under non-legacy sizeOfNull and sum skips
+    # it, matching explode-of-NULL producing no rows).
+    total = bound.agg(F.sum(F.size("toks")).alias("t"))
     model = vocab.crossJoin(total).select(
         "tok", F.round(F.log(F.col("c") / F.col("t")), 4).alias("lp")
     )
