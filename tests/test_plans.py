@@ -440,14 +440,24 @@ def test_bloom_probe_broadcasts_filter_never_shuffles_fact(spark, sf_dir):
 
 
 def test_exact_substr_span_shuffle_is_hashes_only(spark, sf_dir):
-    """The hot-span groupBy partial-aggregates map-side and shuffles
-    hashes, not text; no cartesian, no Python stage."""
+    """Round-13 shape: ONE computation of the span table — the
+    ≥2-distinct-docs test is a min!=max window over the hash
+    partition (the r12 shape computed the chunked explode + md5
+    subtree twice: countDistinct agg + dup join). The span exchange
+    still carries (doc_id, p, h) — hashes and positions, never text;
+    no cartesian, no Python stage."""
     from validation_database_spark.suite.text import q_exact_substr_spans
 
     df = q_exact_substr_spans(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+    # two Generate NODES (chunk explode + position explode) = one
+    # span-table computation; the formatted plan names each node
+    # twice (tree + details), hence <= 4. The r12 double-compute
+    # shape counted 8.
+    assert count_occurrences(df, "Generate") <= 4, plan
+    # the per-doc stats aggregation still combines map-side
     assert "partial_count" in plan, plan
 
 
@@ -470,16 +480,27 @@ def test_psi_counts_combine_map_side(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
-def test_line_dedup_rewrite_hash_shuffles_and_anti_join(spark, sf_dir):
-    """Hot-line detection partial-aggregates 16-byte hashes; the drop
-    is an anti-join; the rebuild sorts within the collected per-doc
-    array, never globally. No Python stage."""
+def test_line_dedup_rewrite_one_line_pass(spark, sf_dir):
+    """Round-13 shape: ONE computation of the line table — the hot
+    flag is a min!=max window over the lkey partition and the
+    totals/kept/rebuild collapse into one per-doc aggregation (the
+    r12 shape computed the tokenize+explode+md5 subtree three times:
+    countDistinct agg, anti-join, totals). The rebuild still sorts
+    within the collected per-doc array, never globally; no join of
+    any kind remains and no Python stage."""
     from validation_database_spark.suite.text import q_line_dedup_rewrite
 
-    plan = physical_plan(q_line_dedup_rewrite(spark, sf_dir))
+    df = q_line_dedup_rewrite(spark, sf_dir)
+    plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
-    assert "LeftAnti" in plan, plan
+    # one Generate node = one line-table computation (the explode);
+    # the old triple-consumer shape had three. The formatted plan
+    # names each node in the tree and the details section, so one
+    # node counts twice.
+    assert count_occurrences(df, "Generate") <= 2, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan
 
 
 def test_attribution_single_user_window_no_self_join(spark, sf_dir):
@@ -1131,3 +1152,52 @@ def test_onestage_cent_rows_identical(spark, sf_dir):
     assert sorted(map(tuple, one_ann.collect())) == sorted(
         map(tuple, composed_ann.collect())
     )
+
+
+def test_quality_classifier_sql_strings_same_semantics(spark, sf_dir):
+    """Round-13 py4j cut for the quality classifier (the 64-weight
+    literal array alone was 64 F.lit round trips per build): the SQL
+    strings must canonicalize to the Column tree they replaced."""
+    from pyspark.sql import functions as F
+
+    from validation_database_spark.suite.text import (
+        QC_DIM,
+        QC_THRESH_MILLI,
+        QC_WEIGHTS,
+        _tokens,
+        q_quality_classifier,
+    )
+    from validation_database_spark.util import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = _tokens(F.col("text"))
+    warr = F.array(*[F.lit(w) for w in QC_WEIGHTS])
+    per_tok = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr,
+            (F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int") % QC_DIM)
+            + 1,
+        ).cast("bigint"),
+    )
+    base_old = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            per_tok, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sum_w_milli"),
+    )
+    old = base_old.select(
+        "doc_id",
+        "n_tokens",
+        "sum_w_milli",
+        F.round(
+            F.col("sum_w_milli").cast("double")
+            / F.greatest("n_tokens", F.lit(1)),
+            6,
+        ).alias("avg_w_milli"),
+        (F.col("sum_w_milli") > QC_THRESH_MILLI * F.col("n_tokens")).alias(
+            "keep"
+        ),
+    )
+    assert q_quality_classifier(spark, sf_dir).sameSemantics(old)

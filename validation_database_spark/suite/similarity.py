@@ -263,6 +263,13 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row materialization, no aggregation, no exchange: a narrow map
     # at any scale, strictly stronger than the r4 shape (pinned in
     # tests/test_plans.py::test_ivf_assignment_is_rowlocal_narrow_map).
+    # Empty-cents edge (ADVICE r12): cents.agg(collect_list) always
+    # emits ONE row (empty array), so with zero centroids every vector
+    # gets cent_id NULL here — the old crossJoin+groupBy shape emitted
+    # an empty frame instead. Final results are identical (downstream
+    # inner joins on cent_id drop NULLs); only the INTERMEDIATE
+    # frame's contract differs — guard with a non-empty check if this
+    # frame is ever consumed directly.
     carr = F.broadcast(
         cents.agg(
             F.sort_array(
@@ -1568,6 +1575,12 @@ def q_rag_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside a projection — the IDENTICAL (a_cos DESC, cent_id ASC)
     # comparator the aggregated sort used. No aggregation, no
     # exchange: a narrow map at any scale.
+    # Empty-cents edge (ADVICE r12): this agg always emits ONE row
+    # (empty array), so with zero centroids each chunk/query gets an
+    # empty cells/probed list — rows survive with NULL cent_id from
+    # the posexplode being empty... i.e. no exploded rows at all, so
+    # the final result is empty exactly like the old crossJoin shape;
+    # only the pre-explode intermediate differs (1 row vs 0).
     carr = F.broadcast(
         cents.agg(
             F.sort_array(

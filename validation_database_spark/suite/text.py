@@ -40,6 +40,14 @@ def _tokens_sql(expr: str) -> str:
     return f"list_filter(string_split(lower({expr}), ' '), x -> x <> '')"
 
 
+def _tokens_sql_spark(expr: str) -> str:
+    """Spark-SQL string rendering of :func:`_tokens` — the literal
+    SQL form of the same tree (one JVM parse instead of per-node py4j
+    calls; the doc_profile/_rag_frames builders inline the identical
+    string)."""
+    return f"filter(split(lower({expr}), ' '), x -> x != '')"
+
+
 # --- token counting ----------------------------------------------------
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1890,29 +1898,30 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     here) filter; the weight vector rides in the plan as a literal
     array exactly like a broadcast model would."""
     docs = spread(load_table(spark, "documents", sf_dir))
-    toks = _tokens(F.col("text"))
-    warr = F.array(*[F.lit(w) for w in QC_WEIGHTS])
-    per_tok = F.transform(
-        toks,
-        lambda t: F.element_at(
-            warr, (F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int") % QC_DIM) + 1
-        ).cast("bigint"),
+    # SQL strings since round 13 (py4j plan-build cut, VERDICT r12
+    # ask #7): the weight literal alone was 64 F.lit round trips per
+    # build. Literal rendering of the prior Column trees,
+    # sameSemantics-pinned in tests/test_plans.py.
+    warr = "array(" + ", ".join(str(w) for w in QC_WEIGHTS) + ")"
+    toks = _tokens_sql_spark("text")
+    per_tok = (
+        f"transform({toks}, t -> cast(element_at({warr}, "
+        f"(cast(conv(substring(md5(t), 1, 2), 16, 10) as int) % {QC_DIM}) + 1)"
+        " as bigint))"
     )
-    base = docs.select(
+    base = docs.selectExpr(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.aggregate(per_tok, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
-            "sum_w_milli"
-        ),
+        f"cast(size({toks}) as bigint) AS n_tokens",
+        f"aggregate({per_tok}, cast(0 as bigint), (a, x) -> a + x)"
+        " AS sum_w_milli",
     )
-    return base.select(
+    return base.selectExpr(
         "doc_id",
         "n_tokens",
         "sum_w_milli",
-        F.round(
-            F.col("sum_w_milli").cast("double") / F.greatest("n_tokens", F.lit(1)), 6
-        ).alias("avg_w_milli"),
-        (F.col("sum_w_milli") > QC_THRESH_MILLI * F.col("n_tokens")).alias("keep"),
+        "round(cast(sum_w_milli as double) / greatest(n_tokens, 1), 6)"
+        " AS avg_w_milli",
+        f"(sum_w_milli > {QC_THRESH_MILLI} * n_tokens) AS keep",
     )
 
 
@@ -2059,39 +2068,61 @@ def q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("line") != "")
         .withColumn("lkey", F.md5("line"))
     )
-    hot = (
-        lines.groupBy("lkey")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= LINE_MIN_OCCUR)
-        .select("lkey")
+    # ONE pass over the line table (round 13). The r12 shape gave
+    # `lines` THREE consumers — the hot-line countDistinct, the
+    # left-anti kept join, and the per-doc totals — so the tokenize +
+    # posexplode + slice-join + md5 subtree computed three times (two
+    # ~4.3 s codegen-compile stages dominated the cold run; ~2 s of
+    # the 3.4 s steady wall). "lkey occurs in ≥ 2 distinct docs"
+    # (LINE_MIN_OCCUR = 2) is equivalently "min(doc_id) ≠ max(doc_id)
+    # over the lkey partition" — the exact_substr_spans window move —
+    # and once every row carries its hot flag, totals / kept counts /
+    # the rebuild collapse into ONE per-doc aggregation: conditional
+    # count, and collect_list over a CASE that is NULL for hot rows
+    # (collect_list skips NULLs, so the collected set is exactly the
+    # kept lines; a doc whose every line is hot aggregates to n_kept 0
+    # and clean_text '' — precisely what the old left join + coalesce
+    # produced). Scale trade, stated: the lkey exchange now carries
+    # the line text (the old hot aggregation shuffled only hash
+    # partials) — bought back by dropping two full corpus
+    # tokenize+md5 passes and the kept anti-join; the doc_id rebuild
+    # exchange carried the kept text in both shapes.
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lkey")
+    flagged = (
+        lines.withColumn("__dmin", F.min("doc_id").over(wl))
+        .withColumn("__dmax", F.max("doc_id").over(wl))
+        .withColumn("__hot", F.col("__dmin") != F.col("__dmax"))
     )
-    kept = lines.join(hot, "lkey", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(~F.col("__hot"), F.lit(1))).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("idx"), F.col("line").alias("line")))
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__hot"),
+                            F.struct(F.col("idx"), F.col("line").alias("line")),
+                        )
+                    )
                 ),
                 lambda s: s["line"],
             ),
             " ",
         ).alias("clean_text"),
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
-            F.length(F.coalesce("clean_text", F.lit(""))).cast("bigint").alias("clean_chars"),
-            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
-            F.round(
-                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_lines"), 6
-            ).alias("kept_ratio"),
-        )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        (F.col("n_lines") - F.col("n_kept")).alias("n_dropped"),
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.round(F.col("n_kept").cast("double") / F.col("n_lines"), 6).alias(
+            "kept_ratio"
+        ),
     )
 
 
